@@ -1,0 +1,228 @@
+"""Text-analysis queries over ``documents`` (SURVEY extension: the
+LLM-training-data operators — token counting, quality scoring,
+language-ID, fingerprinting, exact + near dedup).
+
+``documents(doc_id, text, lang, source, n_chars)`` plays the news-article
+role (ref scraper.py output, FIXTURES.md §2); keyword counting mirrors
+the reference's explode-count (ref load_to_gold_layer.py:45-49).
+All hot-path expressions are JVM-side built-ins (split/regexp/aggregate),
+no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import query, r6, t
+
+
+@query(
+    "keyword_counts",
+    """
+    SELECT keyword, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS keyword FROM documents)
+    WHERE keyword <> ''
+    GROUP BY keyword
+    ORDER BY n DESC, keyword
+    LIMIT 20
+    """,
+)
+def keyword_counts(spark, sf_dir):
+    """Explode words -> count -> top-k (ref A5 keyword frequencies,
+    EDA_silver.ipynb cell 9 / load_to_gold_layer.py:45-49)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("keyword"))
+        .filter(F.col("keyword") != "")
+        .groupBy("keyword")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "keyword")
+        .limit(20)
+    )
+
+
+@query(
+    "docs_by_lang_source",
+    """
+    SELECT lang, source, count(*) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def docs_by_lang_source(spark, sf_dir):
+    """Gold 'aggregated_news' analog: counts per (site, key)
+    (ref load_to_gold_layer.py:40-43)."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"), r6(F.avg("n_chars")).alias("avg_chars")
+    )
+
+
+@query(
+    "token_stats",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+           length(text) AS n_chars_measured
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def token_stats(spark, sf_dir):
+    """Whitespace token counting — the token-count primitive of a
+    training-data pipeline; JVM-side split+filter+size."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+@query(
+    "doc_quality_scores",
+    """
+    SELECT doc_id,
+           round(CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE)
+                 / greatest(length(text), 1), 6) AS tokens_per_char,
+           round(CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE)
+                 / greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1), 6)
+                 AS distinct_token_ratio,
+           CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1 ELSE 0 END AS length_ok
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def doc_quality_scores(spark, sf_dir):
+    """Quality scoring: token density, lexical diversity, length gate —
+    the C4/Gopher-style quality-filter primitives, all JVM-side."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_toks = F.size(toks)
+    return d.select(
+        "doc_id",
+        r6(n_toks.cast("double") / F.greatest(F.length("text"), F.lit(1))).alias(
+            "tokens_per_char"
+        ),
+        r6(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(n_toks, F.lit(1))
+        ).alias("distinct_token_ratio"),
+        F.when(F.length("text").between(100, 2000), 1).otherwise(0).alias("length_ok"),
+    )
+
+
+@query(
+    "exact_dedup_keyset",
+    """
+    SELECT user_id, event_type,
+           min(event_id) AS keep_event_id, count(*) AS n_copies
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def exact_dedup_keyset(spark, sf_dir):
+    """Exact key-subset deduplication (ref P9 dropDuplicates,
+    load_to_silver_layer.py:45,121): canonical keep-row = min id per
+    key group, plus cluster size. Hash-shuffle on the key; at 100 TB
+    identical plan with the text hash as key."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("keep_event_id"), F.count("*").alias("n_copies")
+    )
+
+
+@query(
+    "doc_fingerprints",
+    """
+    SELECT doc_id, md5(text) AS fingerprint,
+           length(text) AS n_chars_measured
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    """Document fingerprinting for exact dedup at scale: content digest
+    per doc (md5 here since both engines implement it bit-identically;
+    the engine's scale path uses xxhash64 — 8-byte shuffle keys)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fingerprint"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    """
+    WITH shingles AS (
+      SELECT doc_id, unnest(list_distinct(sh)) AS shingle
+      FROM (
+        SELECT doc_id,
+               [list_aggregate(toks[i:i+2], 'string_agg', ' ')
+                FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)] AS sh
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents WHERE doc_id < 60)
+      )
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.01
+    ORDER BY doc_a, doc_b
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """N-gram (3-token shingle) Jaccard near-dup detection: shingle ->
+    inverted index self-join -> |A∩B|/|A∪B| >= 0.01. The exact oracle for
+    what MinHash-LSH approximates; the shingle join shuffles on the
+    shingle key so it scales horizontally (skewy shingles would be
+    frequency-capped at 100 TB)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    docs = d.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    # 3-token shingles via transform over a 0..n-3 index sequence
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - 3, F.lit(-1))),
+        lambda i: F.concat_ws(
+            " ", F.col("toks")[i], F.col("toks")[i + 1], F.col("toks")[i + 2]
+        ),
+    )
+    shingles = (
+        docs.filter(n >= 3)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.01)
+        .select("doc_a", "doc_b", r6(jac).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,276 @@
+"""Time-series / streaming-analog queries (SURVEY.md §2.3 J1, §2.4 A1-A2,
+§2.5 W1, §2.8 F3-F9) over the ``events`` table.
+
+``events(event_id, ts, user_id, event_type, value, props)`` plays the
+role of the reference's Kafka tick stream (FIXTURES.md §1 maps ticks
+onto it): event_type ~ symbol, value ~ price, props ~ JSON payload.
+Each batch query here has the same plan shape as its streaming
+counterpart in bda_spark.streaming (windows are windows either way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import query, r6, t
+
+
+@query(
+    "events_windowed_10min",
+    """
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           event_type,
+           round(avg(value), 6) AS avg_value,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_windowed_10min(spark, sf_dir):
+    """10-min tumbling window x key aggregate — the trainer's feature
+    window (ref NEW_train_offset_3_10min.py:124-136) in batch form."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(r6(F.avg("value")).alias("avg_value"), F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "avg_value",
+            "n_events",
+        )
+    )
+
+
+@query(
+    "events_bucket_join_corr",
+    """
+    WITH a AS (
+      SELECT time_bucket(INTERVAL '1 minute', ts) AS bucket, round(avg(value), 6) AS a_value
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ), b AS (
+      SELECT time_bucket(INTERVAL '1 minute', ts) AS bucket, round(avg(value), 6) AS b_value
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    )
+    SELECT round(corr(a_value, b_value), 6) AS correlation,
+           count(*) AS n_buckets,
+           round(avg(a_value), 6) AS avg_click,
+           round(avg(b_value), 6) AS avg_view
+    FROM a JOIN b USING (bucket)
+    """,
+)
+def events_bucket_join_corr(spark, sf_dir):
+    """The stream-stream correlation join in batch form: two feeds
+    bucketed to 1-min, equi-joined on bucket, Pearson corr over buckets
+    (ref joined_streams.py:60-110). Same plan shape as the streaming
+    version in bda_spark.streaming.correlation."""
+    e = t(spark, sf_dir, "events")
+    a = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(r6(F.avg("value")).alias("a_value"))
+    )
+    b = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(r6(F.avg("value")).alias("b_value"))
+    )
+    joined = a.join(b, "w")
+    return joined.agg(
+        r6(F.corr("a_value", "b_value")).alias("correlation"),
+        F.count("*").alias("n_buckets"),
+        r6(F.avg("a_value")).alias("avg_click"),
+        r6(F.avg("b_value")).alias("avg_view"),
+    )
+
+
+@query(
+    "events_lead_label",
+    """
+    SELECT event_id, user_id, value,
+           lead(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS label
+    FROM events
+    WHERE user_id <= 10
+    """,
+)
+def events_lead_label(spark, sf_dir):
+    """Lead/shift label generation (ref W1: stream_eda.ipynb cell 33
+    price_1min_ahead = shift(-12) per symbol) as F.lead over a window."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") <= 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id", "value", F.lead("value", 3).over(w).alias("label")
+    )
+
+
+@query(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_extract(spark, sf_dir):
+    """JSON-string column extraction (ref F3 get_json_object
+    stream_and_historical_model.py:277-280)."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        r6(F.avg(F.get_json_object("props", "$.k").cast("double"))).alias("avg_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "events_daily_kpis",
+    """
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 6) AS total_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_daily_kpis(spark, sf_dir):
+    """Daily gold KPIs per event type (ref load_to_gold_layer.py:40-64 +
+    dashboard KPI aggregates app_2 NEW with joined.py:148-158)."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        r6(F.sum("value")).alias("total_value"),
+        r6(F.min("value")).alias("min_value"),
+        r6(F.max("value")).alias("max_value"),
+    )
+
+
+@query(
+    "events_recent_range",
+    """
+    SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' AND ts < TIMESTAMP '2024-01-28 00:00:00'
+      AND value > 5.0
+    GROUP BY event_type
+    """,
+)
+def events_recent_range(spark, sf_dir):
+    """Timestamp-range + value predicate filters pushed to the scan
+    (ref P5/P6: NEW_train_offset_3_10min.py:311-315, EDA_silver cell 11)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.filter(
+            (F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-28 00:00:00").cast("timestamp"))
+            & (F.col("value") > 5.0)
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), r6(F.avg("value")).alias("avg_value"))
+    )
+
+
+@query(
+    "events_5s_resample",
+    """
+    SELECT user_id,
+           time_bucket(INTERVAL '5 seconds', ts) AS interval_start,
+           round(avg(value), 6) AS avg_value
+    FROM events WHERE user_id <= 5
+    GROUP BY 1, 2
+    """,
+)
+def events_5s_resample(spark, sf_dir):
+    """5-second grid resample (ref A10: pandas dt.floor('5s') groupby
+    mean, stream_eda.ipynb cells 14,17)."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") <= 5)
+    return (
+        e.groupBy("user_id", F.window("ts", "5 seconds").alias("w"))
+        .agg(r6(F.avg("value")).alias("avg_value"))
+        .select("user_id", F.col("w.start").alias("interval_start"), "avg_value")
+    )
+
+
+@query(
+    "events_spearman",
+    """
+    WITH ranked AS (
+      SELECT avg(rn_x) OVER (PARTITION BY value)   AS rx,
+             avg(rn_y) OVER (PARTITION BY user_id) AS ry
+      FROM (
+        SELECT value, user_id,
+               row_number() OVER (ORDER BY value, user_id)  AS rn_x,
+               row_number() OVER (ORDER BY user_id, value)  AS rn_y
+        FROM events
+      )
+    )
+    SELECT round(corr(rx, ry), 6) AS spearman FROM ranked
+    """,
+)
+def events_spearman(spark, sf_dir):
+    """Spearman = Pearson over average ranks (ref A12 dashboard corr
+    matrices, app_2 NEW with joined.py:450-462). Tie-handling matches
+    scipy's average-rank convention."""
+    e = t(spark, sf_dir, "events")
+    rn_x = F.row_number().over(Window.orderBy("value", "user_id"))
+    rn_y = F.row_number().over(Window.orderBy("user_id", "value"))
+    ranked = e.select(
+        "value", "user_id", rn_x.alias("rn_x"), rn_y.alias("rn_y")
+    ).select(
+        F.avg("rn_x").over(Window.partitionBy("value")).alias("rx"),
+        F.avg("rn_y").over(Window.partitionBy("user_id")).alias("ry"),
+    )
+    return ranked.agg(r6(F.corr("rx", "ry")).alias("spearman"))
+
+
+@query(
+    "events_asof_join",
+    """
+    SELECT p.event_id, p.ts, p.value AS purchase_value,
+           c.value AS last_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    """As-of join: each purchase matched to the user's latest click at or
+    before it (ref J4 time-grid alignment, stream_eda.ipynb cells 19,24 —
+    generalized to the canonical as-of operator).
+
+    Spark-first: union both sides tagged, one window pass per user
+    ordered by time carrying last(click) forward — no range join
+    explosion, single shuffle on user_id. DuckDB oracle uses native
+    ASOF JOIN.
+    """
+    e = t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", F.col("value").alias("purchase_value")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "ts", "user_id", F.col("value").alias("click_value")
+    )
+    unioned = p.withColumn("click_value", F.lit(None).cast("double")).unionByName(
+        c.withColumn("event_id", F.lit(None).cast("long")).withColumn(
+            "purchase_value", F.lit(None).cast("double")
+        )
+    )
+    # Clicks sort before purchases at identical ts (is_probe=0 first) so a
+    # same-timestamp click is visible to the purchase ("at or before").
+    is_probe = F.col("purchase_value").isNotNull().cast("int")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", is_probe)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "last_click_value", F.last("click_value", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("purchase_value").isNotNull()).select(
+        "event_id", "ts", "purchase_value", "last_click_value"
+    )

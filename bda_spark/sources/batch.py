@@ -1,0 +1,55 @@
+"""Batch sources: parquet and JSON scans (SURVEY.md §2.1 S3, S11-S13).
+
+The reference reads bronze/silver with inferred schemas
+(reference: Deliverable_3/load_to_silver_layer.py:40-41) and lands
+scraper output as JSON (reference: Batch Data Codes/hdfs.py:141-158).
+We keep vectorized parquet reads on (the reference disabled them) and
+expose explicit-schema JSON ingestion so Catalyst can prune/pushdown.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..schemas import NEWS_SCHEMA, TESTDATA_TABLES
+
+
+def read_parquet(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """Parquet scan. Explicit schema skips footer-inference on huge dirs."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-provided synthetic table (TESTDATA.md).
+
+    ``events.parquet`` carries TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; we read it as long (legacy conf, session-settable)
+    and convert exactly with integer division ns -> us (``div``, not
+    ``/`` — float division would lose precision above 2^53).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
+
+
+def read_json_articles(spark: SparkSession, path: str) -> DataFrame:
+    """News-article JSON ingestion with the explicit scraper schema
+    (replaces the reference's bespoke WebHDFS writer + inferred read).
+    """
+    return spark.read.schema(NEWS_SCHEMA).json(path)
