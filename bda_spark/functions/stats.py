@@ -47,17 +47,34 @@ def pearson(df: DataFrame, x: str, y: str, by: list[str] | None = None) -> DataF
     return df.agg(F.corr(x, y).alias("correlation"))
 
 
+def avg_ranks(df: DataFrame, col: str, out: str = "avg_rank") -> DataFrame:
+    """Average (tie-adjusted) rank per distinct value of ``col``.
+
+    avg_rank(v) = #{x < v} + (count(v)+1)/2 — exactly the mean of the
+    row_numbers inside v's tie group, but computed from the distinct-value
+    histogram (groupBy + windowed cumsum), so the only ordered window runs
+    over distinct values, not the full table. That replaces the
+    partitionless full-table ``Window.orderBy`` (one task holding every
+    row) with a hash-shuffle histogram: the 100 TB-safe shape.
+    """
+    counts = df.groupBy(col).agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    return counts.select(col, (cum_before + (F.col("cnt") + 1) / 2.0).alias(out))
+
+
 def spearman(df: DataFrame, x: str, y: str) -> DataFrame:
     """Spearman rank correlation: average-rank both columns, then Pearson.
 
     Matches the dashboard's pandas ``corr(method='spearman')``
-    (reference: app_2 NEW with joined.py:450-462). Average ranks (ties)
-    via a rank window; exact but globally sorted — at 100 TB use an
-    approxQuantile bucketed rank instead.
+    (reference: app_2 NEW with joined.py:450-462), average-rank tie
+    convention. Ranks come from per-column distinct-value histograms
+    (see ``avg_ranks``) joined back on the value — no full-table global
+    sort anywhere in the plan.
     """
-    rx = F.avg(F.row_number().over(Window.orderBy(x, y))).over(Window.partitionBy(x))
-    ry = F.avg(F.row_number().over(Window.orderBy(y, x))).over(Window.partitionBy(y))
-    ranked = df.select(rx.alias("rx"), ry.alias("ry"))
+    rx = avg_ranks(df, x, "rx")
+    ry = avg_ranks(df, y, "ry")
+    ranked = df.select(x, y).join(rx, x).join(ry, y)
     return ranked.agg(F.corr("rx", "ry").alias("spearman"))
 
 

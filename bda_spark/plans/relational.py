@@ -104,10 +104,13 @@ def gold_daily_orders(spark, sf_dir):
 )
 def top_customers(spark, sf_dir):
     """Batch equi-join + grouped agg + top-k (ref J2
-    stream_and_historical_model.py:599-603 + O3 top-k pattern)."""
+    stream_and_historical_model.py:599-603 + O3 top-k pattern).
+
+    No broadcast hint on customer: it scales with SF (sf100 ~ 15M rows),
+    so AQE's size-based decision picks broadcast vs shuffle at runtime."""
     o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name")
         .agg(r6(F.sum("o_totalprice")).alias("revenue"), F.count("*").alias("n_orders"))
         .orderBy(F.desc("revenue"), "c_name")
@@ -129,14 +132,15 @@ def top_customers(spark, sf_dir):
     """,
 )
 def regional_order_stats(spark, sf_dir):
-    """3-way dimension join; all dims broadcast (no shuffle of the fact
-    side except the final group — the 100 TB-safe star-join shape)."""
+    """3-way star join. nation/region are fixed-size (25/5 rows) so they
+    carry broadcast hints; customer scales with SF, so its join strategy
+    is left to AQE's runtime size check — the 100 TB-safe shape."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "o_orderstatus")
@@ -152,13 +156,15 @@ def regional_order_stats(spark, sf_dir):
     """
     SELECT o_orderstatus, count(*) AS n_orders
     FROM orders
-    WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
     GROUP BY o_orderstatus
     """,
 )
 def orders_without_lineitems(spark, sf_dir):
     """Anti-join (absent from the reference — SURVEY §2.3 notes Spark
-    gives it for free; here as left_anti)."""
+    gives it for free; here as left_anti). Oracle uses NOT EXISTS, which
+    is exactly anti-join semantics even on null-bearing keys (NOT IN
+    would yield zero rows if any l_orderkey were NULL)."""
     o, li = t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem")
     return (
         o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")

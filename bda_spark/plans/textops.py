@@ -11,6 +11,7 @@ no Python UDFs.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .registry import query, r6, t
@@ -151,9 +152,16 @@ def doc_fingerprints(spark, sf_dir):
     )
 
 
+# Shingles appearing in more than this many documents are dropped before
+# the inverted-index self-join (both engine and oracle): a stop-phrase
+# shingle shared by k docs otherwise produces k^2 join rows — the skew
+# that kills the plan at 100 TB. Jaccard is then computed over the capped
+# shingle vocabulary on BOTH sides, so the oracle still verifies values.
+MAX_SHINGLE_DF = 50
+
 @query(
     "ngram_jaccard_pairs",
-    """
+    f"""
     WITH shingles AS (
       SELECT doc_id, unnest(list_distinct(sh)) AS shingle
       FROM (
@@ -164,11 +172,16 @@ def doc_fingerprints(spark, sf_dir):
                      list_filter(string_split(text, ' '), x -> x <> '') AS toks
               FROM documents WHERE doc_id < 60)
       )
+    ), kept AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        FROM shingles
+      ) WHERE df <= {MAX_SHINGLE_DF}
     ), sizes AS (
-      SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+      SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
     ), inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM shingles a JOIN shingles b
+      FROM kept a JOIN kept b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
@@ -183,10 +196,11 @@ def doc_fingerprints(spark, sf_dir):
 )
 def ngram_jaccard_pairs(spark, sf_dir):
     """N-gram (3-token shingle) Jaccard near-dup detection: shingle ->
-    inverted index self-join -> |A∩B|/|A∪B| >= 0.01. The exact oracle for
-    what MinHash-LSH approximates; the shingle join shuffles on the
-    shingle key so it scales horizontally (skewy shingles would be
-    frequency-capped at 100 TB)."""
+    df-cap -> inverted index self-join -> |A∩B|/|A∪B| >= 0.01. The exact
+    oracle for what MinHash-LSH approximates (see plans.lsh for the
+    bucketed scale path). High-document-frequency shingles are dropped
+    before the self-join (window count over the same shuffle the join
+    needs), capping per-key join fan-out at MAX_SHINGLE_DF^2."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     docs = d.select("doc_id", toks.alias("toks"))
@@ -198,9 +212,16 @@ def ngram_jaccard_pairs(spark, sf_dir):
             " ", F.col("toks")[i], F.col("toks")[i + 1], F.col("toks")[i + 2]
         ),
     )
-    shingles = (
+    all_shingles = (
         docs.filter(n >= 3)
         .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+    shingles = (
+        all_shingles.withColumn(
+            "df", F.count("*").over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .drop("df")
     )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = shingles.alias("a")

@@ -215,17 +215,15 @@ def events_5s_resample(spark, sf_dir):
 def events_spearman(spark, sf_dir):
     """Spearman = Pearson over average ranks (ref A12 dashboard corr
     matrices, app_2 NEW with joined.py:450-462). Tie-handling matches
-    scipy's average-rank convention."""
+    scipy's average-rank convention. Ranks are assigned from
+    distinct-value histograms (functions.stats.avg_ranks) so the plan
+    has no full-table partitionless window."""
+    from ..functions.stats import spearman
+
     e = t(spark, sf_dir, "events")
-    rn_x = F.row_number().over(Window.orderBy("value", "user_id"))
-    rn_y = F.row_number().over(Window.orderBy("user_id", "value"))
-    ranked = e.select(
-        "value", "user_id", rn_x.alias("rn_x"), rn_y.alias("rn_y")
-    ).select(
-        F.avg("rn_x").over(Window.partitionBy("value")).alias("rx"),
-        F.avg("rn_y").over(Window.partitionBy("user_id")).alias("ry"),
+    return spearman(e, "value", "user_id").select(
+        r6(F.col("spearman")).alias("spearman")
     )
-    return ranked.agg(r6(F.corr("rx", "ry")).alias("spearman"))
 
 
 @query(

@@ -33,7 +33,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader rejects; we read it as long (legacy conf, session-settable)
     and convert exactly with integer division ns -> us (``div``, not
     ``/`` — float division would lose precision above 2^53).
+
+    Precision assumption: Spark timestamps are microsecond-resolution,
+    so sub-µs distinctions the DuckDB oracle could see are truncated
+    here. Tie-sensitive queries (asof/lead ordering) are deterministic
+    as long as the data doesn't distinguish events below 1 µs — true of
+    the driver's generator.
+
+    The session timezone is pinned to UTC at read time (not only in our
+    session factory) so date/window bucketing matches the tz-naive
+    DuckDB oracle even under the driver's vanilla SparkSession on a
+    non-UTC host.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,68 @@
+"""Sink tests (SURVEY §2.1 S4/S6/S7): parquet overwrite/append and the
+idempotent key-merge used by the label-backfill stream."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from bda_spark.sources.sinks import (
+    append_parquet,
+    idempotent_merge_parquet,
+    overwrite_parquet,
+)
+
+
+def _rows(spark, data):
+    return spark.createDataFrame([Row(k=k, v=v) for k, v in data], "k int, v string")
+
+
+def test_overwrite_and_append(spark, tmp_path):
+    p = str(tmp_path / "t")
+    overwrite_parquet(_rows(spark, [(1, "a")]), p)
+    append_parquet(_rows(spark, [(2, "b")]), p)
+    got = {(r.k, r.v) for r in spark.read.parquet(p).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    overwrite_parquet(_rows(spark, [(3, "c")]), p, partition_by=["k"])
+    assert {(r.k, r.v) for r in spark.read.parquet(p).collect()} == {(3, "c")}
+
+
+def test_merge_creates_when_missing(spark, tmp_path):
+    p = str(tmp_path / "t")
+    idempotent_merge_parquet(spark, _rows(spark, [(1, "a")]), p, ["k"])
+    assert {(r.k, r.v) for r in spark.read.parquet(p).collect()} == {(1, "a")}
+
+
+def test_merge_upserts_by_key(spark, tmp_path):
+    p = str(tmp_path / "t")
+    idempotent_merge_parquet(spark, _rows(spark, [(1, "a"), (2, "b")]), p, ["k"])
+    # update key 2, insert key 3; key 1 untouched
+    idempotent_merge_parquet(spark, _rows(spark, [(2, "B"), (3, "c")]), p, ["k"])
+    got = {(r.k, r.v) for r in spark.read.parquet(p).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    # idempotent: replaying the same updates changes nothing
+    idempotent_merge_parquet(spark, _rows(spark, [(2, "B"), (3, "c")]), p, ["k"])
+    assert {(r.k, r.v) for r in spark.read.parquet(p).collect()} == got
+
+
+def test_merge_leaves_no_temp_dirs(spark, tmp_path):
+    p = str(tmp_path / "t")
+    idempotent_merge_parquet(spark, _rows(spark, [(1, "a")]), p, ["k"])
+    idempotent_merge_parquet(spark, _rows(spark, [(1, "A")]), p, ["k"])
+    assert os.listdir(tmp_path) == ["t"]
+
+
+def test_merge_unreadable_table_raises_not_destroys(spark, tmp_path):
+    """An existing-but-unreadable table must raise, not be silently
+    replaced by only the updates (the reference's bare-except hazard)."""
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    junk = os.path.join(p, "part-00000.parquet")
+    with open(junk, "w") as f:
+        f.write("not parquet")
+    with pytest.raises(Exception):
+        idempotent_merge_parquet(spark, _rows(spark, [(1, "a")]), p, ["k"])
+    # the junk file is still there — nothing was destroyed
+    assert os.path.exists(junk)
