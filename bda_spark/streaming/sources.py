@@ -1,0 +1,75 @@
+"""Streaming tick sources (SURVEY.md §2.1 S1/S2/S8, §2.8 F2, §2.9 T9).
+
+Production source is Kafka (reference:
+Deliverable_3/stream_from_kafka_to_cassandra.py:35-45,
+NEW_train_offset_3_10min.py:94-105); tests and local runs replay the
+same JSON tick records from a directory of text files. Both paths go
+through ONE decode function (CAST value AS STRING -> from_json ->
+data.*), so a file replay exercises exactly the production plan.
+
+Rate control uses ``maxOffsetsPerTrigger`` — the Structured Streaming
+knob; the reference set legacy DStream backpressure confs that are
+no-ops under Structured Streaming (reference: joined_streams.py:16-18,
+SURVEY §2.9 T9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import TICK_SCHEMA
+
+
+def decode_ticks(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """S2/F2: JSON value bytes -> typed tick columns via the fixed
+    13-field schema. Malformed records decode to an all-null struct
+    (PERMISSIVE mode) and are dropped by the ingest gate
+    (functions.cleaning.validate_ticks), not by a crash."""
+    return (
+        raw.select(F.col(value_col).cast("string").alias("json"))
+        .select(F.from_json(F.col("json"), TICK_SCHEMA).alias("data"))
+        .select("data.*")
+    )
+
+
+def kafka_tick_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """S1: Kafka source -> decoded ticks. Not exercisable in the test
+    container (no broker / kafka package); the decode plan it feeds is
+    covered by the file-replay twin below."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return decode_ticks(reader.load())
+
+
+def file_replay_tick_stream(
+    spark: SparkSession,
+    directory: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Kafka stand-in: stream JSON-lines files from a directory (each
+    line = one Kafka record value). ``maxFilesPerTrigger`` is the
+    file-source analog of maxOffsetsPerTrigger."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return decode_ticks(reader.text(directory))
+
+
+def console_sink(df: DataFrame, mode: str = "append"):
+    """S8: debug console sink (reference: stream_preprocessing.ipynb
+    cells 5,8)."""
+    return df.writeStream.outputMode(mode).format("console").start()
