@@ -118,6 +118,7 @@ class TickPipeline:
         max_iter: int = 50,
         reg_param: float = 0.01,
         elastic_net_param: float = 0.5,
+        historical_store: ModelStore | None = None,
     ):
         self.spark = spark
         self.symbol = symbol
@@ -131,6 +132,7 @@ class TickPipeline:
             q: os.path.join(work_dir, "checkpoints", q) for q in ("agg", "pred", "labels")
         }
         self.store = ModelStore(self.models_dir)
+        self.historical_store = historical_store
         self._lr_params = dict(
             maxIter=max_iter, regParam=reg_param, elasticNetParam=elastic_net_param
         )
@@ -158,13 +160,30 @@ class TickPipeline:
     def _predict_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Per-tick prediction with the cached current model; appends to
         the predictions table with a NULL label (backfilled later).
-        input_data = to_json(struct(features)) — D1's UDF-free form."""
+        input_data = to_json(struct(features)) — D1's UDF-free form.
+
+        With a ``historical_store`` set, the tournament-selected
+        historical model scores the SAME frame via a second chained
+        transform — no join at all, which fixes the reference's
+        symbol-only join (ref stream_and_historical_model.py:599-603,
+        a cross-match at >1 row per symbol per batch; SURVEY §2.3 J2)."""
         if batch_df.isEmpty():
             return
         model = self.store.current()
         if model is None:
             return
-        preds = model.transform(self._assembler_pred.transform(batch_df))
+        preds = model.transform(self._assembler_pred.transform(batch_df)).withColumnRenamed(
+            "prediction", "prediction_streaming"
+        )
+        historical = self.historical_store.current() if self.historical_store else None
+        if historical is not None:
+            preds = historical.transform(preds).withColumnRenamed(
+                "prediction", "prediction_historical"
+            )
+        else:
+            preds = preds.withColumn(
+                "prediction_historical", F.lit(None).cast("double")
+            )
         out = preds.select(
             "symbol",
             "timestamp",
@@ -172,7 +191,8 @@ class TickPipeline:
             F.to_json(F.struct(*[F.col(f) for f in self.feature_cols])).alias(
                 "input_data"
             ),
-            "prediction",
+            F.col("prediction_streaming").alias("prediction"),
+            "prediction_historical",
             F.lit(None).cast("double").alias("label"),
         )
         out.write.mode("append").parquet(self.predictions_path)

@@ -170,6 +170,28 @@ def test_backfill_is_idempotent(bp_pipeline):
     assert before == after
 
 
+def test_hybrid_predictor_scores_with_both_models(spark, tick_dir, tmp_path_factory):
+    """D5/T10 interplay: with a historical_store set, each tick carries
+    both the streaming and the tournament-selected historical model's
+    prediction — via chained transforms, no join (fixes the reference's
+    symbol-only join, SURVEY §2.3 J2)."""
+    from bda_spark.ml.persistence import ModelStore
+
+    work = str(tmp_path_factory.mktemp("hybrid"))
+    ticks = file_replay_tick_stream(spark, tick_dir)
+    hist_store = ModelStore(work + "/historical_models")
+    pipe = TickPipeline(spark, ticks, "BP", work, historical_store=hist_store)
+    _drain(pipe.start_trainer(available_now=True))
+    # reuse the streaming model as the "historical" champion: the two
+    # prediction columns must then agree exactly
+    hist_store.save(pipe.store.current(), "LinearRegression")
+    _drain(pipe.start_predictor(available_now=True))
+    rows = pipe.predictions().collect()
+    assert len(rows) == N_TICKS
+    assert all(r.prediction_historical is not None for r in rows)
+    assert all(abs(r.prediction_historical - r.prediction) < 1e-9 for r in rows)
+
+
 # ------------------------------------------------- stream-stream corr join
 def test_correlation_pipeline(spark, tick_dir, tmp_path_factory):
     work = str(tmp_path_factory.mktemp("corr"))
