@@ -1,0 +1,147 @@
+"""Bucketed near-duplicate detection at scale: MinHash-LSH over n-gram
+shingle sets (SURVEY extension; the scale path behind the exact
+``ngram_jaccard_pairs`` baseline in plans.textops).
+
+Shape of the plan (the 100 TB design):
+
+1. shingle + hash each document (one scan, JVM-side expressions)
+2. 32-bit minhash signatures via the universal family
+   h_k(x) = (a_k * x + b_k) mod p,  p = 2^31 - 1 (products stay under
+   2^63, so ANSI-mode long arithmetic cannot overflow)
+3. band the signature (b bands x r rows), hash each band to one 64-bit
+   key, explode -> (doc_id, band_key)
+4. self-join on band_key: ONLY documents agreeing on an entire band
+   collide, so join fan-out is per-bucket, not per-shingle —
+   candidates ~ O(n * dup_rate) instead of the all-pairs O(n^2)
+5. exact verify: join candidate pairs back to their full shingle sets
+   and compute true Jaccard; emit pairs >= threshold
+
+Probability a true pair at similarity j survives: 1 - (1 - j^r)^b.
+Defaults (r=2, b=32) give miss < 1e-20 at j = 0.9 and < 4e-2 at the
+j = 0.5 threshold boundary; the driver's corpus has no pairs between
+0.5 and 0.88 (checked at sf0.001/sf0.01), so recall is 100% there with
+enormous margin. Massive duplicate clusters make hot band-buckets; at
+100 TB those are capped by per-bucket limits or pre-clustered by the
+exact fingerprint pass (plans.textops.doc_fingerprints) first.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_P = (1 << 31) - 1
+
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             n: int = 3) -> DataFrame:
+    """(id, shingle) pairs: distinct n-token shingles per document,
+    whitespace-tokenized, all JVM-side (split/transform/explode)."""
+    toks = F.filter(F.split(text_col, " "), lambda x: x != "")
+    docs = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    size = F.size("toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(size - n, F.lit(-1))),
+        lambda i: F.concat_ws(
+            " ", *[F.col("toks")[i + off] for off in range(n)]
+        ),
+    )
+    return (
+        docs.filter(size >= n)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, num_hashes: int = 64, seed: int = 42
+) -> DataFrame:
+    """One row per doc: minhash signature columns mh0..mh{k-1}, the full
+    shingle set (for downstream exact verification) and its size.
+    Single hash-shuffle on doc_id."""
+    params = _hash_params(num_hashes, seed)
+    h = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P))
+    hashed = shingle_df.withColumn("h", h)
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE_P))).alias(
+            f"mh{k}"
+        )
+        for k, (a, b) in enumerate(params)
+    ]
+    return hashed.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("shingle_set"),
+        F.count("*").alias("n_shingles"),
+        *aggs,
+    )
+
+
+def band_keys(
+    signatures: DataFrame, num_hashes: int = 64, band_rows: int = 2
+) -> DataFrame:
+    """(doc_id, band_key): one 64-bit key per band, band index folded
+    into the hash so keys from different bands never collide."""
+    num_bands = num_hashes // band_rows
+    keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(j),
+                *[F.col(f"mh{j * band_rows + r}") for r in range(band_rows)],
+            )
+            for j in range(num_bands)
+        ]
+    )
+    return signatures.select("doc_id", F.explode(keys).alias("band_key"))
+
+
+def minhash_neardup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 64,
+    band_rows: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates from band-bucket
+    collisions, exact Jaccard verify, pairs >= threshold. Output matches
+    the all-pairs exact computation wherever banding recall holds (see
+    module docstring for the probability bound)."""
+    sh = shingles(docs, id_col, text_col, ngram)
+    sigs = minhash_signatures(sh, num_hashes, seed).cache()
+    bands = band_keys(sigs, num_hashes, band_rows)
+    candidates = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = sigs.select("doc_id", "shingle_set", "n_shingles")
+    a = sets.alias("sa")
+    b = sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.shingle_set"), F.col("sb.shingle_set")))
+    jac = inter.cast("double") / (
+        F.col("sa.n_shingles") + F.col("sb.n_shingles") - inter
+    )
+    return (
+        candidates.join(a, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(b, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

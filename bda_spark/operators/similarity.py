@@ -1,0 +1,162 @@
+"""SimHash-bucketed embedding similarity: near-dup pairs and top-k ANN
+candidates (SURVEY extension; the scale path behind the exact
+``embedding_neardup_pairs`` / ``cosine_topk`` baselines in
+plans.vectorops).
+
+Signatures are random-hyperplane SimHash: bit_i = sign(v . h_i) with
+P[bit match] = 1 - angle/pi. Bits are grouped into b bands of r bits;
+vectors agreeing on any whole band become candidates, then candidates
+are EXACTLY re-scored with the true cosine — so precision is always
+exact and only recall depends on banding:
+P[candidate at cosine c] = 1 - (1 - p^r)^b, p = 1 - arccos(c)/pi.
+
+The signature computation is an Arrow-batched pandas UDF (one numpy
+matmul per batch) — the documented exception to the no-Python rule:
+thousands of per-dimension expressions would defeat codegen, while the
+matmul is exactly what vectorized hardware wants. Everything else
+(explode, band join, exact rerank) is JVM-side.
+
+Parameter note: the registered queries run at cosine 0.45 — on the
+synthetic near-orthogonal corpus that is a WEAK-signal regime
+(p ~= 0.65 vs 0.5 for random pairs), so banding passes most pairs
+through to the exact rerank (the LSH gap rho -> 1 as the threshold
+approaches the random-pair similarity). At realistic semantic-dedup
+thresholds (0.9+: p ~= 0.86) the same plan prunes aggressively with
+r = 16; the defaults here are chosen for provable recall at 0.45:
+r = 6, b = 96 gives miss < 6e-4 per true pair.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from ..functions.vectors import cosine_similarity_col
+
+
+def simhash_band_udf(dim: int, band_rows: int = 6, num_bands: int = 96,
+                     seed: int = 42):
+    """Pandas UDF: embedding -> array of ``num_bands`` 64-bit band keys
+    (r sign-bits packed per band, band index folded into the key)."""
+    rng = np.random.default_rng(seed)
+    hyperplanes = rng.standard_normal((dim, band_rows * num_bands))
+    weights = (1 << np.arange(band_rows)).astype(np.int64)
+    band_offsets = (np.arange(num_bands, dtype=np.int64) + 1) << 32
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def band_keys(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy()).astype(np.float64)  # batch x dim
+        bits = (mat @ hyperplanes) > 0  # batch x (b*r)
+        packed = bits.reshape(len(mat), num_bands, band_rows) @ weights
+        keyed = packed.astype(np.int64) + band_offsets
+        return pd.Series(list(keyed))
+
+    return band_keys
+
+
+def _candidates(
+    left: DataFrame,
+    right: DataFrame,
+    dim: int,
+    band_rows: int,
+    num_bands: int,
+    seed: int,
+    anti_reflexive: bool,
+) -> DataFrame:
+    """Band-bucket join of two keyed embedding frames -> distinct
+    (id_a, id_b) candidate pairs (id_a < id_b when self-joining)."""
+    udf = simhash_band_udf(dim, band_rows, num_bands, seed)
+
+    def keyed(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col("vec_id").alias(f"id_{side}"),
+            F.explode(udf(F.col("embedding"))).alias("band_key"),
+        )
+
+    cond = F.col("id_a") < F.col("id_b") if anti_reflexive else F.col("id_a") != F.col("id_b")
+    return (
+        keyed(left, "a")
+        .join(keyed(right, "b"), "band_key")
+        .filter(cond)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _rescored(candidates: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Exact cosine for each candidate pair (JVM-side zip_with dot)."""
+    v = F.col("embedding").cast("array<double>")
+    a = embeddings.select(F.col("vec_id").alias("id_a"), v.alias("va"))
+    b = embeddings.select(F.col("vec_id").alias("id_b"), v.alias("vb"))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cosine", cosine_similarity_col(F.col("va"), F.col("vb")))
+        .drop("va", "vb")
+    )
+
+
+def simhash_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    dim: int = 64,
+    band_rows: int = 6,
+    num_bands: int = 96,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs via SimHash candidates + exact rerank.
+    Replaces the all-pairs broadcast O(n^2) plan: the corpus is never
+    crossed with itself, only bucket-mates meet in the join."""
+    cands = _candidates(
+        embeddings, embeddings, dim, band_rows, num_bands, seed, anti_reflexive=True
+    )
+    return (
+        _rescored(cands, embeddings)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def simhash_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    band_rows: int = 4,
+    num_bands: int = 96,
+    seed: int = 42,
+) -> DataFrame:
+    """Top-k nearest neighbors for each query vector: SimHash candidate
+    generation (query side x corpus bucket join), exact cosine rerank,
+    rank window per query. ``queries`` is a subset of ``embeddings``
+    rows (vec_id, embedding).
+
+    Banding is wider than the near-dup path (r = 4 vs 6): a query's
+    k-th neighbor can sit at cosine ~0.25 (p ~= 0.58), where r = 6
+    misses ~2% of true neighbors; r = 4, b = 96 brings that under
+    4e-6 per pair at the cost of more candidates to rerank."""
+    cands = (
+        _candidates(
+            queries, embeddings, dim, band_rows, num_bands, seed, anti_reflexive=False
+        )
+        .withColumnRenamed("id_a", "query_id")
+        .withColumnRenamed("id_b", "neighbor_id")
+    )
+    v = F.col("embedding").cast("array<double>")
+    q = embeddings.select(F.col("vec_id").alias("query_id"), v.alias("va"))
+    c = embeddings.select(F.col("vec_id").alias("neighbor_id"), v.alias("vb"))
+    scored = (
+        cands.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("cosine", cosine_similarity_col(F.col("va"), F.col("vb")))
+        .drop("va", "vb")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )

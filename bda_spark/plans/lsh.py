@@ -1,0 +1,109 @@
+"""Bucketed (LSH) near-dup and ANN queries — the scale paths of
+plans.textops.ngram_jaccard_pairs / plans.vectorops.embedding_neardup_pairs
+/ plans.vectorops.cosine_topk, registered with EXACT all-pairs DuckDB
+oracles: because every LSH path ends in an exact re-verification of its
+candidates, its output must equal the exact computation whenever
+banding recall holds — the CORRECTNESS comparison is therefore a live
+recall measurement (any missed pair fails the row-count/hash check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.dedup import minhash_neardup_pairs
+from ..operators.similarity import simhash_neardup_pairs, simhash_topk
+from .registry import query, r6, t
+from .vectorops import _COS_SQL
+
+
+@query(
+    "minhash_neardup_pairs",
+    """
+    WITH shingles AS (
+      SELECT doc_id, unnest(list_distinct(sh)) AS shingle
+      FROM (
+        SELECT doc_id,
+               [list_aggregate(toks[i:i+2], 'string_agg', ' ')
+                FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)] AS sh
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents)
+      )
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def minhash_neardup_pairs_q(spark, sf_dir):
+    """MinHash-LSH near-dup over the FULL documents table at the 0.5
+    dedup threshold; oracle is the exact all-pairs Jaccard. Identical
+    output = 100% recall of the banding (see operators.dedup for the
+    1-(1-j^r)^b bound: miss < 1e-20 at the corpus's j >= 0.88 pairs)."""
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_neardup_pairs(d, threshold=0.5)
+    return pairs.select(
+        "doc_a", "doc_b", r6(F.col("jaccard")).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "simhash_neardup_pairs",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS_SQL}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.45
+    ORDER BY id_a, id_b
+    """,
+)
+def simhash_neardup_pairs_q(spark, sf_dir):
+    """SimHash-bucketed embedding near-dup at cosine 0.45; oracle is the
+    exact all-pairs computation (same SQL as embedding_neardup_pairs).
+    The corpus is never self-crossed — candidates come from band-bucket
+    collisions, then exact rerank."""
+    e = t(spark, sf_dir, "embeddings")
+    pairs = simhash_neardup_pairs(e, threshold=0.45)
+    return pairs.select(
+        "id_a", "id_b", r6(F.col("cosine")).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "cosine_topk_bucketed",
+    f"""
+    WITH sims AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_COS_SQL} AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS cosine, rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def cosine_topk_bucketed_q(spark, sf_dir):
+    """ANN top-k via SimHash buckets + exact rerank; oracle is the exact
+    brute-force top-k (same SQL as cosine_topk). Matching output means
+    every true top-5 neighbor appeared among the buckets' candidates."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    topk = simhash_topk(e, queries, k=5)
+    return topk.select(
+        "query_id", "neighbor_id", r6(F.col("cosine")).alias("cosine"), "rk"
+    )

@@ -55,7 +55,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     # Import for registration side effects.
-    from . import relational, timeseries, textops, vectorops  # noqa: F401
+    from . import lsh, relational, timeseries, textops, vectorops  # noqa: F401
 
     _LOADED = True
 

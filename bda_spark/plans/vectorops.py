@@ -110,7 +110,9 @@ def embedding_neardup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate detection (threshold 0.45 — chosen so the synthetic corpus, which has no true near-dups, still exercises the full plan) — the
     semantic-dedup primitive. Brute force O(n^2) here as the exact
     oracle; the scale path buckets by random-hyperplane sign (SimHash)
-    first — see bda_spark.operators.dedup.embedding_neardup_lsh."""
+    first — bda_spark.operators.similarity.simhash_neardup_pairs,
+    registered as the simhash_neardup_pairs query with this same SQL
+    as its oracle."""
     e = t(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     a = e.select(
