@@ -233,13 +233,10 @@ def customer_order_coalesce(spark, sf_dir):
 )
 def profile_stats_orders(spark, sf_dir):
     """Multi-stat profile aggregate (ref EDA_silver.ipynb cell 18)."""
+    from ..functions.stats import profile_stats
+
     o = t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.round(F.min("o_totalprice"), 2).alias("min_o_totalprice"),
-        F.round(F.max("o_totalprice"), 2).alias("max_o_totalprice"),
-        F.round(F.avg("o_totalprice"), 2).alias("mean_o_totalprice"),
-        F.round(F.stddev("o_totalprice"), 2).alias("std_o_totalprice"),
-    )
+    return profile_stats(o, ["o_orderstatus"], ["o_totalprice"], ndigits=2)
 
 
 @query(
@@ -254,13 +251,12 @@ def profile_stats_orders(spark, sf_dir):
 def null_count_vector_q(spark, sf_dir):
     """Single-pass null/NaN-count vector (ref EDA_silver.ipynb cell 8;
     replaces the per-column loop stream_and_historical_model.py:316-319)."""
+    from ..functions.stats import null_count_vector
+
     o = t(spark, sf_dir, "orders")
-    return o.agg(
-        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n_o_custkey"),
-        F.count(
-            F.when(F.col("o_totalprice").isNull() | F.isnan("o_totalprice"), 1)
-        ).alias("n_o_totalprice"),
-        F.count(F.when(F.col("o_orderdate").isNull(), 1)).alias("n_o_orderdate"),
+    cols = ["o_custkey", "o_totalprice", "o_orderdate"]
+    return null_count_vector(o, cols).select(
+        *[F.col(c).alias(f"n_{c}") for c in cols]
     )
 
 
@@ -383,3 +379,30 @@ def conditional_repair(spark, sf_dir):
         F.col("o_totalprice") < 1000, F.col("o_totalprice") * 10
     ).otherwise(F.col("o_totalprice"))
     return o.groupBy("o_orderstatus").agg(r6(F.avg(repaired)).alias("avg_repaired"))
+
+
+@query(
+    "orders_recent_window",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 6) AS total
+    FROM orders
+    WHERE o_orderdate >= current_date - INTERVAL 10500 DAY
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_recent_window(spark, sf_dir):
+    """P6/F5: relative-date recency filter via date_sub(current_date(), n)
+    (ref EDA_silver.ipynb cell 11 'last 14 days'; n = 10500 lands the
+    cutoff mid-corpus, 1997-ish, so the filter genuinely prunes rows).
+    Both engines evaluate their own current_date at run time — the
+    driver runs them back-to-back, and order dates are midnight-aligned,
+    so the comparison is stable except across a UTC midnight boundary."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_orderdate") >= F.date_sub(F.current_date(), 10500)
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), r6(F.sum("o_totalprice")).alias("total"))
+    )

@@ -105,6 +105,64 @@ def events_lead_label(spark, sf_dir):
 
 
 @query(
+    "events_dropna_labels",
+    """
+    SELECT user_id, count(*) AS n_labeled, round(avg(label), 6) AS avg_label
+    FROM (
+      SELECT user_id,
+             lead(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS label
+      FROM events WHERE user_id <= 10
+    ) WHERE label IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_dropna_labels(spark, sf_dir):
+    """P10: na.drop after lead-label generation — the 'drop unlabeled
+    tail rows before training' step (ref silver_layer.ipynb cell 8
+    dropna; NEW_train_offset_3_10min.py label prep). The last 3 rows of
+    every user have no lead(3) label and must vanish."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") <= 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select("user_id", F.lead("value", 3).over(w).alias("label"))
+        .na.drop(subset=["label"])
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_labeled"), r6(F.avg("label")).alias("avg_label"))
+    )
+
+
+@query(
+    "features_json_roundtrip",
+    """
+    SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def features_json_roundtrip(spark, sf_dir):
+    """D1+F2: feature vector -> to_json(struct()) -> from_json round
+    trip, then aggregate the PARSED columns. The oracle aggregates the
+    raw columns directly, so a hash match proves the JVM-side
+    serialize/parse pair is lossless — the UDF-free replacement for the
+    reference's row-at-a-time json.dumps UDF
+    (ref NEW_train_offset_3_10min.py:244-248)."""
+    e = t(spark, sf_dir, "events")
+    ser = e.select(
+        F.to_json(F.struct("event_type", "user_id", "value")).alias("input_data")
+    )
+    parsed = ser.select(
+        F.from_json(
+            "input_data", "event_type string, user_id bigint, value double"
+        ).alias("d")
+    ).select("d.*")
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        r6(F.avg("value")).alias("avg_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
     "events_json_extract",
     """
     SELECT event_type,
@@ -187,12 +245,14 @@ def events_recent_range(spark, sf_dir):
 )
 def events_5s_resample(spark, sf_dir):
     """5-second grid resample (ref A10: pandas dt.floor('5s') groupby
-    mean, stream_eda.ipynb cells 14,17)."""
+    mean, stream_eda.ipynb cells 14,17). Uses functions.timeutils.floor_to
+    — the grid column IS the group key, no window struct needed."""
+    from ..functions.timeutils import floor_to
+
     e = t(spark, sf_dir, "events").filter(F.col("user_id") <= 5)
     return (
-        e.groupBy("user_id", F.window("ts", "5 seconds").alias("w"))
+        e.groupBy("user_id", floor_to("ts", 5).alias("interval_start"))
         .agg(r6(F.avg("value")).alias("avg_value"))
-        .select("user_id", F.col("w.start").alias("interval_start"), "avg_value")
     )
 
 

@@ -34,6 +34,7 @@ from pyspark.ml.regression import LinearRegression
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.timeutils import event_time_from_millis
 from ..ml.persistence import ModelStore
 from ..sources.sinks import idempotent_merge_parquet
 
@@ -65,7 +66,7 @@ def normalize_ticks(
             F.col(LABEL_COLUMN).cast("double").alias("label"),
             F.col("timestamp").cast("long").alias("timestamp"),
         )
-        .withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
+        .withColumn("event_time", event_time_from_millis("timestamp"))
     )
 
 

@@ -1,0 +1,121 @@
+"""Unit tests for the functions/ library — every helper the registered
+queries don't route through directly gets exercised here, on crafted
+rows with hand-computed expectations."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bda_spark.functions.cleaning import drop_sentinels, repair_sentinel_price
+from bda_spark.functions.stats import pearson, rmse
+from bda_spark.functions.timeutils import (
+    event_time_from_millis,
+    floor_to,
+    time_bucket,
+)
+
+
+@pytest.fixture(scope="module")
+def ticks(spark):
+    return spark.createDataFrame(
+        [
+            Row(symbol="BP", price=10.0, bid=9.0, ask=11.0, volume=100.0),
+            Row(symbol="BP", price=-1.0, bid=20.0, ask=22.0, volume=-1.0),
+            Row(symbol="XOM", price=30.0, bid=29.0, ask=31.0, volume=300.0),
+        ]
+    )
+
+
+def test_repair_sentinel_price_uses_midpoint(spark, ticks):
+    out = ticks.select("symbol", repair_sentinel_price().alias("price")).collect()
+    assert {(r.symbol, r.price) for r in out} == {
+        ("BP", 10.0),
+        ("BP", 21.0),  # sentinel -> (20+22)/2
+        ("XOM", 30.0),
+    }
+
+
+def test_drop_sentinels_filters_any_sentinel_column(spark, ticks):
+    out = drop_sentinels(ticks, ["price", "volume"]).collect()
+    assert {r.symbol for r in out} == {"BP", "XOM"}
+    assert len(out) == 2  # the sentinel row is gone
+    assert drop_sentinels(ticks, []).count() == 3  # no cols -> no-op
+
+
+def test_event_time_from_millis_is_exact(spark):
+    df = spark.createDataFrame(
+        [Row(timestamp=1704067200123), Row(timestamp=1704067200999)]
+    )
+    out = df.select(event_time_from_millis("timestamp").alias("et")).collect()
+    assert out[0].et == dt.datetime(2024, 1, 1, 0, 0, 0, 123000)
+    assert out[1].et == dt.datetime(2024, 1, 1, 0, 0, 0, 999000)
+
+
+def test_time_bucket_and_floor_to_agree_on_grid_start(spark):
+    df = spark.createDataFrame(
+        [Row(ts=dt.datetime(2024, 1, 1, 0, 0, s)) for s in (0, 3, 7, 59)]
+    )
+    out = df.select(
+        time_bucket("ts", "5 seconds").alias("w"), floor_to("ts", 5).alias("f")
+    ).collect()
+    for r in out:
+        assert r.w.start == r.f
+    assert {r.f.second for r in out} == {0, 5, 55}
+
+
+def test_pearson_matches_closed_form(spark):
+    # y = 2x + noise-free -> corr exactly 1; grouped form too
+    rows = [Row(g="a", x=float(i), y=2.0 * i) for i in range(10)]
+    rows += [Row(g="b", x=float(i), y=-3.0 * i + 7) for i in range(10)]
+    df = spark.createDataFrame(rows)
+    import numpy as np
+
+    xs = np.array([r.x for r in rows])
+    ys = np.array([r.y for r in rows])
+    expected = float(np.corrcoef(xs, ys)[0, 1])
+    assert pearson(df, "x", "y").collect()[0].correlation == pytest.approx(
+        expected, abs=1e-9
+    )
+    grouped = {r.g: r.correlation for r in pearson(df, "x", "y", by=["g"]).collect()}
+    assert grouped["a"] == pytest.approx(1.0)
+    assert grouped["b"] == pytest.approx(-1.0)
+
+
+def test_rmse_closed_form(spark):
+    df = spark.createDataFrame(
+        [Row(prediction=1.0, label=2.0), Row(prediction=4.0, label=2.0)]
+    )
+    # sqrt((1 + 4) / 2)
+    assert rmse(df).collect()[0].rmse == pytest.approx(math.sqrt(2.5))
+
+
+def test_validate_ticks_each_constraint(spark):
+    """D8: one violating row per producer constraint, one clean row."""
+    from bda_spark.functions.cleaning import validate_ticks
+
+    good = dict(
+        symbol="BP",
+        timestamp=1704067200123,
+        source="YLIFE_FEED",
+        data_type="MARKET_DATA",
+        market_sentiment=0.5,
+        trading_activity=55.0,
+    )
+    bad = [
+        {**good, "symbol": None},
+        {**good, "timestamp": None},
+        {**good, "source": "UNKNOWN_FEED"},
+        {**good, "data_type": "HEARTBEAT"},
+        {**good, "market_sentiment": 1.5},
+        {**good, "trading_activity": 250.0},
+        {**good, "timestamp": 99999999999999},  # far future
+    ]
+    sentinel_ok = {**good, "market_sentiment": -1.0, "trading_activity": -1.0}
+    df = spark.createDataFrame([Row(**good), Row(**sentinel_ok)] + [Row(**b) for b in bad])
+    kept = validate_ticks(df).collect()
+    assert len(kept) == 2
