@@ -287,6 +287,69 @@ def events_spearman(spark, sf_dir):
 
 
 @query(
+    "events_interpolate_1h",
+    """
+    WITH buckets AS (
+      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS grid_ts,
+             round(avg(value), 6) AS v
+      FROM events WHERE user_id <= 3 GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, min(grid_ts) AS t0, max(grid_ts) AS t1
+      FROM buckets GROUP BY user_id
+    ), spine AS (
+      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL '1 hour')) AS grid_ts
+      FROM bounds
+    ), g AS (
+      SELECT s.user_id, s.grid_ts, b.v
+      FROM spine s LEFT JOIN buckets b USING (user_id, grid_ts)
+    ), filled AS (
+      SELECT user_id, grid_ts, v,
+             last_value(v IGNORE NULLS) OVER w_prev AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN grid_ts END IGNORE NULLS)
+               OVER w_prev AS pt,
+             first_value(v IGNORE NULLS) OVER w_next AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN grid_ts END IGNORE NULLS)
+               OVER w_next AS nt
+      FROM g
+      WINDOW
+        w_prev AS (PARTITION BY user_id ORDER BY grid_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY user_id ORDER BY grid_ts
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, grid_ts,
+           CAST(floor((CASE WHEN v IS NOT NULL THEN v
+                 ELSE pv + (nv - pv) * ((epoch(grid_ts) - epoch(pt))
+                                        / (epoch(nt) - epoch(pt))) END)
+                 * 1000000 + 0.5) AS BIGINT) AS value_micro,
+           (v IS NULL) AS is_interpolated
+    FROM filled
+    """,
+)
+def events_interpolate_1h(spark, sf_dir):
+    """W2+W3: per-user 1-hour grid, linear gap interpolation, spine
+    trimmed to each user's observed range (ref stream_eda.ipynb cells
+    19,24,29-30 — pandas resample().interpolate(), validated against
+    the same window algebra in DuckDB). See operators.interpolation.
+
+    Comparison encoding: blend inputs are 6-digit-rounded on both
+    engines, so the IEEE blend arithmetic is bit-identical; the output
+    is scaled to integer micro-units with floor(v*1e6 + 0.5) — pure
+    float ops — because decimal-string round() differs between engines
+    on exact-half values (Spark BigDecimal HALF_UP vs DuckDB float)."""
+    from ..operators.interpolation import grid_interpolate
+
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") <= 3)
+    out = grid_interpolate(e, "user_id", "ts", "value", 3600, bucket_ndigits=6)
+    return out.select(
+        "user_id",
+        "grid_ts",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long").alias("value_micro"),
+        "is_interpolated",
+    )
+
+
+@query(
     "events_asof_join",
     """
     SELECT p.event_id, p.ts, p.value AS purchase_value,
