@@ -55,7 +55,14 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     # Import for registration side effects.
-    from . import lsh, relational, timeseries, textops, vectorops  # noqa: F401
+    from . import (  # noqa: F401
+        lsh,
+        relational,
+        reporting,
+        textops,
+        timeseries,
+        vectorops,
+    )
 
     _LOADED = True
 
