@@ -65,3 +65,11 @@ def read_json_articles(spark: SparkSession, path: str) -> DataFrame:
     (replaces the reference's bespoke WebHDFS writer + inferred read).
     """
     return spark.read.schema(NEWS_SCHEMA).json(path)
+
+
+def land_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S11 write side: land records as JSON-lines, the bronze format the
+    reference's scraper pushes through WebHDFS (reference:
+    Batch Data Codes/hdfs.py:141-158) — distributed ``df.write.json``
+    instead of a driver-side requests loop."""
+    df.write.mode(mode).json(path)

@@ -66,3 +66,25 @@ def test_merge_unreadable_table_raises_not_destroys(spark, tmp_path):
         idempotent_merge_parquet(spark, _rows(spark, [(1, "a")]), p, ["k"])
     # the junk file is still there — nothing was destroyed
     assert os.path.exists(junk)
+
+
+def test_json_land_and_read_roundtrip(spark, tmp_path):
+    """S11 both sides: land articles as JSON-lines, re-read with the
+    explicit scraper schema — types and nulls survive."""
+    from bda_spark.schemas import NEWS_SCHEMA
+    from bda_spark.sources.batch import land_json, read_json_articles
+
+    rows = [
+        ("Oil up", "body a", "2024-01-01", ["oil", "energy"], False,
+         "wnp.pl", "u1", "1"),
+        ("No date", "body b", None, [], True, "beurs.nl", "u2", "2"),
+    ]
+    df = spark.createDataFrame(rows, NEWS_SCHEMA)
+    p = str(tmp_path / "articles")
+    land_json(df, p)
+    back = read_json_articles(spark, p)
+    assert back.schema == NEWS_SCHEMA
+    got = {(r.title, r.date, tuple(r.keywords), r.is_premium)
+           for r in back.collect()}
+    assert got == {("Oil up", "2024-01-01", ("oil", "energy"), False),
+                   ("No date", None, (), True)}
