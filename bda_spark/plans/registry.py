@@ -57,6 +57,7 @@ def _ensure_loaded() -> None:
     # Import for registration side effects.
     from . import (  # noqa: F401
         lsh,
+        media,
         relational,
         reporting,
         textops,
