@@ -1,0 +1,52 @@
+"""Text-analysis column expressions (SURVEY extension: LLM-pipeline
+language ID). Pure JVM-side Column logic — tokenize once, score
+against per-language stopword lists, argmax with deterministic
+first-wins tie-break. The classic fast-path heuristic (the reference
+corpus carries a ``lang`` label; this computes one)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small high-frequency function-word lists. Overlapping tokens (la, que,
+# un...) legitimately score for every language that uses them.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"],
+    "es": ["el", "la", "los", "las", "es", "y", "que", "en", "un", "una"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "que", "un", "une", "pour"],
+}
+
+
+def language_id_col(
+    text_col: str | Column,
+    stopwords: dict[str, list[str]] | None = None,
+    unknown: str = "und",
+) -> Column:
+    """Detected language code for a text column: per-language stopword
+    occurrence counts, argmax (first language in dict order wins ties),
+    ``unknown`` when no stopword of any language occurs.
+
+    Whitespace tokenization on single spaces to match the corpus
+    format; swap the tokenizer for regexp_extract_all on real text."""
+    sw = stopwords or STOPWORDS
+    langs = list(sw)
+    tokens = F.split(F.lower(text_col), " ")
+    scores = F.array(
+        *[language_score_col(text_col, words) for words in sw.values()]
+    )
+    mx = F.array_max(scores)
+    idx = F.array_position(scores, mx).cast("int")
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    return F.when(mx > 0, F.element_at(lang_arr, idx)).otherwise(F.lit(unknown))
+
+
+def language_score_col(text_col: str | Column, words: list[str]) -> Column:
+    """Occurrence count of ``words`` in the whitespace tokens — the raw
+    score behind language_id_col, exposed for quality filters.
+    (array_contains, not Column.isin — isin doesn't resolve against
+    lambda variables inside higher-order functions.)"""
+    tokens = F.split(F.lower(text_col), " ")
+    vocab = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda x: F.array_contains(vocab, x)))

@@ -14,7 +14,53 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions.text import STOPWORDS, language_id_col
 from .registry import query, r6, t
+
+
+def _langid_oracle_sql() -> str:
+    """DuckDB twin of language_id_col, generated from the SAME stopword
+    dict so the two implementations cannot drift."""
+    score_items = ", ".join(
+        "len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in words)
+        + "], x)))"
+        for words in STOPWORDS.values()
+    )
+    lang_list = ", ".join(f"'{lang}'" for lang in STOPWORDS)
+    return f"""
+    WITH scored AS (
+      SELECT doc_id,
+             [{score_items}] AS s
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents)
+    )
+    SELECT doc_id,
+           CASE WHEN list_aggregate(s, 'max') > 0
+                THEN ([{lang_list}])[list_position(s, list_aggregate(s, 'max'))]
+                ELSE 'und' END AS detected_lang,
+           list_aggregate(s, 'max') AS score
+    FROM scored
+    """
+
+
+@query("doc_langid", _langid_oracle_sql())
+def doc_langid(spark, sf_dir):
+    """Language-ID heuristic per document: stopword-occurrence argmax
+    (SURVEY extension — the corpus's ``lang`` column is a producer
+    label; this operator computes one from the text itself). Both
+    engines score from the same lists via _langid_oracle_sql."""
+    from ..functions.text import language_score_col
+
+    d = t(spark, sf_dir, "documents")
+    scores = F.array(
+        *[language_score_col("text", words) for words in STOPWORDS.values()]
+    )
+    return d.select(
+        "doc_id",
+        language_id_col("text").alias("detected_lang"),
+        F.array_max(scores).alias("score"),
+    )
 
 
 @query(

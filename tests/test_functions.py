@@ -119,3 +119,19 @@ def test_validate_ticks_each_constraint(spark):
     df = spark.createDataFrame([Row(**good), Row(**sentinel_ok)] + [Row(**b) for b in bad])
     kept = validate_ticks(df).collect()
     assert len(kept) == 2
+
+
+def test_language_id_discriminates_real_sentences(spark):
+    from bda_spark.functions.text import language_id_col
+
+    rows = [
+        ("en", "the cat sat on the mat and it was happy to be in the sun"),
+        ("de", "der hund ist nicht mit der katze und das ist ein problem"),
+        ("es", "el perro y el gato en la casa es un animal que come"),
+        ("fr", "le chien est dans la maison et les chats pour une heure"),
+        ("und", "xyzzy plugh quux"),
+    ]
+    df = spark.createDataFrame(rows, "expected string, text string")
+    out = df.select("expected", language_id_col("text").alias("got")).collect()
+    for r in out:
+        assert r.got == r.expected, f"{r.expected}: got {r.got}"
