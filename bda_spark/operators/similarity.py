@@ -67,7 +67,15 @@ def _candidates(
     anti_reflexive: bool,
 ) -> DataFrame:
     """Band-bucket join of two keyed embedding frames -> distinct
-    (id_a, id_b) candidate pairs (id_a < id_b when self-joining)."""
+    (id_a, id_b) candidate pairs (id_a < id_b when self-joining).
+
+    The signature UDF evaluates once per join side (a self-join scans
+    the corpus twice). That is deliberate: the matmul is a narrow,
+    shuffle-free map — recomputing it costs one extra scan, while
+    persisting the exploded (id, band_key) frame (b rows per vector)
+    would cost cluster memory/disk proportional to b x corpus. At
+    100 TB prefer the recompute; cache() the keyed frame only when the
+    corpus already fits the storage tier."""
     udf = simhash_band_udf(dim, band_rows, num_bands, seed)
 
     def keyed(df: DataFrame, side: str) -> DataFrame:

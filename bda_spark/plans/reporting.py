@@ -122,11 +122,12 @@ def report_rmse_naive(spark, sf_dir):
 def report_corr_matrix(spark, sf_dir):
     """Correlation-matrix panel in long form: every stream pair's
     Pearson corr over co-occurring 1-hour buckets (ref app_2 NEW with
-    joined.py:450-462 corr matrices; functions.stats.pearson grouped
-    form). Pairs with <10 common buckets or undefined corr are dropped
-    on BOTH engines (Spark yields NaN, DuckDB NULL — filtered alike)."""
-    from ..functions.stats import pearson
-
+    joined.py:450-462 corr matrices; the grouped-Pearson expression of
+    functions.stats.pearson fused with the bucket count into ONE
+    aggregation pass — two passes would scan events twice more for no
+    reason). Pairs with <10 common buckets or undefined corr are
+    dropped on BOTH engines (Spark yields NaN, DuckDB NULL — filtered
+    alike)."""
     register_reporting_views(spark, sf_dir)
     b = spark.sql(
         """
@@ -148,10 +149,12 @@ def report_corr_matrix(spark, sf_dir):
             F.col("c.v").alias("vb"),
         )
     )
-    corr = pearson(pairs, "va", "vb", by=["type_a", "type_b"])
-    counts = pairs.groupBy("type_a", "type_b").agg(F.count("*").alias("n_buckets"))
     return (
-        corr.join(counts, ["type_a", "type_b"])
+        pairs.groupBy("type_a", "type_b")
+        .agg(
+            F.corr("va", "vb").alias("correlation"),
+            F.count("*").alias("n_buckets"),
+        )
         .filter(
             (F.col("n_buckets") >= 10)
             & F.col("correlation").isNotNull()
