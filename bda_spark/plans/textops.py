@@ -159,6 +159,103 @@ def doc_quality_scores(spark, sf_dir):
 
 
 @query(
+    "regex_token_stats",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+'))
+             AS n_bpe_tokens,
+           len(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS n_ws_tokens
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def regex_token_stats(spark, sf_dir):
+    """BPE-ish token counting: the GPT-2-style pre-tokenizer shape
+    (letter runs | digit runs | punctuation runs) as one JVM-side
+    regexp_extract_all, next to the whitespace count — the
+    tokens-per-doc statistics a training-data pipeline budgets by."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    bpe = F.regexp_extract_all(
+        F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]+"), 0
+    )
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(ws).alias("n_ws_tokens"),
+    )
+
+
+# 31-ary polynomial over character codes mod 2^31-1 — the classic
+# Rabin-Karp rolling hash; products stay < 2^36 so 64-bit arithmetic
+# never overflows, and both engines fold left with identical mod steps.
+_RH_MOD = (1 << 31) - 1
+
+
+@query(
+    "doc_rolling_fingerprints",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_transform(
+               list_filter(string_split(text, ''), x -> x <> ''),
+               x -> CAST(ascii(x) AS BIGINT)),
+             (a, b) -> (a * 31 + b) % {_RH_MOD}) AS fingerprint,
+           length(text) AS n_chars_measured
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def doc_rolling_fingerprints(spark, sf_dir):
+    """Rolling-hash document fingerprint (Rabin-Karp polynomial) — the
+    streaming-friendly alternative to the md5 digest in
+    doc_fingerprints: updatable per character, so chunked documents
+    fingerprint without re-reading the prefix."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    chars = F.filter(F.split("text", ""), lambda x: x != "")
+    rh = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + F.ascii(x)) % _RH_MOD,
+    )
+    return d.select(
+        "doc_id",
+        rh.alias("fingerprint"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+@query(
+    "doc_stopword_quality",
+    f"""
+    SELECT doc_id,
+           round(CAST(len(list_filter(string_split(lower(text), ' '),
+                       x -> list_contains([{", ".join(f"'{w}'" for w in STOPWORDS["en"])}], x)))
+                      AS DOUBLE)
+                 / greatest(len(list_filter(string_split(text, ' '),
+                                            x -> x <> '')), 1), 6)
+             AS stopword_ratio
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def doc_stopword_quality(spark, sf_dir):
+    """Stopword-ratio quality signal (Gopher-style filter: natural
+    language carries function words; keyword-stuffed or non-linguistic
+    text doesn't). Numerator is functions.text.language_score_col over
+    the English list — the same expression language-ID scores with."""
+    from ..functions.text import STOPWORDS, language_score_col
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        r6(
+            language_score_col("text", STOPWORDS["en"]).cast("double")
+            / F.greatest(F.size(ws), F.lit(1))
+        ).alias("stopword_ratio"),
+    )
+
+
+@query(
     "exact_dedup_keyset",
     """
     SELECT user_id, event_type,

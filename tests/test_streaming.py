@@ -212,3 +212,56 @@ def test_correlation_pipeline(spark, tick_dir, tmp_path_factory):
     assert row.eth_ask == pytest.approx(0.5 * 114.5 + 7.0)
     assert row.window_start_ts == BASE_MS
     assert row.window_end_ts == BASE_MS + (N_TICKS - 1) * 60_000
+
+
+# ------------------------------------------------------- late data (T6)
+def test_watermark_drops_late_data(spark, tmp_path_factory):
+    """T6: a record older than the watermark arriving in a later
+    micro-batch is excluded from its (already-finalized) window. Two
+    sequential AvailableNow runs share one checkpoint, so the watermark
+    advanced by run 1 (persisted in the checkpoint) gates run 2's late
+    tick — the deterministic replay form of continuous late arrival."""
+    from bda_spark.streaming.pipeline import normalize_ticks, windowed_features
+
+    d = tmp_path_factory.mktemp("late")
+    feature_cols = ["volume", "volatility", "market_sentiment",
+                    "trading_activity", "price"]
+
+    src, out = d / "src", str(d / "windows_out")
+    src.mkdir()
+
+    def run_once():
+        ticks = file_replay_tick_stream(spark, str(src))
+        windowed = windowed_features(
+            normalize_ticks(ticks, "BP", feature_cols),
+            feature_cols, window="10 minutes", watermark="5 minutes",
+        )
+        q = (
+            windowed.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", str(d / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+
+    with open(src / "a_ontime.jsonl", "w") as f:
+        for i in range(30):  # minutes 0..29 -> watermark ends at 24 min
+            f.write(json.dumps(_bp_tick(i)) + "\n")
+    run_once()
+
+    with open(src / "b_late.jsonl", "w") as f:
+        f.write(json.dumps(_bp_tick(2)) + "\n")   # late: before the watermark
+        f.write(json.dumps(_bp_tick(35)) + "\n")  # on time: advances watermark
+    run_once()
+
+    rows = {
+        r.window_start.minute: r for r in spark.read.parquet(out).collect()
+    }
+    # window [0,10): finalized with ticks 0..9 only; the late tick
+    # (price 102) would have shifted the average had it been admitted
+    assert rows[0].label == pytest.approx(104.5)
+    # the on-time tick's window [30,40) exists in state (emitted once a
+    # later watermark passes it; not yet here), while [10,20) is final
+    assert rows[10].label == pytest.approx(114.5)
