@@ -47,20 +47,66 @@ def pearson(df: DataFrame, x: str, y: str, by: list[str] | None = None) -> DataF
     return df.agg(F.corr(x, y).alias("correlation"))
 
 
-def avg_ranks(df: DataFrame, col: str, out: str = "avg_rank") -> DataFrame:
+def avg_ranks(
+    df: DataFrame, col: str, out: str = "avg_rank", num_ranges: int = 32
+) -> DataFrame:
     """Average (tie-adjusted) rank per distinct value of ``col``.
 
     avg_rank(v) = #{x < v} + (count(v)+1)/2 — exactly the mean of the
-    row_numbers inside v's tie group, but computed from the distinct-value
-    histogram (groupBy + windowed cumsum), so the only ordered window runs
-    over distinct values, not the full table. That replaces the
-    partitionless full-table ``Window.orderBy`` (one task holding every
-    row) with a hash-shuffle histogram: the 100 TB-safe shape.
+    row_numbers inside v's tie group, computed WITHOUT any global sort:
+
+    1. histogram: groupBy(col) -> per-value counts (hash shuffle)
+    2. range-partition the histogram on col (``repartitionByRange``
+       assigns ascending value ranges to ascending partition ids)
+    3. local cumsum inside each range partition — the ordered window is
+       ``partitionBy(pid)``, so every task sorts only its own range
+    4. cross-partition offsets from the per-partition totals — a
+       ``num_ranges``-row frame, cumsummed and broadcast-joined back
+
+    No partitionless window ever sees more than (distinct values /
+    num_ranges) rows, which holds even for continuous columns where the
+    histogram is as large as the table — the shape the dashboard's
+    Spearman needs at 100 TB.
+
+    Bucket boundaries come from ``approxQuantile`` (not
+    ``repartitionByRange``, whose sampled boundaries are not guaranteed
+    identical across the two plan branches that reuse the histogram) —
+    the bucket is then a pure deterministic expression of the value, so
+    every copy of a value lands in exactly one bucket.
     """
-    counts = df.groupBy(col).agg(F.count("*").alias("cnt"))
-    w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
-    cum_before = F.coalesce(F.sum("cnt").over(w), F.lit(0))
-    return counts.select(col, (cum_before + (F.col("cnt") + 1) / 2.0).alias(out))
+    probs = [i / num_ranges for i in range(1, num_ranges)]
+    bounds = sorted(set(df.stat.approxQuantile(col, probs, 0.001)))
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col(col) > F.lit(b)).cast("int")
+    counts = (
+        df.groupBy(col)
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("_pid", bucket)
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_before = F.coalesce(F.sum("cnt").over(w_local), F.lit(0))
+    # tiny frame: one row per range partition; its ordered window is
+    # bounded by num_ranges rows regardless of data size
+    totals = counts.groupBy("_pid").agg(F.sum("cnt").alias("_total"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_total").over(w_off), F.lit(0)).alias("_offset")
+    )
+    return (
+        counts.withColumn("_local_before", local_before)
+        .join(F.broadcast(offsets), "_pid")
+        .select(
+            col,
+            (
+                F.col("_offset") + F.col("_local_before") + (F.col("cnt") + 1) / 2.0
+            ).alias(out),
+        )
+    )
 
 
 def spearman(df: DataFrame, x: str, y: str) -> DataFrame:

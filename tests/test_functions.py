@@ -135,3 +135,47 @@ def test_language_id_discriminates_real_sentences(spark):
     out = df.select("expected", language_id_col("text").alias("got")).collect()
     for r in out:
         assert r.got == r.expected, f"{r.expected}: got {r.got}"
+
+
+def test_avg_ranks_and_spearman_match_scipy_convention(spark):
+    """Tie-adjusted average ranks on a continuous column with planted
+    ties, against hand-computed scipy-style rankdata expectations."""
+    import numpy as np
+
+    from bda_spark.functions.stats import avg_ranks, spearman
+
+    rng = np.random.default_rng(5)
+    xs = list(rng.standard_normal(200)) + [0.5, 0.5, 0.5]  # planted ties
+    ys = [2 * x + float(e) for x, e in zip(xs, rng.standard_normal(203) * 0.1)]
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(xs, ys)], "x double, y double"
+    )
+
+    def rankdata(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            avg = (i + j + 1) / 2.0  # mean of 1-based positions i+1..j
+            for k in order[i:j]:
+                ranks[k] = avg
+            i = j
+        return ranks
+
+    got = {r.x: r.avg_rank for r in avg_ranks(df, "x", num_ranges=8).collect()}
+    want = dict(zip(xs, rankdata(xs)))
+    assert len(got) == len(set(xs))
+    for v, rk in want.items():
+        assert got[v] == pytest.approx(rk), f"value {v}"
+
+    rx, ry = rankdata(xs), rankdata(ys)
+    mx, my = sum(rx) / len(rx), sum(ry) / len(ry)
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = (sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)) ** 0.5
+    expected = num / den
+    assert spearman(df, "x", "y").collect()[0].spearman == pytest.approx(
+        expected, abs=1e-9
+    )
