@@ -82,6 +82,32 @@ def simhash_neardup_pairs_q(spark, sf_dir):
 
 
 @query(
+    "simhash_neardup_strict",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS_SQL}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.9
+    ORDER BY id_a, id_b
+    """,
+)
+def simhash_neardup_strict_q(spark, sf_dir):
+    """SimHash near-dup at the REALISTIC semantic-dedup threshold
+    (0.9, r=16): here banding prunes hard (random-pair candidate rate
+    0.5^16 * b ~ 0.1%), so this is the plan shape that runs at 100 TB —
+    the bench's scale-path entry. The synthetic corpus has no pairs
+    above 0.60, so both engines return empty; end-to-end recall at a
+    populated threshold is proven by the simhash_neardup_pairs entry
+    (0.45, a deliberately weak-signal regime where LSH degenerates to
+    near-all-pairs — see operators.similarity docstring)."""
+    e = t(spark, sf_dir, "embeddings")
+    pairs = simhash_neardup_pairs(e, threshold=0.9, band_rows=16, num_bands=64)
+    return pairs.select(
+        "id_a", "id_b", r6(F.col("cosine")).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
+@query(
     "cosine_topk_bucketed",
     f"""
     WITH sims AS (

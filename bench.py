@@ -46,6 +46,16 @@ HEADLINE = [
     "exact_dedup_keyset",
     "ngram_jaccard_pairs",
     "cosine_topk",
+    # round-2 surface: bucketed near-dup/ANN scale paths, interpolation,
+    # reporting views, language ID, multimodal decode
+    "minhash_neardup_pairs",
+    "simhash_neardup_strict",
+    "cosine_topk_bucketed",
+    "events_interpolate_1h",
+    "events_spearman",
+    "report_corr_matrix",
+    "doc_langid",
+    "media_image_features",
 ]
 
 
