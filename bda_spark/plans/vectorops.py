@@ -112,7 +112,9 @@ def embedding_neardup_pairs(spark, sf_dir):
     oracle; the scale path buckets by random-hyperplane sign (SimHash)
     first — bda_spark.operators.similarity.simhash_neardup_pairs,
     registered as the simhash_neardup_pairs query with this same SQL
-    as its oracle."""
+    as its oracle. No broadcast hint: AQE broadcasts at test sizes on
+    its own, and on a corpus too big for that a hint would OOM the
+    driver instead of degrading to a (still-all-pairs) sort-merge."""
     e = t(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     a = e.select(
@@ -123,7 +125,7 @@ def embedding_neardup_pairs(spark, sf_dir):
     )
     sim = dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cosine_raw", sim)
         .filter(F.col("cosine_raw") >= 0.45)
         .select("id_a", "id_b", r6(F.col("cosine_raw")).alias("cosine"))
