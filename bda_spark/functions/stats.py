@@ -73,7 +73,13 @@ def avg_ranks(
     identical across the two plan branches that reuse the histogram) —
     the bucket is then a pure deterministic expression of the value, so
     every copy of a value lands in exactly one bucket.
+
+    Null rows are excluded up front (standard rank semantics: nulls are
+    unranked); without the filter they'd land in the first bucket's
+    cumsum and shift every offset while the null value itself dropped
+    out of the join back.
     """
+    df = df.where(F.col(col).isNotNull())
     probs = [i / num_ranges for i in range(1, num_ranges)]
     bounds = sorted(set(df.stat.approxQuantile(col, probs, 0.001)))
     bucket = F.lit(0)

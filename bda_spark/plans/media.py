@@ -67,25 +67,52 @@ def media_image_features(spark, sf_dir):
     )
 
 
-@query("media_video_frame_sample", None)  # mapInPandas byte-slicer: rows-only
+_FRAME = _W * _H  # bytes per 1-channel frame
+
+
+@query(
+    "media_video_frame_sample",
+    f"""
+    SELECT doc_id AS media_id, CAST(0 AS INTEGER) AS frame_idx,
+           md5(substring(text, 1, {_FRAME})) AS frame_md5,
+           CAST({_FRAME} AS INTEGER) AS frame_bytes
+    FROM documents WHERE length(text) >= {3 * _FRAME}
+    UNION ALL
+    SELECT doc_id, CAST(2 AS INTEGER),
+           md5(substring(text, {2 * _FRAME + 1}, {_FRAME})),
+           CAST({_FRAME} AS INTEGER)
+    FROM documents WHERE length(text) >= {3 * _FRAME}
+    """,
+)
 def media_video_frame_sample(spark, sf_dir):
-    """Frame sampling over synthesized 2-frame rgb8 video payloads
-    (first 2*_W*_H bytes of each long document); non-SQL-expressible,
-    covered exactly by tests/test_multimodal.py byte-level cases."""
+    """Every-2nd-frame sampling over synthesized 3-frame rgb8 video
+    payloads (first 3*_FRAME bytes of each long document): frames 0 and
+    2 survive, frame 1 is skipped — the stride logic is what the oracle
+    checks. Because the corpus is ASCII, DuckDB recomputes each sampled
+    frame from the matching substring and both engines compare md5 of
+    the frame bytes (the image query's ASCII-bytes trick applied to the
+    video path; byte-level slicing is additionally pinned by
+    tests/test_multimodal.py)."""
     from ..operators.multimodal import sample_video_frames
 
-    d = t(spark, sf_dir, "documents").filter(F.length("text") >= 2 * _W * _H)
+    d = t(spark, sf_dir, "documents").filter(F.length("text") >= 3 * _FRAME)
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.lit("video").alias("kind"),
-        F.substring("text", 1, 2 * _W * _H).cast("binary").alias("payload"),
+        F.substring("text", 1, 3 * _FRAME).cast("binary").alias("payload"),
         F.struct(
             F.lit(RAW_VIDEO_FORMAT).alias("format"),
             F.lit(_W).cast("int").alias("width"),
             F.lit(_H).cast("int").alias("height"),
             F.lit(1).cast("int").alias("channels"),
             F.lit(0).cast("int").alias("sample_rate"),
-            F.lit(2).cast("int").alias("n_frames"),
+            F.lit(3).cast("int").alias("n_frames"),
         ).alias("meta"),
     )
-    return sample_video_frames(media, every_n=2)
+    frames = sample_video_frames(media, every_n=2)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").alias("frame_bytes"),
+    )

@@ -387,22 +387,29 @@ def conditional_repair(spark, sf_dir):
     SELECT o_orderpriority, count(*) AS n,
            round(sum(o_totalprice), 6) AS total
     FROM orders
-    WHERE o_orderdate >= current_date - INTERVAL 10500 DAY
+    WHERE o_orderdate >= (SELECT max(o_orderdate) - INTERVAL 300 DAY
+                          FROM orders)
     GROUP BY o_orderpriority
     """,
 )
 def orders_recent_window(spark, sf_dir):
-    """P6/F5: relative-date recency filter via date_sub(current_date(), n)
-    (ref EDA_silver.ipynb cell 11 'last 14 days'; n = 10500 lands the
-    cutoff mid-corpus, 1997-ish, so the filter genuinely prunes rows).
-    Both engines evaluate their own current_date at run time — the
-    driver runs them back-to-back, and order dates are midnight-aligned,
-    so the comparison is stable except across a UTC midnight boundary."""
+    """P6/F5: relative-date recency filter — "orders in the last 300
+    days" (ref EDA_silver.ipynb cell 11 'last 14 days'). The cutoff is
+    anchored to max(o_orderdate), the watermark of the data itself, not
+    wall-clock current_date: the r2 form compared Spark's UTC-pinned
+    current_date() against DuckDB's host-local one, which differ for
+    hours a day on non-UTC hosts. Anchoring makes the query a pure
+    function of its input — deterministic on any host, any time.
+
+    Plan shape: the anchor is a 1-row aggregate broadcast into the
+    filter (same two-pass shape a 100 TB run wants — the tiny max()
+    scan is column-pruned to one column; the literal-free predicate
+    costs the parquet min/max pushdown, the price of determinism)."""
     o = t(spark, sf_dir, "orders")
+    anchor = o.agg(F.date_sub(F.max("o_orderdate"), 300).alias("_cutoff"))
     return (
-        o.filter(
-            F.col("o_orderdate") >= F.date_sub(F.current_date(), 10500)
-        )
+        o.crossJoin(F.broadcast(anchor))
+        .filter(F.col("o_orderdate") >= F.col("_cutoff"))
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n"), r6(F.sum("o_totalprice")).alias("total"))
     )

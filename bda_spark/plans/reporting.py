@@ -29,11 +29,16 @@ def register_reporting_views(spark: SparkSession, sf_dir: str) -> None:
     view, like the reference's gold tables feeding dashboard pulls)."""
     t(spark, sf_dir, "events").createOrReplaceTempView("v_events")
     t(spark, sf_dir, "documents").createOrReplaceTempView("v_documents")
+    # total_micro: the daily total quantized to integer micro-units at the
+    # gold layer, so every rollup ABOVE the daily grain is exact bigint
+    # arithmetic — no floating summation-order flakiness in weekly/monthly
+    # panels regardless of partition count or engine.
     spark.sql(
         """
         CREATE OR REPLACE TEMPORARY VIEW v_daily_events AS
         SELECT to_date(ts) AS day, event_type,
-               count(*) AS n_events, sum(value) AS total_value
+               count(*) AS n_events, sum(value) AS total_value,
+               CAST(floor(sum(value) * 1000000 + 0.5) AS BIGINT) AS total_micro
         FROM v_events GROUP BY to_date(ts), event_type
         """
     )
@@ -43,10 +48,11 @@ def register_reporting_views(spark: SparkSession, sf_dir: str) -> None:
     "report_weekly_rollup",
     """
     SELECT CAST(date_trunc('week', day) AS DATE) AS week, event_type,
-           sum(n_events) AS n_events, round(sum(total_value), 6) AS total_value
+           sum(n_events) AS n_events, sum(total_micro) AS total_value_micro
     FROM (
       SELECT CAST(ts AS DATE) AS day, event_type,
-             count(*) AS n_events, sum(value) AS total_value
+             count(*) AS n_events,
+             CAST(floor(sum(value) * 1000000 + 0.5) AS BIGINT) AS total_micro
       FROM events GROUP BY 1, 2
     ) GROUP BY 1, 2
     """,
@@ -54,13 +60,20 @@ def register_reporting_views(spark: SparkSession, sf_dir: str) -> None:
 def report_weekly_rollup(spark, sf_dir):
     """Weekly KPI panel aggregating FROM the daily gold view — the
     view-over-view layering of the reference's gold tables feeding
-    dashboard pulls (ref app_2 NEW with joined.py:148-158)."""
+    dashboard pulls (ref app_2 NEW with joined.py:148-158).
+
+    The weekly total sums the daily INTEGER micro-unit totals, not the
+    raw doubles: the daily quantization is FP-stable (same guarantee as
+    events_daily_kpis' round-6), and everything above it is exact
+    bigint addition, so the panel can never drift with summation order
+    (the r2 hash flake was a round(sum(double),6) boundary in exactly
+    this rollup)."""
     register_reporting_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT CAST(date_trunc('week', day) AS DATE) AS week, event_type,
                sum(n_events) AS n_events,
-               round(sum(total_value), 6) AS total_value
+               sum(total_micro) AS total_value_micro
         FROM v_daily_events GROUP BY 1, 2
         """
     )

@@ -196,11 +196,13 @@ _RH_MOD = (1 << 31) - 1
     "doc_rolling_fingerprints",
     f"""
     SELECT doc_id,
-           list_reduce(
-             list_transform(
-               list_filter(string_split(text, ''), x -> x <> ''),
-               x -> CAST(ascii(x) AS BIGINT)),
-             (a, b) -> (a * 31 + b) % {_RH_MOD}) AS fingerprint,
+           CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+                ELSE list_reduce(
+                  list_transform(
+                    list_filter(string_split(text, ''), x -> x <> ''),
+                    x -> CAST(ascii(x) AS BIGINT)),
+                  (a, b) -> (a * 31 + b) % {_RH_MOD})
+           END AS fingerprint,
            length(text) AS n_chars_measured
     FROM documents WHERE doc_id < 50
     """,

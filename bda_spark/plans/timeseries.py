@@ -289,7 +289,7 @@ def events_spearman(spark, sf_dir):
 @query(
     "events_interpolate_1h",
     """
-    WITH buckets AS (
+    WITH RECURSIVE buckets AS (
       SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS grid_ts,
              round(avg(value), 6) AS v
       FROM events WHERE user_id <= 3 GROUP BY 1, 2
@@ -297,25 +297,32 @@ def events_spearman(spark, sf_dir):
       SELECT user_id, min(grid_ts) AS t0, max(grid_ts) AS t1
       FROM buckets GROUP BY user_id
     ), spine AS (
-      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL '1 hour')) AS grid_ts
-      FROM bounds
+      SELECT user_id, t0 AS grid_ts, t1 FROM bounds
+      UNION ALL
+      SELECT user_id, grid_ts + INTERVAL '1 hour', t1
+      FROM spine WHERE grid_ts < t1
     ), g AS (
       SELECT s.user_id, s.grid_ts, b.v
-      FROM spine s LEFT JOIN buckets b USING (user_id, grid_ts)
+      FROM spine s LEFT JOIN buckets b
+        ON s.user_id = b.user_id AND s.grid_ts = b.grid_ts
+    ), gi AS (
+      SELECT user_id, grid_ts, v,
+             count(v) OVER (PARTITION BY user_id ORDER BY grid_ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS grp_prev,
+             count(v) OVER (PARTITION BY user_id ORDER BY grid_ts DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS grp_next
+      FROM g
     ), filled AS (
       SELECT user_id, grid_ts, v,
-             last_value(v IGNORE NULLS) OVER w_prev AS pv,
-             last_value(CASE WHEN v IS NOT NULL THEN grid_ts END IGNORE NULLS)
-               OVER w_prev AS pt,
-             first_value(v IGNORE NULLS) OVER w_next AS nv,
-             first_value(CASE WHEN v IS NOT NULL THEN grid_ts END IGNORE NULLS)
-               OVER w_next AS nt
-      FROM g
-      WINDOW
-        w_prev AS (PARTITION BY user_id ORDER BY grid_ts
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        w_next AS (PARTITION BY user_id ORDER BY grid_ts
-                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             max(v) OVER (PARTITION BY user_id, grp_prev) AS pv,
+             max(CASE WHEN v IS NOT NULL THEN grid_ts END)
+               OVER (PARTITION BY user_id, grp_prev) AS pt,
+             max(v) OVER (PARTITION BY user_id, grp_next) AS nv,
+             min(CASE WHEN v IS NOT NULL THEN grid_ts END)
+               OVER (PARTITION BY user_id, grp_next) AS nt
+      FROM gi
     )
     SELECT user_id, grid_ts,
            CAST(floor((CASE WHEN v IS NOT NULL THEN v
@@ -336,7 +343,14 @@ def events_interpolate_1h(spark, sf_dir):
     engines, so the IEEE blend arithmetic is bit-identical; the output
     is scaled to integer micro-units with floor(v*1e6 + 0.5) — pure
     float ops — because decimal-string round() differs between engines
-    on exact-half values (Spark BigDecimal HALF_UP vs DuckDB float)."""
+    on exact-half values (Spark BigDecimal HALF_UP vs DuckDB float).
+
+    Oracle portability: the r2 driver harness died before recording
+    this row, so the oracle avoids every DuckDB-specific construct the
+    original used — the spine is a standard-SQL RECURSIVE CTE (not
+    unnest(generate_series(...))) and the carried neighbors come from
+    count() gaps-and-islands groups (not last_value(... IGNORE NULLS)).
+    """
     from ..operators.interpolation import grid_interpolate
 
     e = t(spark, sf_dir, "events").filter(F.col("user_id") <= 3)
@@ -352,11 +366,27 @@ def events_interpolate_1h(spark, sf_dir):
 @query(
     "events_asof_join",
     """
-    SELECT p.event_id, p.ts, p.value AS purchase_value,
-           c.value AS last_click_value
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-      ON p.user_id = c.user_id AND p.ts >= c.ts
+    WITH u AS (
+      SELECT event_id, ts, user_id, value AS purchase_value,
+             CAST(NULL AS DOUBLE) AS click_value,
+             1 AS is_probe, CAST(0 AS BIGINT) AS ord_id
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT CAST(NULL AS BIGINT), ts, user_id, CAST(NULL AS DOUBLE),
+             value, 0, event_id
+      FROM events WHERE event_type = 'click'
+    ), g AS (
+      SELECT *, count(click_value) OVER (
+               PARTITION BY user_id ORDER BY ts, is_probe, ord_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM u
+    ), f AS (
+      SELECT *, max(click_value) OVER (PARTITION BY user_id, grp)
+               AS last_click_value
+      FROM g
+    )
+    SELECT event_id, ts, purchase_value, last_click_value
+    FROM f WHERE is_probe = 1
     """,
 )
 def events_asof_join(spark, sf_dir):
@@ -366,27 +396,40 @@ def events_asof_join(spark, sf_dir):
 
     Spark-first: union both sides tagged, one window pass per user
     ordered by time carrying last(click) forward — no range join
-    explosion, single shuffle on user_id. DuckDB oracle uses native
-    ASOF JOIN.
+    explosion, single shuffle on user_id.
+
+    The oracle mirrors the SAME union + window algebra in conservative
+    standard SQL (count() gaps-and-islands for "last non-null", no
+    DuckDB ASOF JOIN extension, no IGNORE NULLS): the r2 driver harness
+    died before recording this row, so the oracle now uses only
+    constructs every DuckDB build parses. Ties are deterministic on both
+    engines: clicks order by event_id within an equal timestamp, and
+    clicks sort before probes (is_probe) so a same-ts click is visible.
     """
     e = t(spark, sf_dir, "events")
     p = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "ts", "user_id", F.col("value").alias("purchase_value")
     )
     c = e.filter(F.col("event_type") == "click").select(
-        "ts", "user_id", F.col("value").alias("click_value")
+        "ts", "user_id", F.col("value").alias("click_value"),
+        F.col("event_id").alias("ord_id"),
     )
-    unioned = p.withColumn("click_value", F.lit(None).cast("double")).unionByName(
-        c.withColumn("event_id", F.lit(None).cast("long")).withColumn(
-            "purchase_value", F.lit(None).cast("double")
+    unioned = (
+        p.withColumn("click_value", F.lit(None).cast("double"))
+        .withColumn("ord_id", F.lit(0).cast("long"))
+        .unionByName(
+            c.withColumn("event_id", F.lit(None).cast("long")).withColumn(
+                "purchase_value", F.lit(None).cast("double")
+            )
         )
     )
     # Clicks sort before purchases at identical ts (is_probe=0 first) so a
-    # same-timestamp click is visible to the purchase ("at or before").
+    # same-timestamp click is visible to the purchase ("at or before");
+    # among same-ts clicks the highest event_id wins (ord_id tiebreak).
     is_probe = F.col("purchase_value").isNotNull().cast("int")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", is_probe)
+        .orderBy("ts", is_probe, "ord_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(
