@@ -10,6 +10,7 @@ label-backfill stream in place of Cassandra read-modify-write
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def overwrite_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
@@ -40,44 +41,90 @@ def idempotent_merge_parquet(
     updates: DataFrame,
     path: str,
     keys: list[str],
+    partition_col: str | None = None,
 ) -> None:
     """Upsert-by-primary-key semantics over a parquet table.
 
     Equivalent of Cassandra's PK overwrite the reference relies on for
     label backfill: rows in ``updates`` replace existing rows with the
     same key; others are kept (a Delta/Iceberg MERGE on a real
-    deployment — the write amplification here is the price of plain
-    parquet; at 100 TB the table would be partitioned and only touched
-    partitions rewritten).
+    deployment).
 
-    Crash-safe by construction: the merged output is FULLY written to a
-    sibling temp directory before the live path is touched, then swapped
-    in with filesystem renames. The live table is never the input of an
-    in-flight job that overwrites it (a cache()-then-overwrite would
-    silently corrupt on cache eviction mid-write). Table existence is
-    checked via the filesystem — a transient read error on an existing
-    table propagates instead of being misread as "table absent" and
-    destroying it.
+    With ``partition_col`` set (a column of ``updates`` whose value
+    must be a stable function of the key — a key never moves between
+    partitions, which holds for time-bucketed layouts like
+    window/date), the table is laid out hive-partitioned on that
+    column and the merge is PARTITION-SCOPED: only the partitions
+    present in ``updates`` are read (partition-pruned scan), merged,
+    and swapped — untouched partitions are never rewritten, so write
+    amplification is bounded by the touched-partition volume, not the
+    table size. This is the 100 TB shape; the unpartitioned branch
+    below rewrites the whole table and is only for small tables.
+
+    Crash-safe by construction: merged output is FULLY written to a
+    sibling temp directory before the live path is touched, then
+    swapped in with per-partition (or whole-table) filesystem renames.
+    The live table is never the input of an in-flight job that
+    overwrites it. Table existence is checked via the filesystem — a
+    transient read error on an existing table propagates instead of
+    being misread as "table absent" and destroying it.
     """
     fs, target = _hadoop_path(spark, path)
     if not fs.exists(target):
-        updates.write.mode("overwrite").parquet(path)
+        writer = updates.write.mode("overwrite")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(path)
         return
-    existing = spark.read.parquet(path)
-    kept = existing.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
-    merged = kept.unionByName(updates)
 
     base = path.rstrip("/")
     tmp, old = base + "__merge_tmp", base + "__merge_old"
-    fs_tmp, tmp_p = _hadoop_path(spark, tmp)
-    fs_old, old_p = _hadoop_path(spark, old)
-    fs_tmp.delete(tmp_p, True)
-    fs_old.delete(old_p, True)
-    merged.write.mode("overwrite").parquet(tmp)  # fully materialized first
-    if not fs.rename(target, old_p):
-        raise IOError(f"merge swap failed: could not move {path} aside")
-    if not fs.rename(tmp_p, target):
-        # roll back so the table is never left missing
-        fs.rename(old_p, target)
-        raise IOError(f"merge swap failed: could not move {tmp} into place")
+    _, tmp_p = _hadoop_path(spark, tmp)
+    _, old_p = _hadoop_path(spark, old)
+    fs.delete(tmp_p, True)
+    fs.delete(old_p, True)
+
+    if partition_col is None:
+        existing = spark.read.parquet(path)
+        kept = existing.join(
+            updates.select(*keys).distinct(), on=keys, how="left_anti"
+        )
+        kept.unionByName(updates).write.mode("overwrite").parquet(tmp)
+        if not fs.rename(target, old_p):
+            raise IOError(f"merge swap failed: could not move {path} aside")
+        if not fs.rename(tmp_p, target):
+            # roll back so the table is never left missing
+            fs.rename(old_p, target)
+            raise IOError(f"merge swap failed: could not move {tmp} into place")
+        fs.delete(old_p, True)
+        return
+
+    # Partition-scoped branch: prune the existing scan to touched
+    # partitions only (a small driver-side list — one value per touched
+    # partition, NOT per row), merge, write the touched partitions to
+    # the temp dir, then swap each partition directory individually.
+    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    existing = spark.read.option("basePath", path).parquet(path).filter(
+        F.col(partition_col).isin(touched)
+    )
+    kept = existing.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
+    merged = kept.unionByName(updates.select(*existing.columns))
+    merged.write.partitionBy(partition_col).mode("overwrite").parquet(tmp)
+
+    jvm = spark._jvm
+    for st in fs.listStatus(tmp_p):
+        name = st.getPath().getName()
+        if not name.startswith(f"{partition_col}="):
+            continue  # _SUCCESS and friends
+        dest = jvm.org.apache.hadoop.fs.Path(target, name)
+        aside = jvm.org.apache.hadoop.fs.Path(old_p, name)
+        if fs.exists(dest):
+            fs.mkdirs(old_p)
+            if not fs.rename(dest, aside):
+                raise IOError(f"merge swap failed: could not move {dest} aside")
+        if not fs.rename(st.getPath(), dest):
+            if fs.exists(aside):
+                fs.rename(aside, dest)  # roll this partition back
+            raise IOError(f"merge swap failed: could not move {st.getPath()}")
+    fs.delete(tmp_p, True)
     fs.delete(old_p, True)

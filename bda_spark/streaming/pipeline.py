@@ -13,11 +13,16 @@ anti-patterns fixed per SURVEY §4:
   reference re-read it from disk every 1-second batch, ref :237);
   feature serialization is ``to_json(struct(...))`` — JVM-side — instead
   of the reference's row-at-a-time Python UDF (ref :244-248)
-- label backfiller: 10-min window avg of the actual price, joined
-  against the predictions table on the window bucket and upserted with
-  the crash-safe idempotent merge sink — no driver-side collect() loop
-  of per-window read-modify-writes (ref :301-325), and checkpointed
-  (the reference's label query wasn't, ref :328-332).
+- label backfiller: 10-min window avg of the actual price, upserted
+  into a SEPARATE small ``labels`` table keyed by (symbol, window) with
+  the crash-safe idempotent merge sink; the predictions table itself is
+  append-only and labels are joined on the window bucket AT READ TIME
+  (``predictions()``). No driver-side collect() loop of per-window
+  read-modify-writes (ref :301-325), checkpointed (the reference's
+  label query wasn't, ref :328-332) — and, because every table has
+  exactly ONE writer (predictor -> predictions/, backfiller ->
+  labels/), the three queries of ``start_all`` can run genuinely
+  concurrently with no append-vs-merge race on the predictions dir.
 
 Every query is checkpointed and driven either by
 ``Trigger.AvailableNow`` (tests: deterministic replay-to-completion) or
@@ -102,9 +107,12 @@ class TickPipeline:
     """One symbol's three-query continuous app over a decoded tick stream.
 
     Layout under ``work_dir``: models/, checkpoints/{agg,pred,labels}/,
-    predictions/ (the parquet stand-in for the reference's Cassandra
-    ``model_predictions_10m`` table, schema per schemas.PREDICTIONS_SCHEMA
-    minus the historical column).
+    predictions/ (append-only, hive-partitioned by ``pred_date`` so a
+    dashboard scan of recent days partition-prunes; the parquet
+    stand-in for the reference's Cassandra ``model_predictions_10m``
+    table, schema per schemas.PREDICTIONS_SCHEMA minus the historical
+    column), labels/ (tiny: one row per (symbol, window), upserted by
+    the backfiller alone).
     """
 
     def __init__(
@@ -129,6 +137,7 @@ class TickPipeline:
         self.work_dir = work_dir
         self.models_dir = os.path.join(work_dir, "models")
         self.predictions_path = os.path.join(work_dir, "predictions")
+        self.labels_path = os.path.join(work_dir, "labels")
         self.checkpoints = {
             q: os.path.join(work_dir, "checkpoints", q) for q in ("agg", "pred", "labels")
         }
@@ -194,40 +203,36 @@ class TickPipeline:
             ),
             F.col("prediction_streaming").alias("prediction"),
             "prediction_historical",
-            F.lit(None).cast("double").alias("label"),
+            F.to_date("event_time").alias("pred_date"),
         )
-        out.write.mode("append").parquet(self.predictions_path)
+        out.write.mode("append").partitionBy("pred_date").parquet(
+            self.predictions_path
+        )
 
     # --------------------------------------------------- label backfill
     def _backfill_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """T7/T10: per-window avg actual price -> bucket equi-join against
-        the predictions table -> idempotent key merge. One distributed
-        join replaces the reference's collect() loop of per-window
-        Cassandra read-modify-writes (ref :301-325)."""
+        """T7/T10: per-window avg actual price -> idempotent key merge
+        into the tiny ``labels`` table (one row per window; rewriting it
+        costs nothing and the backfiller is its only writer, so there is
+        no concurrent-append race). The labels meet the predictions via
+        the bucket equi-join in ``predictions()`` — one distributed join
+        at read time replaces the reference's collect() loop of
+        per-window Cassandra read-modify-writes (ref :301-325) AND the
+        in-place rewrite of the big predictions table."""
         if batch_df.isEmpty():
             return
         window_labels = (
             batch_df.groupBy(F.window("event_time", self.window).alias("w"))
             .agg(F.avg("label").alias("actual_price"))
-            .select(F.col("w.start").alias("window_start"), "actual_price")
-        )
-        try:
-            preds = self.spark.read.parquet(self.predictions_path)
-        except Exception:
-            return  # no predictions yet — nothing to label
-        bucketed = (
-            preds.filter(F.col("symbol") == self.symbol)
-            .withColumn("w", F.window("event_time", self.window))
-            .withColumn("window_start", F.col("w.start"))
-            .drop("w")
-        )
-        updated = (
-            bucketed.join(F.broadcast(window_labels), "window_start")
-            .withColumn("label", F.col("actual_price"))
-            .drop("actual_price", "window_start")
+            .select(
+                F.lit(self.symbol).alias("symbol"),
+                F.col("w.start").alias("window_start"),
+                "actual_price",
+            )
         )
         idempotent_merge_parquet(
-            self.spark, updated, self.predictions_path, keys=["symbol", "timestamp"]
+            self.spark, window_labels, self.labels_path,
+            keys=["symbol", "window_start"],
         )
 
     # ------------------------------------------------------------ start
@@ -278,15 +283,54 @@ class TickPipeline:
             q = starter(available_now=True)
             q.awaitTermination()
 
-    def start_all(self, processing_time_triggers: bool = True) -> list:
+    def start_all(
+        self,
+        processing_time_triggers: bool = True,
+        triggers: dict[str, str] | None = None,
+    ) -> list:
         """T8: the production multi-query app; caller awaits via
-        spark.streams.awaitAnyTermination() (reference: :334)."""
-        kwargs = {"available_now": not processing_time_triggers}
+        spark.streams.awaitAnyTermination() (reference: :334).
+
+        Concurrency-safe: the three queries write disjoint locations
+        (models/ vs predictions/ appends vs labels/ merges), so none of
+        them can clobber another's in-flight output. ``triggers``
+        overrides the per-query processingTime cadence (production
+        defaults mirror the reference: 10 min / 1 s / 10 min)."""
+        t = {"trainer": "10 minutes", "predictor": "1 second",
+             "backfiller": "10 minutes"}
+        if triggers:
+            t.update(triggers)
+        available_now = not processing_time_triggers
         return [
-            self.start_trainer(**kwargs),
-            self.start_predictor(**kwargs),
-            self.start_label_backfiller(**kwargs),
+            self.start_trainer(available_now, t["trainer"]),
+            self.start_predictor(available_now, t["predictor"]),
+            self.start_label_backfiller(available_now, t["backfiller"]),
         ]
 
     def predictions(self) -> DataFrame:
-        return self.spark.read.parquet(self.predictions_path)
+        """The labeled predictions view: append-only predictions bucket
+        equi-joined with the labels table (broadcast — one row per
+        window). Label-less windows read as NULL, exactly like the
+        reference's Cassandra rows before their backfill write.
+
+        Existence of the labels table is decided by the FILESYSTEM, not
+        by catching read errors: a corrupt or unreadable labels table
+        raises instead of silently reading as 'nothing labeled yet'
+        (the bare-except hazard the merge sink also guards against)."""
+        from ..sources.sinks import _hadoop_path
+
+        preds = self.spark.read.parquet(self.predictions_path)
+        fs, labels_p = _hadoop_path(self.spark, self.labels_path)
+        if not fs.exists(labels_p):
+            return preds.withColumn("label", F.lit(None).cast("double"))
+        labels = self.spark.read.parquet(self.labels_path)
+        bucketed = preds.withColumn(
+            "window_start", F.window("event_time", self.window)["start"]
+        )
+        return (
+            bucketed.join(
+                F.broadcast(labels), ["symbol", "window_start"], "left"
+            )
+            .withColumn("label", F.col("actual_price"))
+            .drop("actual_price", "window_start")
+        )

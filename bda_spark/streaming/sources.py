@@ -69,7 +69,11 @@ def file_replay_tick_stream(
     return decode_ticks(reader.text(directory))
 
 
-def console_sink(df: DataFrame, mode: str = "append"):
+def console_sink(df: DataFrame, mode: str = "append", available_now: bool = False):
     """S8: debug console sink (reference: stream_preprocessing.ipynb
-    cells 5,8)."""
-    return df.writeStream.outputMode(mode).format("console").start()
+    cells 5,8). ``available_now=True`` drains the source once and stops
+    (deterministic debugging replay)."""
+    writer = df.writeStream.outputMode(mode).format("console")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -68,6 +68,52 @@ def test_merge_unreadable_table_raises_not_destroys(spark, tmp_path):
     assert os.path.exists(junk)
 
 
+def _prows(spark, data):
+    return spark.createDataFrame(
+        [Row(k=k, v=v, d=d) for k, v, d in data], "k int, v string, d int"
+    )
+
+
+def _partition_bytes(path: str, part: str) -> list[tuple[str, bytes]]:
+    pdir = os.path.join(path, part)
+    return [
+        (f, open(os.path.join(pdir, f), "rb").read())
+        for f in sorted(os.listdir(pdir))
+        if not f.startswith((".", "_"))
+    ]
+
+
+def test_partitioned_merge_touches_only_updated_partitions(spark, tmp_path):
+    """The partition-scoped merge must leave untouched partitions
+    byte-identical (no whole-table write amplification) while upserting
+    into touched ones and creating new ones."""
+    p = str(tmp_path / "t")
+    idempotent_merge_parquet(
+        spark, _prows(spark, [(1, "a", 1), (2, "b", 2), (3, "c", 3)]),
+        p, ["k"], partition_col="d",
+    )
+    before_d1 = _partition_bytes(p, "d=1")
+    assert before_d1  # the layout really is hive-partitioned
+    # update k=2 (in d=2), insert k=4 into brand-new d=4; d=1/d=3 untouched
+    idempotent_merge_parquet(
+        spark, _prows(spark, [(2, "B", 2), (4, "x", 4)]),
+        p, ["k"], partition_col="d",
+    )
+    assert _partition_bytes(p, "d=1") == before_d1
+    got = {(r.k, r.v, r.d) for r in spark.read.parquet(p).collect()}
+    assert got == {(1, "a", 1), (2, "B", 2), (3, "c", 3), (4, "x", 4)}
+    # idempotent: replaying the same updates changes nothing, and the
+    # untouched partition is STILL byte-identical
+    idempotent_merge_parquet(
+        spark, _prows(spark, [(2, "B", 2), (4, "x", 4)]),
+        p, ["k"], partition_col="d",
+    )
+    assert _partition_bytes(p, "d=1") == before_d1
+    assert {(r.k, r.v, r.d) for r in spark.read.parquet(p).collect()} == got
+    # no merge temp/aside dirs left behind
+    assert os.listdir(tmp_path) == ["t"]
+
+
 def test_json_land_and_read_roundtrip(spark, tmp_path):
     """S11 both sides: land articles as JSON-lines, re-read with the
     explicit scraper schema — types and nulls survive."""

@@ -7,6 +7,8 @@ correlation join are asserted against hand-computed expectations."""
 from __future__ import annotations
 
 import json
+import os
+import time
 
 import pytest
 
@@ -16,6 +18,7 @@ from bda_spark.streaming import (
     TickPipeline,
     file_replay_tick_stream,
 )
+from bda_spark.streaming.sources import console_sink
 
 BASE_MS = 1704067200000  # 2024-01-01T00:00:00Z
 N_TICKS = 30  # one per minute -> three 10-minute windows
@@ -265,3 +268,107 @@ def test_watermark_drops_late_data(spark, tmp_path_factory):
     # the on-time tick's window [30,40) exists in state (emitted once a
     # later watermark passes it; not yet here), while [10,20) is final
     assert rows[10].label == pytest.approx(114.5)
+
+
+# ------------------------------------------- error surfacing (not skipping)
+def test_unreadable_labels_table_raises_not_skips(spark, tick_dir, tmp_path_factory):
+    """An existing-but-unreadable labels table must RAISE from the
+    labeled view, not silently read as 'nothing labeled yet' (the
+    bare-except hazard class: existence is a filesystem question, read
+    errors are real errors)."""
+    work = str(tmp_path_factory.mktemp("corrupt_labels"))
+    ticks = file_replay_tick_stream(spark, tick_dir)
+    pipe = TickPipeline(spark, ticks, "BP", work)
+    _drain(pipe.start_trainer(available_now=True))
+    _drain(pipe.start_predictor(available_now=True))
+    assert all(r.label is None for r in pipe.predictions().collect())
+    os.makedirs(pipe.labels_path)
+    junk = os.path.join(pipe.labels_path, "part-00000.parquet")
+    with open(junk, "w") as f:
+        f.write("not parquet")
+    with pytest.raises(Exception):
+        pipe.predictions().collect()
+    assert os.path.exists(junk)  # nothing was destroyed
+
+
+# ------------------------------------------------- concurrent start_all (T8)
+def test_start_all_concurrent_growing_source(spark, tmp_path_factory):
+    """T8 production mode: all three queries live AT ONCE against a
+    growing file source (reference NEW_train_offset_3_10min.py:334).
+    The sinks are disjoint (models/ vs predictions/ appends vs labels/
+    merges), so no append is lost to a concurrent rewrite — every tick
+    must surface exactly once in the labeled view, with its window's
+    label."""
+    d = tmp_path_factory.mktemp("concurrent")
+    src = d / "src"
+    src.mkdir()
+    with open(src / "t0.jsonl", "w") as f:
+        for i in range(10):
+            f.write(json.dumps(_bp_tick(i)) + "\n")
+    ticks = file_replay_tick_stream(spark, str(src))
+    pipe = TickPipeline(spark, ticks, "BP", str(d / "work"))
+    # warm-start: publish a model before going live, so the concurrent
+    # predictor never consumes ticks it cannot yet score
+    _drain(pipe.start_trainer(available_now=True))
+    queries = pipe.start_all(
+        triggers={"trainer": "1 second", "predictor": "1 second",
+                  "backfiller": "1 second"}
+    )
+    try:
+        for batch in (1, 2):  # grow the source while all three run
+            with open(src / f"t{batch}.jsonl", "w") as f:
+                for i in range(batch * 10, batch * 10 + 10):
+                    f.write(json.dumps(_bp_tick(i)) + "\n")
+            time.sleep(2)
+        deadline = time.time() + 90
+        done = False
+        while not done and time.time() < deadline:
+            try:
+                rows = pipe.predictions().collect()
+                done = len(rows) == N_TICKS and all(
+                    r.label is not None for r in rows
+                )
+            except Exception:
+                pass  # predictions dir not created yet — keep polling
+            if not done:
+                time.sleep(2)
+    finally:
+        for q in queries:
+            q.stop()
+        for q in queries:
+            q.awaitTermination()
+    rows = pipe.predictions().collect()
+    assert len(rows) == N_TICKS  # nothing lost, nothing duplicated
+    expected = {0: 104.5, 1: 114.5, 2: 124.5}
+    for r in rows:
+        widx = (r.timestamp - BASE_MS) // (10 * 60_000)
+        assert r.label == pytest.approx(expected[widx])
+
+
+# --------------------------------------------------- rate-limited replay (T9)
+def test_rate_limited_replay(spark, tick_dir, tmp_path):
+    """T9: maxFilesPerTrigger=1 paces the replay to one file per
+    micro-batch (the file-source twin of Kafka maxOffsetsPerTrigger) —
+    three fixture files must arrive as three separate batches."""
+    ticks = file_replay_tick_stream(spark, tick_dir, max_files_per_trigger=1)
+    sizes = []
+    q = (
+        ticks.writeStream.foreachBatch(
+            lambda df, _bid: sizes.append(df.count())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    assert sorted(s for s in sizes if s) == [2, N_TICKS, N_TICKS]
+    assert len([s for s in sizes if s]) == 3
+
+
+# ------------------------------------------------------- console sink (S8)
+def test_console_sink_smoke(spark, tick_dir):
+    """S8: the debug console sink drains an AvailableNow replay without
+    error (output goes to the driver log, so only liveness is asserted)."""
+    q = console_sink(file_replay_tick_stream(spark, tick_dir), available_now=True)
+    _drain(q)
+    assert q.exception() is None
