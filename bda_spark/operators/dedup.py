@@ -13,8 +13,13 @@ Shape of the plan (the 100 TB design):
 4. self-join on band_key: ONLY documents agreeing on an entire band
    collide, so join fan-out is per-bucket, not per-shingle —
    candidates ~ O(n * dup_rate) instead of the all-pairs O(n^2)
-5. exact verify: join candidate pairs back to their full shingle sets
-   and compute true Jaccard; emit pairs >= threshold
+5. exact verify: an INVERTED-INDEX intersection count — candidates
+   join the (doc, shingle) posting list once per side and a count-agg
+   yields |A∩B|; Jaccard from |A∩B| and the per-doc set sizes. No
+   document's full shingle set is ever collected into a single row or
+   carried through a shuffle (the r2 design collect_set'ed every
+   shingle set through the signature aggregate — at 100 TB that is a
+   per-row memory bomb and triples the signature shuffle volume).
 
 Probability a true pair at similarity j survives: 1 - (1 - j^r)^b.
 Defaults (r=2, b=32) give miss < 1e-20 at j = 0.9 and < 4e-2 at the
@@ -65,9 +70,10 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 def minhash_signatures(
     shingle_df: DataFrame, num_hashes: int = 64, seed: int = 42
 ) -> DataFrame:
-    """One row per doc: minhash signature columns mh0..mh{k-1}, the full
-    shingle set (for downstream exact verification) and its size.
-    Single hash-shuffle on doc_id."""
+    """One row per doc: minhash signature columns mh0..mh{k-1} plus the
+    shingle-set size. Single hash-shuffle on doc_id; rows stay O(k) —
+    full shingle sets are never materialized per document (verification
+    uses the inverted index instead, see minhash_neardup_pairs)."""
     params = _hash_params(num_hashes, seed)
     h = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P))
     hashed = shingle_df.withColumn("h", h)
@@ -78,7 +84,6 @@ def minhash_signatures(
         for k, (a, b) in enumerate(params)
     ]
     return hashed.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("shingle_set"),
         F.count("*").alias("n_shingles"),
         *aggs,
     )
@@ -113,11 +118,20 @@ def minhash_neardup_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates from band-bucket
-    collisions, exact Jaccard verify, pairs >= threshold. Output matches
-    the all-pairs exact computation wherever banding recall holds (see
-    module docstring for the probability bound)."""
+    collisions, exact Jaccard verify via inverted-index intersection
+    counts, pairs >= threshold. Output matches the all-pairs exact
+    computation wherever banding recall holds (see module docstring for
+    the probability bound).
+
+    The shingle frame is deliberately NOT cached even though three
+    plan branches consume it: shingling is cheap JVM expression work
+    over one scan, and at 100 TB recomputing it beats pinning the
+    exploded (doc, shingle) frame — many times the corpus size — in
+    executor storage (same recompute-over-materialize trade as
+    similarity.py's signature UDF; also avoids the leak of a cache
+    no caller can unpersist under lazy evaluation)."""
     sh = shingles(docs, id_col, text_col, ngram)
-    sigs = minhash_signatures(sh, num_hashes, seed).cache()
+    sigs = minhash_signatures(sh, num_hashes, seed)
     bands = band_keys(sigs, num_hashes, band_rows)
     candidates = (
         bands.alias("x")
@@ -131,16 +145,26 @@ def minhash_neardup_pairs(
         )
         .distinct()
     )
-    sets = sigs.select("doc_id", "shingle_set", "n_shingles")
-    a = sets.alias("sa")
-    b = sets.alias("sb")
-    inter = F.size(F.array_intersect(F.col("sa.shingle_set"), F.col("sb.shingle_set")))
-    jac = inter.cast("double") / (
-        F.col("sa.n_shingles") + F.col("sb.n_shingles") - inter
+    # Exact verify, posting-list style: fan each candidate pair out by
+    # doc_a's shingles (bounded by one document's shingle count), then a
+    # co-keyed join on (doc_b, shingle) keeps exactly the common
+    # shingles; the count-agg is |A∩B|. Pairs sharing no shingle drop
+    # out of the inner join — their Jaccard is 0, below any threshold.
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = sigs.select("doc_id", "n_shingles")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")
     )
     return (
-        candidates.join(a, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(b, F.col("doc_b") == F.col("sb.doc_id"))
+        common.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

@@ -101,38 +101,60 @@ IMAGE_FEATURES_SCHEMA = (
 def image_features(media: DataFrame) -> DataFrame:
     """Decode + per-image intensity statistics (the feature-extract
     stage of an image-dedup/quality pipeline). Narrow transform: one
-    Arrow batch in, one stats frame out, payloads dropped on emit."""
+    Arrow batch in, one stats frame out, payloads dropped on emit.
+
+    Vectorized per batch: rows are grouped by (format, shape), each
+    group's raw buffers concatenated into ONE (n, h*w*c) uint8 matrix
+    with a single ``np.frombuffer`` reshape, and all four stats come
+    from axis-1 numpy reductions — no per-row Python loop over pixels
+    (the per-row branch remains only for buffers of unexpected size)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                img = decode_image(row["payload"], row["meta"])
-                out.append(
-                    (
-                        row["media_id"],
-                        img.shape[1],
-                        img.shape[0],
-                        img.shape[2],
-                        float(img.mean()),
-                        float(img.std()),
-                        int(img.min()),
-                        int(img.max()),
-                    )
-                )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "media_id",
-                    "width",
-                    "height",
-                    "channels",
-                    "mean_intensity",
-                    "std_intensity",
-                    "min_intensity",
-                    "max_intensity",
-                ],
-            )
+            n_rows = len(pdf)
+            cols = {
+                "media_id": np.empty(n_rows, dtype=np.int64),
+                "width": np.empty(n_rows, dtype=np.int32),
+                "height": np.empty(n_rows, dtype=np.int32),
+                "channels": np.empty(n_rows, dtype=np.int32),
+                "mean_intensity": np.empty(n_rows, dtype=np.float64),
+                "std_intensity": np.empty(n_rows, dtype=np.float64),
+                "min_intensity": np.empty(n_rows, dtype=np.int64),
+                "max_intensity": np.empty(n_rows, dtype=np.int64),
+            }
+            groups: dict[tuple, list[int]] = {}
+            metas = pdf["meta"].tolist()
+            payloads = pdf["payload"].tolist()
+            for i, meta in enumerate(metas):
+                key = (meta["format"], int(meta["height"]),
+                       int(meta["width"]), int(meta["channels"]))
+                groups.setdefault(key, []).append(i)
+            for (fmt, h, w, c), idxs in groups.items():
+                if fmt != RAW_IMAGE_FORMAT:
+                    # exercise the stub boundary exactly like decode_image
+                    decode_image(payloads[idxs[0]], metas[idxs[0]])
+                sz = h * w * c
+                exact = [i for i in idxs if len(payloads[i]) == sz]
+                odd = [i for i in idxs if len(payloads[i]) != sz]
+                if exact:
+                    mat = np.frombuffer(
+                        b"".join(payloads[i] for i in exact), dtype=np.uint8
+                    ).reshape(len(exact), sz)
+                    ix = np.asarray(exact)
+                    cols["mean_intensity"][ix] = mat.mean(axis=1)
+                    cols["std_intensity"][ix] = mat.std(axis=1)
+                    cols["min_intensity"][ix] = mat.min(axis=1)
+                    cols["max_intensity"][ix] = mat.max(axis=1)
+                for i in odd:  # over-long buffers: slice like decode_image
+                    img = decode_image(payloads[i], metas[i])
+                    cols["mean_intensity"][i] = img.mean()
+                    cols["std_intensity"][i] = img.std()
+                    cols["min_intensity"][i] = img.min()
+                    cols["max_intensity"][i] = img.max()
+                ia = np.asarray(idxs)
+                cols["height"][ia], cols["width"][ia], cols["channels"][ia] = h, w, c
+            cols["media_id"][:] = pdf["media_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(cols)
 
     return media.filter("kind = 'image'").mapInPandas(
         extract, IMAGE_FEATURES_SCHEMA
@@ -147,17 +169,17 @@ def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                img = decode_image(row["payload"], row["meta"])
+            for media_id, kind, payload, rmeta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                img = decode_image(payload, rmeta)
                 h, w, _ = img.shape
                 yi = (np.arange(out_h) * h // out_h).astype(np.int64)
                 xi = (np.arange(out_w) * w // out_w).astype(np.int64)
                 resized = img[yi][:, xi]
-                meta = dict(row["meta"])
+                meta = dict(rmeta)
                 meta.update(width=out_w, height=out_h, format=RAW_IMAGE_FORMAT)
-                rows.append(
-                    (row["media_id"], row["kind"], resized.tobytes(), meta)
-                )
+                rows.append((media_id, kind, resized.tobytes(), meta))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
@@ -173,34 +195,57 @@ AUDIO_FEATURES_SCHEMA = (
 
 def audio_features(media: DataFrame) -> DataFrame:
     """Decode + RMS energy / zero-crossing rate / duration — the audio
-    quality-filter features."""
+    quality-filter features.
+
+    Vectorized per batch: clips of equal length are stacked into ONE
+    (n, samples) float matrix with a single ``np.frombuffer`` and the
+    stats are axis-1 reductions (variable-length clips each form their
+    own group; the common fixed-chunk ingest layout is one group)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                x = decode_audio(row["payload"], row["meta"])
-                sr = int(row["meta"]["sample_rate"])
-                zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
-                out.append(
-                    (
-                        row["media_id"],
-                        len(x),
-                        len(x) / sr if sr else 0.0,
-                        float(np.sqrt(np.mean(x**2))) if len(x) else 0.0,
-                        zc,
-                    )
+            n_rows = len(pdf)
+            cols = {
+                "media_id": np.empty(n_rows, dtype=np.int64),
+                "n_samples": np.zeros(n_rows, dtype=np.int64),
+                "duration_sec": np.zeros(n_rows, dtype=np.float64),
+                "rms": np.zeros(n_rows, dtype=np.float64),
+                "zero_crossing_rate": np.zeros(n_rows, dtype=np.float64),
+            }
+            metas = pdf["meta"].tolist()
+            payloads = pdf["payload"].tolist()
+            groups: dict[tuple, list[int]] = {}
+            for i, meta in enumerate(metas):
+                groups.setdefault(
+                    (meta["format"], len(payloads[i])), []
+                ).append(i)
+            for (fmt, nbytes), idxs in groups.items():
+                if fmt != RAW_AUDIO_FORMAT:
+                    decode_audio(payloads[idxs[0]], metas[idxs[0]])
+                n = nbytes // 2  # int16 samples
+                ix = np.asarray(idxs)
+                cols["n_samples"][ix] = n
+                srs = np.asarray(
+                    [int(metas[i]["sample_rate"]) for i in idxs], dtype=np.float64
                 )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "media_id",
-                    "n_samples",
-                    "duration_sec",
-                    "rms",
-                    "zero_crossing_rate",
-                ],
-            )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cols["duration_sec"][ix] = np.where(srs > 0, n / srs, 0.0)
+                if n == 0:
+                    continue
+                mat = (
+                    np.frombuffer(
+                        b"".join(payloads[i] for i in idxs), dtype="<i2"
+                    )
+                    .astype(np.float64)
+                    .reshape(len(idxs), n)
+                    / 32768.0
+                )
+                cols["rms"][ix] = np.sqrt(np.mean(mat**2, axis=1))
+                if n > 1:
+                    flips = np.signbit(mat[:, 1:]) != np.signbit(mat[:, :-1])
+                    cols["zero_crossing_rate"][ix] = flips.mean(axis=1)
+            cols["media_id"][:] = pdf["media_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(cols)
 
     return media.filter("kind = 'audio'").mapInPandas(
         extract, AUDIO_FEATURES_SCHEMA
@@ -221,8 +266,9 @@ def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                meta = row["meta"]
+            for media_id, buf, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
                 if meta["format"] != RAW_VIDEO_FORMAT:
                     raise NotImplementedError(
                         f"video codec {meta['format']!r}: decoder library "
@@ -231,11 +277,8 @@ def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                 h, w, c = int(meta["height"]), int(meta["width"]), int(meta["channels"])
                 n = int(meta["n_frames"])
                 stride = h * w * c
-                buf = row["payload"]
                 for i in range(0, n, every_n):
-                    out.append(
-                        (row["media_id"], i, buf[i * stride:(i + 1) * stride])
-                    )
+                    out.append((media_id, i, buf[i * stride:(i + 1) * stride]))
             yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame"])
 
     return media.filter("kind = 'video'").mapInPandas(sample, FRAME_SCHEMA)
