@@ -48,7 +48,8 @@ def pearson(df: DataFrame, x: str, y: str, by: list[str] | None = None) -> DataF
 
 
 def avg_ranks(
-    df: DataFrame, col: str, out: str = "avg_rank", num_ranges: int = 32
+    df: DataFrame, col: str, out: str = "avg_rank", num_ranges: int = 32,
+    bounds: list[float] | None = None,
 ) -> DataFrame:
     """Average (tie-adjusted) rank per distinct value of ``col``.
 
@@ -80,8 +81,10 @@ def avg_ranks(
     out of the join back.
     """
     df = df.where(F.col(col).isNotNull())
-    probs = [i / num_ranges for i in range(1, num_ranges)]
-    bounds = sorted(set(df.stat.approxQuantile(col, probs, 0.001)))
+    if bounds is None:
+        probs = [i / num_ranges for i in range(1, num_ranges)]
+        bounds = df.stat.approxQuantile(col, probs, 0.001)
+    bounds = sorted(set(bounds))
     bucket = F.lit(0)
     for b in bounds:
         bucket = bucket + (F.col(col) > F.lit(b)).cast("int")
@@ -122,10 +125,14 @@ def spearman(df: DataFrame, x: str, y: str) -> DataFrame:
     (reference: app_2 NEW with joined.py:450-462), average-rank tie
     convention. Ranks come from per-column distinct-value histograms
     (see ``avg_ranks``) joined back on the value — no full-table global
-    sort anywhere in the plan.
+    sort anywhere in the plan. Both columns' bucket boundaries come
+    from ONE approxQuantile pass (a single driver action scanning the
+    table once instead of twice).
     """
-    rx = avg_ranks(df, x, "rx")
-    ry = avg_ranks(df, y, "ry")
+    probs = [i / 32 for i in range(1, 32)]
+    bx, by = df.stat.approxQuantile([x, y], probs, 0.001)
+    rx = avg_ranks(df, x, "rx", bounds=bx)
+    ry = avg_ranks(df, y, "ry", bounds=by)
     ranked = df.select(x, y).join(rx, x).join(ry, y)
     return ranked.agg(F.corr("rx", "ry").alias("spearman"))
 

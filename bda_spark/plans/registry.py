@@ -56,6 +56,7 @@ def _ensure_loaded() -> None:
         return
     # Import for registration side effects.
     from . import (  # noqa: F401
+        generated,
         lsh,
         media,
         relational,
@@ -63,6 +64,7 @@ def _ensure_loaded() -> None:
         textops,
         timeseries,
         vectorops,
+        webarticles,
     )
 
     _LOADED = True
