@@ -37,6 +37,65 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
+def neardup_clusters(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
+    """Connected components over a near-dup pair graph: (doc_id,
+    cluster_id) with cluster_id = the minimum doc_id reachable through
+    pair edges — the canonicalization step a dedup pipeline runs AFTER
+    pair detection (keep cluster_id, drop the rest).
+
+    Algorithm: iterative min-label propagation. Each round every vertex
+    takes the min of its own label and its neighbors' labels; converged
+    when no label changes. Rounds are bounded by the cluster diameter —
+    near-dup clusters are dense (a hub template connects its copies),
+    so a handful of rounds suffices; ``max_iterations`` is a hard stop
+    against pathological chains.
+
+    Scale shape: each round is one shuffle join on vertex id over the
+    EDGE list (no per-cluster state concentrates anywhere — a
+    100M-member duplicate cluster never assembles on one executor);
+    ``localCheckpoint`` truncates the growing lineage each round. The
+    convergence probe is a driver-side count of changed labels — one
+    scalar per round, the standard Spark iterative-algorithm shape
+    (GraphFrames' own CC loop does the same).
+    """
+    # Materialize the edge list ONCE: every iteration joins it, and its
+    # lineage may be an entire LSH pipeline — without this each round
+    # would re-run pair detection from scratch.
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionAll(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    "label", F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
 MERSENNE_P = (1 << 31) - 1
 
 

@@ -128,6 +128,99 @@ def simhash_neardup_pairs(
     )
 
 
+def ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: KMeans centroids + per-vector nearest-
+    centroid assignment (pyspark.ml, Euclidean — the standard IVF
+    cell geometry). Returns (assignments(vec_id, centroid_id),
+    centroids) — the centroid list is tiny (k x dim) and travels as a
+    plan literal, never a shuffle."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = embeddings.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        ),
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    assigned = model.transform(train).select(
+        "vec_id", F.col("prediction").alias("centroid_id")
+    )
+    centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN top-k: assign the corpus to KMeans cells once,
+    probe each query's ``n_probe`` nearest cells, exact-cosine rerank
+    only the vectors in probed cells. The second bucketed ANN family
+    next to SimHash: LSH buckets by random projection, IVF by learned
+    partition — at 100 TB IVF wins when the corpus is clustered (cells
+    match real density), LSH when it isn't.
+
+    Scale shape: the probe table is (queries x n_probe) rows joined on
+    centroid_id against the assignment table — a hash join keyed by
+    cell, fanning out only to probed cells' members, never the corpus;
+    with ``n_probe = n_centroids`` every cell is probed and the result
+    is EXACTLY brute force (the correctness row runs that regime; the
+    recall/speed trade of partial probing is pinned in pytest)."""
+    assigned, centroids = ivf_index(embeddings, n_centroids, seed)
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    v = F.col("embedding").cast("array<double>")
+    # tiny frame: queries x n_centroids rows, ranked per query by L2
+    # distance to the centroid (the quantizer's own metric)
+    qcent = queries.select(
+        F.col("vec_id").alias("query_id"), v.alias("qv")
+    ).select(
+        "query_id", "qv", F.posexplode(cent_lit).alias("centroid_id", "cvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(d2.asc(), F.col("centroid_id"))
+    probes = (
+        qcent.withColumn("_pr", F.row_number().over(wprobe))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "centroid_id")
+    )
+    cands = (
+        probes.join(assigned, "centroid_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    q = embeddings.select(F.col("vec_id").alias("query_id"), v.alias("va"))
+    c = embeddings.select(F.col("vec_id").alias("neighbor_id"), v.alias("vb"))
+    scored = (
+        cands.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("cosine", cosine_similarity_col(F.col("va"), F.col("vb")))
+        .drop("va", "vb")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
 def simhash_topk(
     embeddings: DataFrame,
     queries: DataFrame,

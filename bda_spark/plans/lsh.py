@@ -11,16 +11,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators.dedup import minhash_neardup_pairs
-from ..operators.similarity import simhash_neardup_pairs, simhash_topk
+from ..operators.dedup import minhash_neardup_pairs, neardup_clusters
+from ..operators.similarity import ivf_topk, simhash_neardup_pairs, simhash_topk
 from .registry import query, r6, t
 from .vectorops import _COS_SQL
 
-
-@query(
-    "minhash_neardup_pairs",
-    """
-    WITH shingles AS (
+# Exact all-pairs Jaccard over 3-gram shingles — the shared oracle body
+# for the pair query and the cluster query built on top of it.
+_EXACT_PAIR_CTES = """
+    shingles AS (
       SELECT doc_id, unnest(list_distinct(sh)) AS shingle
       FROM (
         SELECT doc_id,
@@ -38,6 +37,13 @@ from .vectorops import _COS_SQL
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
+"""
+
+
+@query(
+    "minhash_neardup_pairs",
+    f"""
+    WITH {_EXACT_PAIR_CTES}
     SELECT doc_a, doc_b,
            round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
     FROM inter
@@ -57,6 +63,41 @@ def minhash_neardup_pairs_q(spark, sf_dir):
     return pairs.select(
         "doc_a", "doc_b", r6(F.col("jaccard")).alias("jaccard")
     ).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "neardup_clusters",
+    f"""
+    WITH RECURSIVE {_EXACT_PAIR_CTES},
+    p AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM p
+      UNION
+      SELECT doc_b, doc_a FROM p
+    ), reach AS (
+      SELECT a AS id, b AS r FROM edges
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+    )
+    SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def neardup_clusters_q(spark, sf_dir):
+    """Dedup canonicalization: connected components over the MinHash-LSH
+    pair graph, cluster_id = min reachable doc_id (keep one doc per
+    cluster, drop the rest). Oracle: transitive closure by recursive CTE
+    over the EXACT all-pairs graph — a hash match proves both that LSH
+    recalled every edge and that the iterative min-propagation converged
+    to true components."""
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_neardup_pairs(d, threshold=0.5)
+    return neardup_clusters(pairs.select("doc_a", "doc_b"))
 
 
 @query(
@@ -130,6 +171,37 @@ def cosine_topk_bucketed_q(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
     topk = simhash_topk(e, queries, k=5)
+    return topk.select(
+        "query_id", "neighbor_id", r6(F.col("cosine")).alias("cosine"), "rk"
+    )
+
+
+@query(
+    "ivf_topk",
+    f"""
+    WITH sims AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_COS_SQL} AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS cosine, rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def ivf_topk_q(spark, sf_dir):
+    """IVF ANN (KMeans cells + probe + exact rerank) run FULL-PROBE:
+    probing every cell makes the output provably identical to brute
+    force whatever the learned centroids, so the hash row checks the
+    assignment/probe/rerank machinery with zero dependence on KMeans
+    nondeterminism across sessions. The partial-probe recall/speed
+    trade (the actual 100 TB regime) is pinned by tests/test_lsh.py."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    topk = ivf_topk(e, queries, k=5, n_centroids=16, n_probe=16)
     return topk.select(
         "query_id", "neighbor_id", r6(F.col("cosine")).alias("cosine"), "rk"
     )

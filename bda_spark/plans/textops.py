@@ -392,3 +392,120 @@ def ngram_jaccard_pairs(spark, sf_dir):
         .select("doc_a", "doc_b", r6(jac).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "doc_repetition_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 100
+    ), words AS (
+      SELECT doc_id, len(toks) AS n_words,
+             len(list_distinct(toks)) AS n_distinct
+      FROM toks
+    ), bigrams AS (
+      SELECT doc_id,
+             unnest([toks[i] || ' ' || toks[i+1]
+                     FOR i IN range(1, len(toks))]) AS bg
+      FROM toks WHERE len(toks) >= 2
+    ), bg_counts AS (
+      SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY 1, 2
+    ), bg_stats AS (
+      SELECT doc_id, max(c) AS max_c, sum(c) AS n_bg FROM bg_counts
+      GROUP BY doc_id
+    )
+    SELECT w.doc_id, w.n_words,
+           round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6)
+             AS dup_word_ratio,
+           round(CAST(max_c AS DOUBLE) / n_bg, 6) AS top_bigram_ratio
+    FROM words w JOIN bg_stats ON w.doc_id = bg_stats.doc_id
+    """,
+)
+def doc_repetition_scores(spark, sf_dir):
+    """Repetition-based quality filters (the Gopher repetition rules
+    adapted to the corpus's line-less word soup): duplicate-word ratio
+    (1 - distinct/total) and the fraction of word bigrams taken by the
+    single most frequent bigram. High values flag boilerplate /
+    template spam for removal before training. All JVM-side: one
+    split, one bigram explode, two aggs joined on doc_id."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    words = base.select(
+        "doc_id",
+        F.size("toks").alias("n_words"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.concat_ws(" ", F.col("toks")[i], F.col("toks")[i + 1]),
+    )
+    bg_stats = (
+        base.select("doc_id", F.explode(grams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_c"), F.sum("c").alias("n_bg"))
+    )
+    return words.join(bg_stats, "doc_id").select(
+        "doc_id",
+        "n_words",
+        r6(F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_words"))
+          .alias("dup_word_ratio"),
+        r6(F.col("max_c").cast("double") / F.col("n_bg"))
+          .alias("top_bigram_ratio"),
+    )
+
+
+# PII scrubbing: the corpus itself is synthetic word soup, so the query
+# PLANTS deterministic PII (same concat on both engines) and then both
+# detect and mask it — proving the regex surface, not the corpus.
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+@query(
+    "doc_pii_scan",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id
+                  || '@mail.example.invalid or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS masked_md5,
+           length(t) AS n_chars_scanned
+    FROM aug
+    """,
+)
+def doc_pii_scan(spark, sf_dir):
+    """PII detection + masking for training-data scrubbing: count
+    email/phone hits and emit the md5 of the redacted text (the hash
+    match proves both engines masked the SAME spans). Narrow map —
+    regexp_extract_all / regexp_replace are codegen'd; at 100 TB this
+    runs at scan speed with no shuffle."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@mail.example.invalid or +1-555-"),
+            F.lpad(F.pmod("doc_id", F.lit(10000)).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    masked = F.regexp_replace(
+        F.regexp_replace("t", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.md5(masked.cast("binary")).alias("masked_md5"),
+        F.length("t").alias("n_chars_scanned"),
+    )

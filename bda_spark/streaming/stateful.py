@@ -1,0 +1,141 @@
+"""Custom stateful streaming operator (SURVEY.md §2.9 T7, deepened):
+per-symbol ONLINE feature statistics maintained in GroupState across
+micro-batches via ``applyInPandasWithState`` — the Structured
+Streaming primitive for operators the built-in windowed aggregations
+cannot express. Here: a running Welford mean/variance plus an EWMA of
+the price, with a drift flag when a batch's mean leaves the running
+±2σ band — the monitoring signal a continuous-training deployment
+(the reference's trainer loop, NEW_train_offset_3_10min.py:124-211)
+needs to decide WHEN retraining is worth it, not just on a timer.
+
+State is one fixed-size row per key — (n, mean, m2, ewma) — so state
+store size is O(symbols), not O(events): the operator streams any
+volume at constant memory. Arithmetic uses Chan's parallel Welford
+combine, so each micro-batch folds in as one vectorized numpy step
+(no per-row Python loop).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("mean", DoubleType()),
+        StructField("m2", DoubleType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+RUNNING_STATS_SCHEMA = StructType(
+    [
+        StructField("symbol", StringType()),
+        StructField("batch_rows", LongType()),
+        StructField("n_total", LongType()),
+        StructField("mean", DoubleType()),
+        StructField("std", DoubleType()),
+        StructField("ewma", DoubleType()),
+        StructField("drift", BooleanType()),
+    ]
+)
+
+
+def running_feature_stats(
+    ticks: DataFrame,
+    value_col: str = "price",
+    alpha: float = 0.1,
+    order_col: str = "timestamp",
+) -> DataFrame:
+    """Per-symbol stateful stream: one output row per (symbol,
+    micro-batch) snapshotting the RUNNING statistics after folding the
+    batch in. ``ticks`` must be a streaming frame with symbol,
+    ``value_col`` and ``order_col`` columns."""
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (symbol,) = key
+        if state.exists:
+            n, mean, m2, ewma = state.get
+        else:
+            n, mean, m2, ewma = 0, 0.0, 0.0, None
+        prev_mean, prev_n, prev_m2 = mean, n, m2
+        batch_rows = 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            v = pdf[value_col].to_numpy(dtype=np.float64)
+            v = v[~np.isnan(v)]
+            k = len(v)
+            if k == 0:
+                continue
+            batch_rows += k
+            # Chan's parallel Welford combine: running (n, mean, m2)
+            # with the batch's own moments in one vectorized step
+            b_mean = float(v.mean())
+            b_m2 = float(((v - b_mean) ** 2).sum())
+            delta = b_mean - mean
+            new_n = n + k
+            mean = mean + delta * k / new_n
+            m2 = m2 + b_m2 + delta * delta * n * k / new_n
+            n = new_n
+            # EWMA folded in closed form: decay the carried value by
+            # (1-a)^k, add the geometrically-weighted batch sum
+            decay = (1.0 - alpha) ** np.arange(k - 1, -1, -1)
+            if ewma is None:
+                ewma = float(v[0])
+                if k > 1:
+                    rest = v[1:]
+                    d = (1.0 - alpha) ** np.arange(k - 2, -1, -1)
+                    ewma = ewma * (1.0 - alpha) ** (k - 1) + float(
+                        alpha * (d * rest).sum()
+                    )
+            else:
+                ewma = ewma * (1.0 - alpha) ** k + float(
+                    alpha * (decay * v).sum()
+                )
+        if batch_rows == 0:
+            return
+        std = float(np.sqrt(m2 / n)) if n > 0 else 0.0
+        batch_mean = (mean * n - prev_mean * prev_n) / batch_rows
+        # drift is judged against the PRE-batch band: "did this batch
+        # leave the envelope the history predicted" — the post-batch σ
+        # would be inflated by the very jump being tested
+        prev_std = float(np.sqrt(prev_m2 / prev_n)) if prev_n > 0 else 0.0
+        drift = prev_n > 0 and abs(batch_mean - prev_mean) > 2.0 * prev_std
+        state.update((n, mean, m2, ewma))
+        yield pd.DataFrame(
+            [
+                {
+                    "symbol": symbol,
+                    "batch_rows": batch_rows,
+                    "n_total": n,
+                    "mean": mean,
+                    "std": std,
+                    "ewma": ewma,
+                    "drift": bool(drift),
+                }
+            ]
+        )
+
+    return ticks.groupBy("symbol").applyInPandasWithState(
+        update,
+        RUNNING_STATS_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -63,6 +63,14 @@ HEADLINE = [
     "report_corr_matrix",
     "doc_langid",
     "media_image_features",
+    # round-3 surface: dedup clustering, IVF ANN, repetition/PII filters,
+    # the Spark-native tick generator, in-engine article extraction
+    "neardup_clusters",
+    "ivf_topk",
+    "doc_repetition_scores",
+    "doc_pii_scan",
+    "generated_ticks_profile",
+    "scraped_articles",
 ]
 
 

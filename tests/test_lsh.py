@@ -8,8 +8,16 @@ import numpy as np
 import pytest
 from pyspark.sql import Row
 
-from bda_spark.operators.dedup import minhash_neardup_pairs, shingles
-from bda_spark.operators.similarity import simhash_neardup_pairs, simhash_topk
+from bda_spark.operators.dedup import (
+    minhash_neardup_pairs,
+    neardup_clusters,
+    shingles,
+)
+from bda_spark.operators.similarity import (
+    ivf_topk,
+    simhash_neardup_pairs,
+    simhash_topk,
+)
 
 
 def _doc(words):
@@ -76,3 +84,59 @@ def test_simhash_topk_ranks_planted_neighbor_first(spark, emb):
     assert by_rank[0].neighbor_id == 1  # the planted near-dup
     assert by_rank[0].cosine > 0.99
     assert by_rank[0].cosine >= by_rank[1].cosine >= by_rank[2].cosine
+
+
+# ----------------------------------------------------- clustering (CC)
+def test_neardup_clusters_components(spark):
+    """Transitive chains collapse to one cluster labeled by the min id;
+    disjoint pairs stay separate components."""
+    pairs = spark.createDataFrame(
+        [Row(doc_a=1, doc_b=5), Row(doc_a=5, doc_b=9),   # chain 1-5-9
+         Row(doc_a=9, doc_b=2),                          # extends to 2
+         Row(doc_a=7, doc_b=8)],                         # separate pair
+    )
+    got = {r.doc_id: r.cluster_id for r in neardup_clusters(pairs).collect()}
+    assert got == {1: 1, 5: 1, 9: 1, 2: 1, 7: 7, 8: 7}
+
+
+# ------------------------------------------------------------- IVF ANN
+def test_ivf_full_probe_equals_brute_force(spark, emb):
+    """Probing every cell makes IVF provably exact: identical rows to
+    the brute-force top-k regardless of what KMeans learned."""
+    from bda_spark.functions.vectors import cosine_similarity_col
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    queries = emb.filter("vec_id < 3")
+    got = sorted(
+        (r.query_id, r.rk, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8).collect()
+    )
+    v = F.col("embedding").cast("array<double>")
+    q = queries.select(F.col("vec_id").alias("query_id"), v.alias("va"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), v.alias("vb"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), "neighbor_id"
+    )
+    brute = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity_col(F.col("va"), F.col("vb")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+    )
+    want = sorted(
+        (r.query_id, r.rk, r.neighbor_id) for r in brute.collect()
+    )
+    assert got == want
+
+
+def test_ivf_partial_probe_recalls_planted_neighbor(spark, emb):
+    """The realistic regime: probe a fraction of cells. The planted
+    near-identical neighbor shares its query's cell (cosine ~1 implies
+    the same Voronoi region at any sane quantization), so recall@1 of
+    the true nearest neighbor must survive heavy pruning."""
+    queries = emb.filter("vec_id = 0")
+    got = ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=2).collect()
+    assert got, "probed cells produced no candidates"
+    best = min(got, key=lambda r: r.rk)
+    assert best.neighbor_id == 1 and best.cosine > 0.99

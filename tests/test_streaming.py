@@ -365,6 +365,74 @@ def test_rate_limited_replay(spark, tick_dir, tmp_path):
     assert len([s for s in sizes if s]) == 3
 
 
+# ------------------------------------- custom stateful operator (T7 deep)
+def test_running_feature_stats_state_carries_across_batches(
+    spark, tmp_path_factory
+):
+    """applyInPandasWithState: per-symbol Welford/EWMA state must fold
+    each micro-batch into the RUNNING statistics (one snapshot row per
+    batch), not restart per batch. maxFilesPerTrigger=1 forces the two
+    fixture files through as two batches; a drifted second batch trips
+    the ±2σ flag."""
+    import math
+
+    from bda_spark.streaming.pipeline import normalize_ticks
+    from bda_spark.streaming.stateful import running_feature_stats
+
+    d = tmp_path_factory.mktemp("stateful")
+    src = d / "src"
+    src.mkdir()
+    with open(src / "a_first.jsonl", "w") as f:
+        for i in range(10):  # prices 100..109
+            f.write(json.dumps(_bp_tick(i)) + "\n")
+    with open(src / "b_second.jsonl", "w") as f:
+        for i in range(10, 20):  # prices 110..119, +1000 -> drifted
+            t = _bp_tick(i)
+            t["price"] += 1000.0
+            f.write(json.dumps(t) + "\n")
+    # distinct mtimes pin the micro-batch order (file source drains
+    # oldest-first)
+    os.utime(src / "a_first.jsonl", (1_000_000_000, 1_000_000_000))
+    os.utime(src / "b_second.jsonl", (1_000_000_100, 1_000_000_100))
+    ticks = file_replay_tick_stream(spark, str(src), max_files_per_trigger=1)
+    feature_cols = ["volume", "volatility", "market_sentiment",
+                    "trading_activity", "price"]
+    stats = running_feature_stats(
+        normalize_ticks(ticks, "BP", feature_cols).withColumnRenamed(
+            "label", "price_label"
+        ),
+        value_col="price",
+    )
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("append")
+        .option("checkpointLocation", str(d / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    rows = sorted(
+        spark.table("running_stats").collect(), key=lambda r: r.n_total
+    )
+    assert [r.batch_rows for r in rows] == [10, 10]
+    assert [r.n_total for r in rows] == [10, 20]  # state carried over
+    prices = [100.0 + i for i in range(10)] + [1110.0 + i for i in range(10)]
+    assert rows[0].mean == pytest.approx(sum(prices[:10]) / 10)
+    assert rows[1].mean == pytest.approx(sum(prices) / 20)
+    expected_std = math.sqrt(
+        sum((p - sum(prices) / 20) ** 2 for p in prices) / 20
+    )
+    assert rows[1].std == pytest.approx(expected_std)
+    # EWMA after batch 2 = closed-form fold of all 20 ordered prices
+    ewma = prices[0]
+    for p in prices[1:]:
+        ewma = 0.9 * ewma + 0.1 * p
+    assert rows[1].ewma == pytest.approx(ewma)
+    assert rows[0].drift is False  # first batch has no baseline
+    assert rows[1].drift is True  # +1000 jump leaves the ±2σ band
+
+
 # ------------------------------------------------------- console sink (S8)
 def test_console_sink_smoke(spark, tick_dir):
     """S8: the debug console sink drains an AvailableNow replay without
