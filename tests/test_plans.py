@@ -1,0 +1,94 @@
+"""Physical-plan audits (SURVEY §4 scale promises, asserted not
+claimed): predicate pushdown reaches the parquet scan, column pruning
+shrinks ReadSchema, dimension joins broadcast, aggregation is partial
+(map-side) before the shuffle, hot paths stay inside whole-stage
+codegen, and no headline plan contains a cartesian product.
+
+These run against the REAL queries at sf0.001 — if a refactor silently
+drops a pushdown or de-broadcasts a dim join, this file goes red even
+though results stay correct."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bda_spark.plans import get_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+def _plan(spark, name: str) -> str:
+    df = get_queries()[name](spark, SF_DIR)
+    jqe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jqe.explainString(mode)
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    plan = _plan(spark, "events_recent_range")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, "no PushedFilters section in scan node"
+    # the ts range and the value predicate must reach the reader
+    assert any("value" in l and "5.0" in l for l in pushed), pushed
+
+
+def test_column_pruning_shrinks_read_schema(spark):
+    """events_lead_label touches 4 of events' 6 columns; the scan must
+    not read props (the widest column) or event_type."""
+    plan = _plan(spark, "events_lead_label")
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schemas
+    assert all("props" not in l and "event_type" not in l for l in schemas), schemas
+
+
+def test_dimension_joins_broadcast(spark):
+    """top_customers joins orders (fact) with customer (dim): the dim
+    side must broadcast — a shuffle join here becomes the bottleneck at
+    1000 executors."""
+    plan = _plan(spark, "top_customers")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_aggregation_is_partial_before_shuffle(spark):
+    """groupBy aggregates must run map-side partials (two HashAggregate
+    phases) so the shuffle carries one row per (partition, key), not
+    one per event."""
+    plan = _plan(spark, "events_windowed_10min")
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_hot_path_stays_in_codegen(spark):
+    """Codegen spans only materialize once AQE finalizes the plan, so
+    execute first, then read the final adaptive plan."""
+    df = get_queries()["pricing_summary"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark whole-stage-codegen'd operators in the final
+    # plan; both the scan+partial-agg stage and the final-agg stage
+    # must be inside codegen
+    assert "*(1)" in plan and "*(2)" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "pricing_summary", "gold_daily_orders", "top_customers",
+        "regional_order_stats", "events_windowed_10min", "events_asof_join",
+        "events_lead_label", "exact_dedup_keyset", "ngram_jaccard_pairs",
+        "events_interpolate_1h", "doc_repetition_scores", "doc_pii_scan",
+        "scraped_articles", "generated_ticks_profile",
+    ],
+)
+def test_no_cartesian_products(spark, name):
+    """No headline plan may degrade to CartesianProduct. (1-row-side
+    BroadcastNestedLoopJoin — e.g. the anchored recency cutoff — is a
+    deliberate, bounded pattern and stays allowed.)"""
+    assert "CartesianProduct" not in _plan(spark, name)
