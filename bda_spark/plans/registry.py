@@ -59,6 +59,7 @@ def _ensure_loaded() -> None:
         generated,
         lsh,
         media,
+        olap,
         relational,
         reporting,
         textops,
