@@ -71,7 +71,24 @@ HEADLINE = [
     "doc_pii_scan",
     "generated_ticks_profile",
     "scraped_articles",
+    # OLAP extensions: rollup, exact grouped percentiles, ranked top-k
+    "orders_rollup_totals",
+    "lineitem_quantity_quantiles",
+    "orders_rank_topk",
 ]
+
+
+def lineitem_quantiles_approx(spark, sf_dir):
+    """Bench-only scale twin of ``lineitem_quantity_quantiles``: at 100 TB
+    the exact per-group sort gives way to ``percentile_approx`` (one-pass
+    KLL-style sketch, mergeable map-side) — timed here, oracled via its
+    exact sibling."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.percentile_approx(
+            "l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
+        ).alias("qs")
+    )
 
 
 BENCH_TICKERS = ["BP", "COP", "SHEL", "XOM"]
@@ -199,6 +216,13 @@ def main() -> None:
             qs[name](spark, sf_dir).collect()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        lineitem_quantiles_approx(spark, sf_dir).collect()
+        best = min(best, time.time() - t0)
+    timings["lineitem_quantiles_approx"] = round(best, 3)
 
     # Medallion end-to-end (bronze fixture prep is untimed setup).
     work = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_tmp")
