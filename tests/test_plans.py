@@ -11,6 +11,7 @@ though results stay correct."""
 from __future__ import annotations
 
 import os
+import re
 
 import pytest
 
@@ -77,6 +78,46 @@ def test_hot_path_stays_in_codegen(spark):
     assert "*(1)" in plan and "*(2)" in plan, plan
 
 
+def _nodes(plan: str, op: str) -> int:
+    """Count tree nodes of a given operator in a formatted explain
+    (each node is also re-printed in the detail section, so a plain
+    substring count doubles)."""
+    return len(re.findall(rf"\b{op} \(\d+\)", plan))
+
+
+def test_rollup_is_single_expand_aggregate(spark):
+    """orders_rollup_totals must compute all three grouping sets in ONE
+    Expand + hash-aggregate pass — per-set re-aggregation (a union of
+    scans) would triple the shuffle at scale."""
+    plan = _plan(spark, "orders_rollup_totals")
+    assert _nodes(plan, "Expand") == 1, plan
+    assert _nodes(plan, "Exchange") == 1, plan
+
+
+def test_rank_topk_has_no_global_sort(spark):
+    """orders_rank_topk partitions its windows by priority: every Sort
+    in the plan must be per-partition (global=false) — a global sort of
+    the fact table would serialize the cluster."""
+    plan = _plan(spark, "orders_rank_topk")
+    assert "Sort" in plan, plan
+    for line in plan.splitlines():
+        if line.strip().startswith("Sort ") or "] Sort [" in line:
+            assert "global=false" in line, line
+
+
+def test_exact_percentiles_aggregate_partially(spark):
+    """lineitem_quantity_quantiles: percentile is a typed imperative
+    aggregate — partial (map-side) collection must still happen before
+    the one shuffle on l_linestatus."""
+    plan = _plan(spark, "lineitem_quantity_quantiles")
+    assert _nodes(plan, "Exchange") == 1, plan
+    assert (
+        _nodes(plan, "HashAggregate")
+        + _nodes(plan, "ObjectHashAggregate")
+        + _nodes(plan, "SortAggregate")
+    ) >= 2, plan
+
+
 @pytest.mark.parametrize(
     "name",
     [
@@ -85,6 +126,7 @@ def test_hot_path_stays_in_codegen(spark):
         "events_lead_label", "exact_dedup_keyset", "ngram_jaccard_pairs",
         "events_interpolate_1h", "doc_repetition_scores", "doc_pii_scan",
         "scraped_articles", "generated_ticks_profile",
+        "orders_rollup_totals", "lineitem_quantity_quantiles", "orders_rank_topk",
     ],
 )
 def test_no_cartesian_products(spark, name):
