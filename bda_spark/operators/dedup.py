@@ -73,6 +73,7 @@ def neardup_clusters(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
@@ -93,7 +94,16 @@ def neardup_clusters(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
         changed = updated.filter(F.col("_changed")).limit(1).count()
         labels = updated.drop("_changed")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Unconverged labels would silently split one true component into
+        # several cluster_ids — downstream dedup keeps extra near-dups.
+        raise RuntimeError(
+            f"neardup_clusters did not converge within max_iterations="
+            f"{max_iterations}; a component's diameter exceeds the round "
+            f"budget — raise max_iterations (rounds needed = graph diameter)"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 MERSENNE_P = (1 << 31) - 1

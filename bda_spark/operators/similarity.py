@@ -166,7 +166,12 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-style ANN top-k: assign the corpus to KMeans cells once,
     probe each query's ``n_probe`` nearest cells, exact-cosine rerank
-    only the vectors in probed cells. The second bucketed ANN family
+    only the vectors in probed cells. ``queries`` must be a subset of
+    ``embeddings`` rows (vec_id, embedding) — the rerank stage joins
+    the query vector back from ``embeddings`` by vec_id (same contract
+    as ``simhash_topk``), so external query vectors whose vec_id is
+    absent from the corpus would be silently dropped; pass corpus rows.
+    The second bucketed ANN family
     next to SimHash: LSH buckets by random projection, IVF by learned
     partition — at 100 TB IVF wins when the corpus is clustered (cells
     match real density), LSH when it isn't.

@@ -29,16 +29,19 @@ def register_reporting_views(spark: SparkSession, sf_dir: str) -> None:
     view, like the reference's gold tables feeding dashboard pulls)."""
     t(spark, sf_dir, "events").createOrReplaceTempView("v_events")
     t(spark, sf_dir, "documents").createOrReplaceTempView("v_documents")
-    # total_micro: the daily total quantized to integer micro-units at the
-    # gold layer, so every rollup ABOVE the daily grain is exact bigint
-    # arithmetic — no floating summation-order flakiness in weekly/monthly
-    # panels regardless of partition count or engine.
+    # total_micro: each EVENT's value quantized to integer micro-units
+    # BEFORE any summation, so the daily and weekly grains are exact
+    # bigint arithmetic all the way up. Quantizing after a double sum
+    # (the r2/r3 versions) still sat on a summation-order boundary —
+    # Spark and DuckDB could land on adjacent micro-units; per-row
+    # floor(value*1e6+0.5) is a deterministic scalar both engines
+    # compute identically, and bigint addition is order-free.
     spark.sql(
         """
         CREATE OR REPLACE TEMPORARY VIEW v_daily_events AS
         SELECT to_date(ts) AS day, event_type,
                count(*) AS n_events, sum(value) AS total_value,
-               CAST(floor(sum(value) * 1000000 + 0.5) AS BIGINT) AS total_micro
+               sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS total_micro
         FROM v_events GROUP BY to_date(ts), event_type
         """
     )
@@ -52,7 +55,7 @@ def register_reporting_views(spark: SparkSession, sf_dir: str) -> None:
     FROM (
       SELECT CAST(ts AS DATE) AS day, event_type,
              count(*) AS n_events,
-             CAST(floor(sum(value) * 1000000 + 0.5) AS BIGINT) AS total_micro
+             sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS total_micro
       FROM events GROUP BY 1, 2
     ) GROUP BY 1, 2
     """,
@@ -62,12 +65,13 @@ def report_weekly_rollup(spark, sf_dir):
     view-over-view layering of the reference's gold tables feeding
     dashboard pulls (ref app_2 NEW with joined.py:148-158).
 
-    The weekly total sums the daily INTEGER micro-unit totals, not the
-    raw doubles: the daily quantization is FP-stable (same guarantee as
-    events_daily_kpis' round-6), and everything above it is exact
-    bigint addition, so the panel can never drift with summation order
-    (the r2 hash flake was a round(sum(double),6) boundary in exactly
-    this rollup)."""
+    The rollup is exact integer arithmetic from the ROW up: each
+    event's value is quantized to bigint micro-units per row, then
+    summed through the daily and weekly grains. The r2/r3 hash flakes
+    were both quantize-AFTER-double-sum boundaries in exactly this
+    rollup — any double summation before the floor() leaves the result
+    summation-order-dependent; per-row quantization removes the double
+    sum entirely."""
     register_reporting_views(spark, sf_dir)
     return spark.sql(
         """

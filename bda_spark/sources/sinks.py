@@ -61,28 +61,51 @@ def idempotent_merge_parquet(
     table size. This is the 100 TB shape; the unpartitioned branch
     below rewrites the whole table and is only for small tables.
 
-    Crash-safe by construction: merged output is FULLY written to a
-    sibling temp directory before the live path is touched, then
-    swapped in with per-partition (or whole-table) filesystem renames.
-    The live table is never the input of an in-flight job that
-    overwrites it. Table existence is checked via the filesystem — a
-    transient read error on an existing table propagates instead of
-    being misread as "table absent" and destroying it.
+    Crash tolerance: merged output is FULLY written to a sibling temp
+    directory before the live path is touched, then swapped in with
+    per-partition (or whole-table) filesystem renames. The live table
+    is never the input of an in-flight job that overwrites it. A crash
+    BETWEEN the two renames of a swap leaves the only copy of the
+    moved-aside data under ``__merge_old``; every invocation therefore
+    starts by RECOVERING anything found there (renaming it back into
+    the live table where the live side is missing) before clearing the
+    staging directories — a crashed merge is healed, never deleted, on
+    the next run. The swap itself is not atomic across partitions
+    (plain filesystem renames, not a transaction log); a crash mid-loop
+    can leave some partitions merged and others not until the rerun,
+    which the idempotent key-merge semantics make safe to replay.
+    Table existence is checked via the filesystem — a transient read
+    error on an existing table propagates instead of being misread as
+    "table absent" and destroying it.
     """
     fs, target = _hadoop_path(spark, path)
+    base = path.rstrip("/")
+    tmp, old = base + "__merge_tmp", base + "__merge_old"
+    _, tmp_p = _hadoop_path(spark, tmp)
+    _, old_p = _hadoop_path(spark, old)
+    jvm = spark._jvm
+
+    # Crash recovery: restore any data a previous merge moved aside but
+    # never replaced. Whole-table case: the table dir itself is missing
+    # and __merge_old IS the table. Partitioned case: individual
+    # partition dirs under __merge_old whose live twin is absent.
+    if fs.exists(old_p):
+        if not fs.exists(target):
+            fs.rename(old_p, target)
+        else:
+            for st in fs.listStatus(old_p):
+                dest = jvm.org.apache.hadoop.fs.Path(target, st.getPath().getName())
+                if not fs.exists(dest):
+                    fs.rename(st.getPath(), dest)
+    fs.delete(tmp_p, True)
+    fs.delete(old_p, True)
+
     if not fs.exists(target):
         writer = updates.write.mode("overwrite")
         if partition_col:
             writer = writer.partitionBy(partition_col)
         writer.parquet(path)
         return
-
-    base = path.rstrip("/")
-    tmp, old = base + "__merge_tmp", base + "__merge_old"
-    _, tmp_p = _hadoop_path(spark, tmp)
-    _, old_p = _hadoop_path(spark, old)
-    fs.delete(tmp_p, True)
-    fs.delete(old_p, True)
 
     if partition_col is None:
         existing = spark.read.parquet(path)
@@ -111,7 +134,6 @@ def idempotent_merge_parquet(
     merged = kept.unionByName(updates.select(*existing.columns))
     merged.write.partitionBy(partition_col).mode("overwrite").parquet(tmp)
 
-    jvm = spark._jvm
     for st in fs.listStatus(tmp_p):
         name = st.getPath().getName()
         if not name.startswith(f"{partition_col}="):

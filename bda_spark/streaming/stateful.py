@@ -55,6 +55,43 @@ RUNNING_STATS_SCHEMA = StructType(
 )
 
 
+def fold_running_stats(
+    n: int,
+    mean: float,
+    m2: float,
+    ewma: float | None,
+    v: np.ndarray,
+    alpha: float,
+) -> tuple[int, float, float, float]:
+    """Fold one ORDERED value array into running (n, mean, m2, ewma).
+
+    Welford via Chan's parallel combine — the batch's own moments merge
+    into the carried state in one vectorized step. EWMA in closed form:
+    the carried value decays by (1-alpha)^k and the batch contributes
+    its geometrically-weighted sum. Pure and deterministic for a given
+    value order; exposed at module level so multi-chunk order handling
+    is testable without a streaming harness."""
+    k = len(v)
+    if k == 0:
+        return n, mean, m2, ewma
+    b_mean = float(v.mean())
+    b_m2 = float(((v - b_mean) ** 2).sum())
+    delta = b_mean - mean
+    new_n = n + k
+    mean = mean + delta * k / new_n
+    m2 = m2 + b_m2 + delta * delta * n * k / new_n
+    decay = (1.0 - alpha) ** np.arange(k - 1, -1, -1)
+    if ewma is None:
+        ewma = float(v[0])
+        if k > 1:
+            rest = v[1:]
+            d = (1.0 - alpha) ** np.arange(k - 2, -1, -1)
+            ewma = ewma * (1.0 - alpha) ** (k - 1) + float(alpha * (d * rest).sum())
+    else:
+        ewma = ewma * (1.0 - alpha) ** k + float(alpha * (decay * v).sum())
+    return new_n, mean, m2, ewma
+
+
 def running_feature_stats(
     ticks: DataFrame,
     value_col: str = "price",
@@ -75,41 +112,22 @@ def running_feature_stats(
         else:
             n, mean, m2, ewma = 0, 0.0, 0.0, None
         prev_mean, prev_n, prev_m2 = mean, n, m2
-        batch_rows = 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order_col)
-            v = pdf[value_col].to_numpy(dtype=np.float64)
-            v = v[~np.isnan(v)]
-            k = len(v)
-            if k == 0:
-                continue
-            batch_rows += k
-            # Chan's parallel Welford combine: running (n, mean, m2)
-            # with the batch's own moments in one vectorized step
-            b_mean = float(v.mean())
-            b_m2 = float(((v - b_mean) ** 2).sum())
-            delta = b_mean - mean
-            new_n = n + k
-            mean = mean + delta * k / new_n
-            m2 = m2 + b_m2 + delta * delta * n * k / new_n
-            n = new_n
-            # EWMA folded in closed form: decay the carried value by
-            # (1-a)^k, add the geometrically-weighted batch sum
-            decay = (1.0 - alpha) ** np.arange(k - 1, -1, -1)
-            if ewma is None:
-                ewma = float(v[0])
-                if k > 1:
-                    rest = v[1:]
-                    d = (1.0 - alpha) ** np.arange(k - 2, -1, -1)
-                    ewma = ewma * (1.0 - alpha) ** (k - 1) + float(
-                        alpha * (d * rest).sum()
-                    )
-            else:
-                ewma = ewma * (1.0 - alpha) ** k + float(
-                    alpha * (decay * v).sum()
-                )
+        # EWMA is order-dependent, and applyInPandasWithState guarantees
+        # neither Arrow-chunk order nor within-chunk order for a group
+        # spanning multiple chunks — so gather the WHOLE micro-batch for
+        # the group first and sort once globally by order_col. Sorting
+        # each chunk individually (the r3 version) left the fold at the
+        # mercy of arbitrary chunk arrival order.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        batch = pd.concat(chunks, ignore_index=True).sort_values(order_col)
+        v = batch[value_col].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        batch_rows = len(v)
         if batch_rows == 0:
             return
+        n, mean, m2, ewma = fold_running_stats(n, mean, m2, ewma, v, alpha)
         std = float(np.sqrt(m2 / n)) if n > 0 else 0.0
         batch_mean = (mean * n - prev_mean * prev_n) / batch_rows
         # drift is judged against the PRE-batch band: "did this batch

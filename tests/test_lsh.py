@@ -99,6 +99,21 @@ def test_neardup_clusters_components(spark):
     assert got == {1: 1, 5: 1, 9: 1, 2: 1, 7: 7, 8: 7}
 
 
+def test_neardup_clusters_raises_when_round_budget_too_small(spark):
+    """A component whose diameter exceeds max_iterations must FAIL
+    loudly, never return silently-split cluster labels."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(1, 8)]  # diameter-7 chain
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_clusters(chain, max_iterations=2)
+    # with enough rounds the same graph converges to one component
+    got = {r.cluster_id for r in neardup_clusters(chain, max_iterations=10).collect()}
+    assert got == {1}
+
+
 # ------------------------------------------------------------- IVF ANN
 def test_ivf_full_probe_equals_brute_force(spark, emb):
     """Probing every cell makes IVF provably exact: identical rows to

@@ -114,6 +114,47 @@ def test_partitioned_merge_touches_only_updated_partitions(spark, tmp_path):
     assert os.listdir(tmp_path) == ["t"]
 
 
+def test_merge_recovers_partition_stranded_in_merge_old(spark, tmp_path):
+    """Crash window: the process died between rename(dest->aside) and
+    rename(tmp->dest) for one partition — its only copy sits under
+    __merge_old. The NEXT merge must restore it, not delete it."""
+    import shutil
+
+    p = str(tmp_path / "t")
+    idempotent_merge_parquet(
+        spark, _prows(spark, [(1, "a", 1), (2, "b", 2)]),
+        p, ["k"], partition_col="d",
+    )
+    # simulate the mid-swap crash: d=1 moved aside, never replaced
+    os.makedirs(p + "__merge_old")
+    shutil.move(os.path.join(p, "d=1"), os.path.join(p + "__merge_old", "d=1"))
+    assert not os.path.exists(os.path.join(p, "d=1"))
+    # a merge touching only d=2 must first heal d=1 from the aside dir
+    idempotent_merge_parquet(
+        spark, _prows(spark, [(2, "B", 2)]), p, ["k"], partition_col="d",
+    )
+    got = {(r.k, r.v, r.d) for r in spark.read.parquet(p).collect()}
+    assert got == {(1, "a", 1), (2, "B", 2)}
+    assert os.listdir(tmp_path) == ["t"]
+
+
+def test_merge_recovers_whole_table_stranded_in_merge_old(spark, tmp_path):
+    """Unpartitioned crash window: the live dir was moved aside and the
+    replacement rename never happened — the table LOOKS absent. The next
+    merge must restore the aside copy and merge into it, not treat the
+    table as new (which would silently drop every non-updated key)."""
+    import shutil
+
+    p = str(tmp_path / "t")
+    idempotent_merge_parquet(spark, _rows(spark, [(1, "a"), (2, "b")]), p, ["k"])
+    shutil.move(p, p + "__merge_old")
+    assert not os.path.exists(p)
+    idempotent_merge_parquet(spark, _rows(spark, [(2, "B")]), p, ["k"])
+    got = {(r.k, r.v) for r in spark.read.parquet(p).collect()}
+    assert got == {(1, "a"), (2, "B")}
+    assert os.listdir(tmp_path) == ["t"]
+
+
 def test_json_land_and_read_roundtrip(spark, tmp_path):
     """S11 both sides: land articles as JSON-lines, re-read with the
     explicit scraper schema — types and nulls survive."""

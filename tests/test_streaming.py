@@ -433,6 +433,35 @@ def test_running_feature_stats_state_carries_across_batches(
     assert rows[1].drift is True  # +1000 jump leaves the ±2σ band
 
 
+def test_fold_running_stats_chunking_invariant():
+    """The pure fold: sequentially folding ordered chunks equals one
+    fold of the whole ordered array (Welford combine + closed-form
+    EWMA), and the EWMA matches the naive per-row recurrence — so the
+    concat-sort-once update in running_feature_stats is exact however
+    Arrow chunked the micro-batch."""
+    import numpy as np
+
+    from bda_spark.streaming.stateful import fold_running_stats
+
+    rng = np.random.default_rng(7)
+    v = rng.normal(50.0, 5.0, size=101)
+    alpha = 0.1
+    whole = fold_running_stats(0, 0.0, 0.0, None, v, alpha)
+    n, mean, m2, ewma = 0, 0.0, 0.0, None
+    for lo, hi in [(0, 1), (1, 40), (40, 40), (40, 101)]:  # ragged chunks
+        n, mean, m2, ewma = fold_running_stats(n, mean, m2, ewma, v[lo:hi], alpha)
+    assert n == whole[0] == 101
+    assert mean == pytest.approx(whole[1])
+    assert m2 == pytest.approx(whole[2])
+    assert ewma == pytest.approx(whole[3])
+    naive = v[0]
+    for x in v[1:]:
+        naive = (1 - alpha) * naive + alpha * x
+    assert ewma == pytest.approx(naive)
+    assert mean == pytest.approx(v.mean())
+    assert m2 == pytest.approx(((v - v.mean()) ** 2).sum())
+
+
 # ------------------------------------------------------- console sink (S8)
 def test_console_sink_smoke(spark, tick_dir):
     """S8: the debug console sink drains an AvailableNow replay without
