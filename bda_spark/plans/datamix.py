@@ -1,0 +1,201 @@
+"""Training-data mixture construction — the corpus-to-training-set
+stage of an LLM data pipeline: benchmark decontamination, deterministic
+stratified sampling, train/validation splitting, and GPT-style sequence
+packing. The reference stops at cleaned gold tables (its Deliverable_4
+medallion ends in Cassandra); these operators carry the same corpus the
+rest of the way to a trainable mixture, and every one is expressed as
+declarative DataFrame algebra so Catalyst plans the shuffles.
+
+Determinism policy: anything "random" (sampling, splits) uses an
+explicit integer hash — Knuth's multiplicative scheme h(k) = (k * A)
+mod 2^32 with odd constants A — computed in exact BIGINT arithmetic so
+Spark and DuckDB agree bit-for-bit and reruns are reproducible (the
+property a 100 TB pipeline needs for resumable, auditable sampling; no
+engine rand() is ever involved).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.dedup import shingles
+from .registry import query, t
+
+# Knuth multiplicative hash constants (odd, near golden-ratio * 2^32)
+_H_SAMPLE = 2654435761
+_H_SPLIT = 2246822519
+_H_MOD = 4294967296  # 2^32
+
+# GPT-3-style decontamination gram size (Brown et al. 2020 used 13-gram
+# overlap against evaluation sets).
+DECONTAM_NGRAM = 13
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+@query(
+    "doc_decontaminate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, array_to_string(tk[i:i+{DECONTAM_NGRAM - 1}], ' ') AS g
+      FROM toks, unnest(generate_series(1, greatest(len(tk) - {DECONTAM_NGRAM - 1}, 0))) AS u(i)
+    ), bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0)
+    SELECT c.doc_id, count(*) AS n_hit_grams
+    FROM grams c JOIN bench USING (g)
+    WHERE c.doc_id % 7 <> 0
+    GROUP BY c.doc_id
+    """,
+)
+def doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    13-token shingle with a held-out evaluation set (here stood in by
+    doc_id % 7 == 0 rows of the same table so the query is
+    self-contained on driver data; a real pipeline passes the eval
+    corpus). 13-gram overlap is the GPT-3 decontamination rule.
+
+    Scale shape: shingling is a narrow per-row explode; the overlap is
+    ONE equi-join on the gram string followed by a count per doc — both
+    hash-shuffles keyed by high-cardinality keys, no all-pairs anywhere.
+    A real benchmark set is tiny relative to the corpus (thousands of
+    eval documents vs billions of training docs), so its distinct-gram
+    side broadcast-joins and the corpus is never shuffled at all; here
+    the bench side is 1/7 of the table, so AQE picks the strategy.
+    """
+    g = shingles(t(spark, sf_dir, "documents"), n=DECONTAM_NGRAM)
+    bench = (
+        g.filter(F.col("doc_id") % 7 == 0).select("shingle").distinct()
+    )
+    return (
+        g.filter(F.col("doc_id") % 7 != 0)
+        .join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+
+
+@query(
+    "docs_stratified_sample",
+    f"""
+    WITH cnt AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN cnt USING (source)
+    WHERE ((d.doc_id * {_H_SAMPLE}) % {_H_MOD} % 1000000) * cnt.n_total
+          < 20 * 1000000
+    """,
+)
+def docs_stratified_sample(spark, sf_dir):
+    """Deterministic stratified downsampling to ~20 docs per source —
+    the domain-rebalancing step of mixture construction (cap
+    over-represented crawls, keep small domains whole). A document is
+    kept iff hash(doc_id) mod 1e6 falls under its source's acceptance
+    rate cap/n_total; the comparison is cross-multiplied into pure
+    BIGINT arithmetic so no floating rate ever exists.
+
+    Scale shape: one count aggregation per source (tiny result,
+    broadcast back), then a stateless per-row filter — the corpus
+    itself is scanned once and never shuffled; sampling a 100 TB table
+    costs one pass. Rerunning yields the identical sample (hash, not
+    rand), so downstream training is reproducible.
+    """
+    docs = t(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source").agg(F.count("*").alias("n_total"))
+    h = (F.col("doc_id") * F.lit(_H_SAMPLE)) % F.lit(_H_MOD) % F.lit(1000000)
+    return (
+        docs.join(F.broadcast(cnt), "source")
+        .filter(h * F.col("n_total") < F.lit(20 * 1000000))
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "docs_train_val_split",
+    f"""
+    SELECT source,
+           CASE WHEN (doc_id * {_H_SPLIT}) % {_H_MOD} % 100 < 10
+                THEN 'val' ELSE 'train' END AS split,
+           count(*) AS n_docs,
+           sum(len({_TOKS})) AS n_tokens
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def docs_train_val_split(spark, sf_dir):
+    """Deterministic 90/10 train/validation split by document hash,
+    reported as the per-(source, split) mixture table a training run
+    consumes (doc and token budgets per domain). Hash-based assignment
+    means a document NEVER migrates between splits as the corpus grows
+    — the leakage guarantee row-number splits can't give — and uses a
+    different multiplier than the sampler so the two hashes are
+    uncorrelated.
+
+    Scale shape: stateless per-row assignment + one group-agg on
+    (source, split) — 2x|sources| result rows, map-side combined.
+    """
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    split = F.when(
+        (F.col("doc_id") * F.lit(_H_SPLIT)) % F.lit(_H_MOD) % 100 < 10, "val"
+    ).otherwise("train")
+    return (
+        t(spark, sf_dir, "documents")
+        .select("source", split.alias("split"), F.size(toks).alias("n_tok"))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+
+
+@query(
+    "docs_pack_sequences",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents
+    ), c AS (
+      SELECT source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d
+    )
+    SELECT source, CAST(floor((cum - n_tokens) / 128.0) AS BIGINT) AS seq_id,
+           count(*) AS n_docs, sum(n_tokens) AS seq_tokens
+    FROM c GROUP BY 1, 2
+    """,
+)
+def docs_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing: concatenate each source's documents
+    in deterministic doc_id order and chunk the token stream into
+    fixed windows (128 tokens here to exercise multiple chunks on the
+    small tables; 2048+ in production). A document belongs to the
+    sequence its first token lands in; output is the packing manifest
+    (docs and tokens per sequence) a dataloader shards by.
+
+    Scale shape: the running token offset is a cumulative-sum window
+    partitioned by source — each source's stream sorts within its own
+    partition, all sources in parallel, nothing global. At 100 TB a
+    single mega-source would make one partition the straggler; the
+    production layout sub-buckets each source (source, bucket =
+    hash(doc_id) % k) exactly like the salting the LSH operators use,
+    at the cost of k boundary sequences per source.
+    """
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(toks).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.withColumn(
+            "seq_id",
+            F.floor((F.col("cum") - F.col("n_tokens")) / 128.0).cast("bigint"),
+        )
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+    )

@@ -60,6 +60,10 @@ DEFERRED_TAIL = [
     "embedding_neardup_pairs", # exact baseline; LSH rows carry exact oracles
     "simhash_neardup_pairs",   # weak-threshold twin of simhash_neardup_strict
     "events_json_extract",     # JSON path twin of features_json_roundtrip
+    "cosine_topk",             # cosine_topk_bucketed's oracle IS this brute force
+    "events_5s_resample",      # time-bucket agg twin of events_windowed_10min
+    "dedup_by_key",            # key-dedup semantics proven by exact_dedup_keyset
+    "report_rmse_naive",       # KPI twin of events_daily_kpis/report_corr_matrix
 ]
 
 
@@ -88,6 +92,7 @@ def _ensure_loaded() -> None:
         return
     # Import for registration side effects.
     from . import (  # noqa: F401
+        datamix,
         generated,
         lsh,
         media,

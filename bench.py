@@ -75,6 +75,11 @@ HEADLINE = [
     "orders_rollup_totals",
     "lineitem_quantity_quantiles",
     "orders_rank_topk",
+    # round-4 surface: mixture construction (decontamination, stratified
+    # sampling, train/val split, sequence packing)
+    "doc_decontaminate",
+    "docs_stratified_sample",
+    "docs_pack_sequences",
 ]
 
 

@@ -18,11 +18,14 @@ MUST_BE_IN_WINDOW = [
     "events_spearman",
     "events_daily_kpis",
     "features_json_roundtrip",
-    "events_5s_resample",
     "events_lead_label",
     "events_dropna_labels",
     "scraped_articles",
     "generated_ticks_profile",
+    "doc_decontaminate",
+    "docs_stratified_sample",
+    "docs_train_val_split",
+    "docs_pack_sequences",
 ]
 
 
