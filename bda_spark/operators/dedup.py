@@ -44,20 +44,26 @@ def neardup_clusters(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
     pair edges — the canonicalization step a dedup pipeline runs AFTER
     pair detection (keep cluster_id, drop the rest).
 
-    Algorithm: iterative min-label propagation. Each round every vertex
-    takes the min of its own label and its neighbors' labels; converged
-    when no label changes. Rounds are bounded by the cluster diameter —
-    near-dup clusters are dense (a hub template connects its copies),
-    so a handful of rounds suffices; ``max_iterations`` is a hard stop
-    against pathological chains.
+    Algorithm: min-label propagation with POINTER JUMPING from round 3.
+    Each round every vertex takes the min of its own label and its
+    neighbors' labels; from the third round on it additionally
+    short-circuits through its label's label (label <- label[label],
+    the parallel pointer-doubling step), so label paths halve every
+    round and convergence needs O(log diameter) rounds, not
+    O(diameter) — a 1M-link drift chain resolves in ~25 rounds instead
+    of 1M. The two plain rounds first are deliberate: real near-dup
+    components are dense (a hub template connects its copies) and
+    finish in 2-3 rounds, so they never pay the extra labels-sized
+    self-join the jump costs. Converged when no label changes.
 
     Scale shape: each round is one shuffle join on vertex id over the
-    EDGE list (no per-cluster state concentrates anywhere — a
-    100M-member duplicate cluster never assembles on one executor);
-    ``localCheckpoint`` truncates the growing lineage each round. The
-    convergence probe is a driver-side count of changed labels — one
-    scalar per round, the standard Spark iterative-algorithm shape
-    (GraphFrames' own CC loop does the same).
+    EDGE list plus one labels-sized self-join for the jump (no
+    per-cluster state concentrates anywhere — a 100M-member duplicate
+    cluster never assembles on one executor); ``localCheckpoint``
+    truncates the growing lineage each round. The convergence probe is
+    a driver-side count of changed labels — one scalar per round, the
+    standard Spark iterative-algorithm shape (GraphFrames' own CC loop
+    does the same).
     """
     # Materialize the edge list ONCE: every iteration joins it, and its
     # lineage may be an entire LSH pipeline — without this each round
@@ -74,23 +80,45 @@ def neardup_clusters(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     converged = False
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        updated = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    "label", F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("_changed"),
-            )
-            .localCheckpoint(eager=True)
+        propagated = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.col("label").alias("prev"),
+            F.least("label", F.coalesce("nbr_label", F.col("label"))).alias(
+                "label"
+            ),
         )
+        if it >= 2:
+            # Pointer jump: follow one hop through the label's own
+            # label. Every label IS a vertex id present in `propagated`
+            # (labels start as ids and only ever take other labels'
+            # values), so the inner lookup join always hits. `prev`
+            # rides along so change detection needs no extra join.
+            parents = propagated.select(
+                F.col("id").alias("p_id"), F.col("label").alias("parent")
+            )
+            updated = (
+                propagated.join(parents, propagated.label == parents.p_id)
+                .select(
+                    "id",
+                    F.least("label", "parent").alias("label"),
+                    (F.least("label", "parent") < F.col("prev")).alias(
+                        "_changed"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+        else:
+            updated = propagated.select(
+                "id",
+                "label",
+                (F.col("label") < F.col("prev")).alias("_changed"),
+            ).localCheckpoint(eager=True)
         changed = updated.filter(F.col("_changed")).limit(1).count()
         labels = updated.drop("_changed")
         if changed == 0:
@@ -101,8 +129,8 @@ def neardup_clusters(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
         # several cluster_ids — downstream dedup keeps extra near-dups.
         raise RuntimeError(
             f"neardup_clusters did not converge within max_iterations="
-            f"{max_iterations}; a component's diameter exceeds the round "
-            f"budget — raise max_iterations (rounds needed = graph diameter)"
+            f"{max_iterations}; raise max_iterations (rounds needed grow "
+            f"with log2 of the largest component's diameter)"
         )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 

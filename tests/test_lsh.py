@@ -114,6 +114,20 @@ def test_neardup_clusters_raises_when_round_budget_too_small(spark):
     assert got == {1}
 
 
+def test_neardup_clusters_log_round_convergence(spark):
+    """Pointer jumping makes round count logarithmic in the diameter: a
+    diameter-40 chain must converge well inside 8 rounds (min-label
+    propagation alone would need 40)."""
+    chain = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(1, 41)]
+    )
+    got = {
+        r.cluster_id
+        for r in neardup_clusters(chain, max_iterations=8).collect()
+    }
+    assert got == {1}
+
+
 # ------------------------------------------------------------- IVF ANN
 def test_ivf_full_probe_equals_brute_force(spark, emb):
     """Probing every cell makes IVF provably exact: identical rows to
