@@ -139,6 +139,7 @@ def ivf_index(
     cell geometry). Returns (assignments(vec_id, centroid_id),
     centroids) — the centroid list is tiny (k x dim) and travels as a
     plan literal, never a shuffle."""
+    from pyspark import StorageLevel
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -148,7 +149,16 @@ def ivf_index(
             "features"
         ),
     )
-    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    # KMeans.fit iterates maxIter times over its input and does NOT
+    # cache it — uncached, every iteration would re-scan the parquet
+    # and re-build the vectors. MEMORY_AND_DISK so a 100 TB corpus
+    # spills instead of OOMing; released as soon as fit returns (the
+    # one transform() below re-derives train from source once).
+    train.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    finally:
+        train.unpersist()
     assigned = model.transform(train).select(
         "vec_id", F.col("prediction").alias("centroid_id")
     )

@@ -147,6 +147,102 @@ def docs_train_val_split(spark, sf_dir):
 
 
 @query(
+    "doc_unigram_logprob",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS tk FROM documents
+    ), vocab AS (
+      SELECT tk, count(*) AS cnt FROM tok GROUP BY tk
+    ), tot AS (SELECT sum(cnt) AS total FROM vocab)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_logprob
+    FROM tok JOIN vocab USING (tk), tot
+    GROUP BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark, sf_dir):
+    """Per-document mean token log-probability under a unigram model of
+    the corpus itself — the lightweight stand-in for CCNet-style LM
+    perplexity filtering (docs far below the corpus's typical logprob
+    are boilerplate/gibberish candidates; far above, repetitive). The
+    model IS the corpus term-frequency table, so the operator is fully
+    self-contained: one explode, one vocab aggregation, one join back.
+
+    Scale shape: the vocab is Zipf-bounded (vocabulary grows ~O(n^0.7),
+    millions of rows at 100 TB, not billions) and joins the token
+    stream by hash on the token string; AQE broadcast-promotes it when
+    it fits. The grand-total is a 1-row crossJoin literal. Nothing in
+    the plan materializes per-document state beyond the final
+    (doc_id, n, avg) aggregate.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    tok = docs.select("doc_id", F.explode(toks).alias("tk"))
+    vocab = tok.groupBy("tk").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    return (
+        tok.join(vocab, "tk")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("cnt").cast("double") / F.col("total"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+@query(
+    "docs_mixture_weights",
+    f"""
+    WITH s AS (
+      SELECT source, sum(len({_TOKS})) AS n_tokens
+      FROM documents GROUP BY source
+    ), sh AS (
+      SELECT source, n_tokens,
+             CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS share
+      FROM s
+    )
+    SELECT source, n_tokens, round(share, 6) AS token_share,
+           round(sqrt(share) / sum(sqrt(share)) OVER (), 6) AS temp_share
+    FROM sh
+    """,
+)
+def docs_mixture_weights(spark, sf_dir):
+    """Domain mixture weights by temperature sampling (T = 2, i.e.
+    share^(1/2) renormalized — the mT5/multilingual-corpus formula):
+    up-weights small domains, tempers dominant crawls. Output is the
+    per-source token budget table plus its raw and temperature-adjusted
+    shares — the knob a mixture builder multiplies into sampling rates.
+
+    Scale shape: one token-count aggregation (map-side combined) down
+    to |sources| rows; the two normalizations are partitionless windows
+    over that TINY frame (row count = number of domains, not data
+    size), which is exactly when an unpartitioned window is fine.
+    """
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    s = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.size(toks).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+    )
+    w = Window.partitionBy()
+    sh = s.withColumn(
+        "share", F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)
+    )
+    return sh.select(
+        "source",
+        "n_tokens",
+        F.round("share", 6).alias("token_share"),
+        F.round(
+            F.sqrt("share") / F.sum(F.sqrt("share")).over(w), 6
+        ).alias("temp_share"),
+    )
+
+
+@query(
     "docs_pack_sequences",
     f"""
     WITH d AS (

@@ -64,6 +64,8 @@ DEFERRED_TAIL = [
     "events_5s_resample",      # time-bucket agg twin of events_windowed_10min
     "dedup_by_key",            # key-dedup semantics proven by exact_dedup_keyset
     "report_rmse_naive",       # KPI twin of events_daily_kpis/report_corr_matrix
+    "top_customers",           # join+topk ⊂ regional_order_stats + orders_rank_topk
+    "profile_stats_orders",    # describe-profile twin of generated_ticks_profile
 ]
 
 

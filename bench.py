@@ -80,6 +80,7 @@ HEADLINE = [
     "doc_decontaminate",
     "docs_stratified_sample",
     "docs_pack_sequences",
+    "doc_unigram_logprob",
 ]
 
 

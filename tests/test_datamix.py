@@ -88,6 +88,49 @@ def test_train_val_split_stable_under_corpus_growth(spark, sf_dir, docs_pd):
     assert 0.03 < val_frac < 0.2  # ~10% modulo hash noise
 
 
+def test_unigram_logprob_matches_python_model(spark, sf_dir, docs_pd):
+    rows = QUERIES["doc_unigram_logprob"](spark, sf_dir).collect()
+    assert len(rows) == len(docs_pd)
+    import math
+    from collections import Counter
+
+    vocab = Counter()
+    doc_toks = {}
+    for did, text in zip(docs_pd.doc_id, docs_pd.text):
+        tk = [w for w in text.split(" ") if w]
+        doc_toks[int(did)] = tk
+        vocab.update(tk)
+    total = sum(vocab.values())
+    for r in rows[:25]:
+        tk = doc_toks[r.doc_id]
+        assert r.n_tokens == len(tk)
+        exp = sum(math.log(vocab[w] / total) for w in tk) / len(tk)
+        assert r.avg_logprob == pytest.approx(exp, abs=1e-5)
+    # every logprob is negative and finite (a unigram model over the
+    # corpus assigns every seen token p < 1)
+    assert all(r.avg_logprob < 0 for r in rows)
+
+
+def test_mixture_weights_temper_dominant_sources(spark, sf_dir, docs_pd):
+    rows = QUERIES["docs_mixture_weights"](spark, sf_dir).collect()
+    assert {r.source for r in rows} == set(docs_pd.source)
+    assert sum(r.token_share for r in rows) == pytest.approx(1.0, abs=1e-4)
+    assert sum(r.temp_share for r in rows) == pytest.approx(1.0, abs=1e-4)
+    shares = sorted(r.token_share for r in rows)
+    temps = sorted(r.temp_share for r in rows)
+    # temperature sampling compresses the spread: the ratio between the
+    # biggest and smallest domain strictly shrinks
+    assert temps[-1] / temps[0] < shares[-1] / shares[0]
+    # token budgets agree with an independent recount
+    exp = (
+        docs_pd.assign(nt=docs_pd.text.map(_n_tokens))
+        .groupby("source")
+        .nt.sum()
+        .to_dict()
+    )
+    assert {r.source: r.n_tokens for r in rows} == exp
+
+
 def test_pack_sequences_conserves_docs_and_tokens(spark, sf_dir, docs_pd):
     rows = QUERIES["docs_pack_sequences"](spark, sf_dir).collect()
     per_src_docs = docs_pd.groupby("source").size().to_dict()

@@ -26,6 +26,8 @@ MUST_BE_IN_WINDOW = [
     "docs_stratified_sample",
     "docs_train_val_split",
     "docs_pack_sequences",
+    "doc_unigram_logprob",
+    "docs_mixture_weights",
 ]
 
 
