@@ -66,6 +66,7 @@ DEFERRED_TAIL = [
     "report_rmse_naive",       # KPI twin of events_daily_kpis/report_corr_matrix
     "top_customers",           # join+topk ⊂ regional_order_stats + orders_rank_topk
     "profile_stats_orders",    # describe-profile twin of generated_ticks_profile
+    "union_account_balances",  # trivial union; silver melt pytest covers U1
 ]
 
 

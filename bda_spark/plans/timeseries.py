@@ -438,3 +438,60 @@ def events_asof_join(spark, sf_dir):
     return carried.filter(F.col("purchase_value").isNotNull()).select(
         "event_id", "ts", "purchase_value", "last_click_value"
     )
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 8 HOUR
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 8 HOUR AS session_end,
+           count(*) AS n_events, round(sum(value), 6) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Sessionization: group each user's event stream into activity
+    sessions separated by >= 8 h of silence — the gaps-and-islands
+    analysis the reference's fixed tumbling windows cannot express
+    (session boundaries follow the DATA, not the clock). Spark's native
+    ``session_window`` computes it as a single grouped aggregation;
+    the oracle derives identical islands via lag + running break-count.
+
+    Session end follows Spark's convention: last event + gap (the
+    session stays "open" one full gap past its last event), and an
+    event exactly at the previous event + gap starts a NEW session
+    (session windows are [start, end)).
+
+    Scale shape: one hash shuffle on user_id, then per-key in-memory
+    session merging — no window over the whole table, sessions never
+    cross keys, AQE handles skewed users. The 100 TB plan is identical.
+    """
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "8 hours").alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            r6(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

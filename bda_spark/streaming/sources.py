@@ -69,6 +69,26 @@ def file_replay_tick_stream(
     return decode_ticks(reader.text(directory))
 
 
+def dedup_ticks_within_watermark(
+    ticks: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Exactly-once tick semantics under at-least-once delivery: drop
+    records repeating a (symbol, timestamp) key within the watermark
+    horizon — Kafka redelivery and replayed files produce exactly such
+    duplicates (the reference's consumers would double-count them,
+    NEW_train_offset_3_10min.py ingests raw). ``dropDuplicatesWithinWatermark``
+    holds O(keys seen per watermark window) state instead of the
+    unbounded all-time key set plain ``dropDuplicates`` would keep —
+    the only dedup shape that survives an infinite stream."""
+    from ..functions.timeutils import event_time_from_millis
+
+    return (
+        ticks.withColumn("event_time", event_time_from_millis("timestamp"))
+        .withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["symbol", "timestamp"])
+    )
+
+
 def console_sink(df: DataFrame, mode: str = "append", available_now: bool = False):
     """S8: debug console sink (reference: stream_preprocessing.ipynb
     cells 5,8). ``available_now=True`` drains the source once and stops

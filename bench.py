@@ -81,6 +81,7 @@ HEADLINE = [
     "docs_stratified_sample",
     "docs_pack_sequences",
     "doc_unigram_logprob",
+    "events_sessionize",
 ]
 
 

@@ -28,6 +28,7 @@ MUST_BE_IN_WINDOW = [
     "docs_pack_sequences",
     "doc_unigram_logprob",
     "docs_mixture_weights",
+    "events_sessionize",
 ]
 
 

@@ -462,6 +462,37 @@ def test_fold_running_stats_chunking_invariant():
     assert m2 == pytest.approx(((v - v.mean()) ** 2).sum())
 
 
+def test_dedup_within_watermark_drops_redelivered_ticks(
+    spark, tick_dir, tmp_path_factory
+):
+    """At-least-once redelivery: the same tick file landed twice must
+    yield each (symbol, timestamp) exactly once downstream."""
+    import shutil
+
+    from bda_spark.streaming.sources import dedup_ticks_within_watermark
+
+    d = tmp_path_factory.mktemp("dup_ticks")
+    shutil.copy(f"{tick_dir}/bp.jsonl", d / "bp.jsonl")
+    shutil.copy(f"{tick_dir}/bp.jsonl", d / "bp_redelivered.jsonl")
+    deduped = dedup_ticks_within_watermark(
+        file_replay_tick_stream(spark, str(d))
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("deduped_ticks")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", str(tmp_path_factory.mktemp("dedup_ckpt"))
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    rows = spark.table("deduped_ticks").collect()
+    assert len(rows) == N_TICKS  # not 2x
+    assert len({(r.symbol, r.timestamp) for r in rows}) == N_TICKS
+
+
 # ------------------------------------------------------- console sink (S8)
 def test_console_sink_smoke(spark, tick_dir):
     """S8: the debug console sink drains an AvailableNow replay without
