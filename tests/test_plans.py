@@ -127,6 +127,8 @@ def test_exact_percentiles_aggregate_partially(spark):
         "events_interpolate_1h", "doc_repetition_scores", "doc_pii_scan",
         "scraped_articles", "generated_ticks_profile",
         "orders_rollup_totals", "lineitem_quantity_quantiles", "orders_rank_topk",
+        "doc_decontaminate", "docs_stratified_sample", "docs_train_val_split",
+        "docs_pack_sequences", "doc_unigram_logprob", "events_sessionize",
     ],
 )
 def test_no_cartesian_products(spark, name):
@@ -134,3 +136,44 @@ def test_no_cartesian_products(spark, name):
     BroadcastNestedLoopJoin — e.g. the anchored recency cutoff — is a
     deliberate, bounded pattern and stays allowed.)"""
     assert "CartesianProduct" not in _plan(spark, name)
+
+
+def test_stratified_sample_never_shuffles_the_corpus(spark):
+    """The sampler must be one corpus scan + a broadcast of the tiny
+    per-source counts: no Exchange may sit between the documents scan
+    and the filtering join (the counts side aggregates and broadcasts;
+    the corpus side stays put)."""
+    plan = _plan(spark, "docs_stratified_sample")
+    assert "BroadcastHashJoin" in plan
+    # corpus side of the join is the scan directly (no shuffle above it):
+    # the only Exchange nodes are the counts aggregation + broadcast
+    exchanges = re.findall(r"\n\(\d+\) (\w*Exchange)\b", plan)
+    assert all(e in ("Exchange", "BroadcastExchange") for e in exchanges)
+    assert len([e for e in exchanges if e == "Exchange"]) == 1  # counts agg only
+
+
+def test_pack_sequences_single_shuffle_reused_by_aggregate(spark):
+    """Packing shuffles ONCE on source; the final (source, seq_id)
+    aggregate must reuse that partitioning (source is a prefix of the
+    grouping key) instead of adding a second Exchange."""
+    plan = _plan(spark, "docs_pack_sequences")
+    assert len(re.findall(r"\n\(\d+\) Exchange\b", plan)) == 1
+    assert "Window" in plan
+
+
+def test_train_val_split_aggregates_partially(spark):
+    """The split table is a pure map-side-combined aggregation: exactly
+    one Exchange, with a partial_count/partial_sum below it."""
+    plan = _plan(spark, "docs_train_val_split")
+    assert len(re.findall(r"\n\(\d+\) Exchange\b", plan)) == 1
+    assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_sessionize_has_no_global_sort(spark):
+    """Session windows must stay per-user: no partitionless Sort/Window
+    over the whole event table."""
+    plan = _plan(spark, "events_sessionize")
+    assert "CartesianProduct" not in plan
+    # every Sort in the plan is partition-local (global=false)
+    for m in re.finditer(r"\n\(\d+\) Sort\b.*?Arguments: (.*)", plan):
+        assert "true" not in m.group(1).split(",")[-2:][0]
