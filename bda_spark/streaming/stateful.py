@@ -157,3 +157,83 @@ def running_feature_stats(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+BREAKOUT_SCHEMA = StructType(
+    [
+        StructField("symbol", StringType()),
+        StructField("timestamp", LongType()),
+        StructField("price", DoubleType()),
+        StructField("prev_high", DoubleType()),
+    ]
+)
+
+
+def breakout_highs(
+    ticks: DataFrame,
+    value_col: str = "price",
+    order_col: str = "timestamp",
+) -> DataFrame:
+    """Per-symbol record-high (breakout) detector on Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState`` with TYPED state variables. Emits one
+    row per new all-time high, carrying the previous high — a signal
+    windowed aggregation cannot express (output cadence follows the
+    DATA, state must survive arbitrarily many quiet micro-batches).
+
+    State is a single-value ``ValueState`` per symbol (the running
+    high), so the state store holds O(symbols) doubles forever —
+    unbounded streams at constant memory, same guarantee as
+    ``running_feature_stats`` but via the 4.x typed-state API.
+    Micro-batch chunks are concatenated and sorted once by
+    ``order_col`` before folding (order matters: each breakout
+    compares against the high BEFORE it).
+
+    Runtime gate: transformWithStateInPandas speaks protobuf to its
+    state server, so EXECUTING the query requires the ``protobuf``
+    package (absent in this container — the replay test skips itself;
+    plan construction and the output schema are still exercised).
+    ``running_feature_stats`` above covers the same T7 semantics on the
+    protobuf-free ``applyInPandasWithState`` API."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class HighWater(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._high = handle.getValueState("high", "high double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            (symbol,) = key
+            chunks = [pdf for pdf in rows if len(pdf)]
+            if not chunks:
+                return
+            batch = pd.concat(chunks, ignore_index=True).sort_values(order_col)
+            prev = self._high.get()
+            high = float(prev[0]) if prev is not None else None
+            out = []
+            for ts, price in zip(batch[order_col], batch[value_col]):
+                if pd.isna(price):
+                    continue
+                price = float(price)
+                if high is None or price > high:
+                    out.append(
+                        {
+                            "symbol": symbol,
+                            "timestamp": int(ts),
+                            "price": price,
+                            "prev_high": high,
+                        }
+                    )
+                    high = price
+            self._high.update((high,))
+            if out:
+                yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    return ticks.groupBy("symbol").transformWithStateInPandas(
+        HighWater(), BREAKOUT_SCHEMA, "append", "None"
+    )

@@ -462,6 +462,67 @@ def test_fold_running_stats_chunking_invariant():
     assert m2 == pytest.approx(((v - v.mean()) ** 2).sum())
 
 
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_breakout_highs_plan_and_schema(spark, tick_dir):
+    """The transformWithStateInPandas plan builds without execution and
+    carries the declared output schema (runs even without protobuf)."""
+    from bda_spark.streaming.stateful import BREAKOUT_SCHEMA, breakout_highs
+
+    df = breakout_highs(file_replay_tick_stream(spark, tick_dir))
+    assert df.isStreaming
+    assert df.schema == BREAKOUT_SCHEMA
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas state server needs protobuf "
+    "(not installed in this container)",
+)
+def test_breakout_highs_state_carries_across_micro_batches(
+    spark, tmp_path_factory
+):
+    """transformWithStateInPandas (T7, Spark-4 typed-state API): record
+    highs are emitted exactly when beaten, and the running high
+    survives micro-batch boundaries (maxFilesPerTrigger=1 makes each
+    file its own batch)."""
+    from bda_spark.streaming.stateful import breakout_highs
+
+    d = tmp_path_factory.mktemp("breakout_ticks")
+    batch1 = [100.0, 95.0, 105.0, 101.0]
+    batch2 = [103.0, 110.0, 70.0]
+    for fname, prices, off in (("a.jsonl", batch1, 0), ("b.jsonl", batch2, 10)):
+        with open(d / fname, "w") as f:
+            for j, p in enumerate(prices):
+                f.write(json.dumps(dict(_bp_tick(off + j), price=p)) + "\n")
+    stats = breakout_highs(
+        file_replay_tick_stream(spark, str(d), max_files_per_trigger=1)
+    )
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("breakouts")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", str(tmp_path_factory.mktemp("hw_ckpt"))
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    rows = sorted(spark.table("breakouts").collect(), key=lambda r: r.timestamp)
+    got = [(r.price, r.prev_high) for r in rows]
+    # batch1: 100 (fresh), 105 (beats 100); batch2: 110 (beats the 105
+    # carried in ValueState across the batch boundary)
+    assert got == [(100.0, None), (105.0, 100.0), (110.0, 105.0)]
+
+
 def test_dedup_within_watermark_drops_redelivered_ticks(
     spark, tick_dir, tmp_path_factory
 ):
