@@ -295,3 +295,47 @@ def docs_pack_sequences(spark, sf_dir):
             F.sum("n_tokens").alias("seq_tokens"),
         )
     )
+
+
+def pack_sequences_salted(docs, seq_len: int = 128, n_buckets: int = 8):
+    """Scale twin of ``docs_pack_sequences`` for mega-sources: sub-bucket
+    each source by document hash (the same Knuth scheme as the sampler,
+    third multiplier-free modulus) so no single dominant source
+    serializes into one partition's window sort — the salting promised
+    in the packing docstring, same trick the LSH operators use. Each
+    (source, salt) stream packs independently in deterministic doc_id
+    order; the cost is at most ``n_buckets - 1`` extra boundary
+    sequences per source, and the conservation laws (every doc packed
+    exactly once, every token accounted) are unchanged.
+
+    Bench-only (no oracle row): the unsalted sibling carries the
+    DuckDB oracle; this one is pinned by conservation tests.
+    """
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    d = docs.select(
+        "doc_id",
+        "source",
+        ((F.col("doc_id") * F.lit(_H_SAMPLE)) % F.lit(_H_MOD) % n_buckets).alias(
+            "salt"
+        ),
+        F.size(toks).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source", "salt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.withColumn(
+            "seq_id",
+            F.floor(
+                (F.col("cum") - F.col("n_tokens")) / float(seq_len)
+            ).cast("bigint"),
+        )
+        .groupBy("source", "salt", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+    )

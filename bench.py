@@ -245,6 +245,17 @@ def main() -> None:
         best = min(best, time.time() - t0)
     timings["lineitem_quantiles_approx"] = round(best, 3)
 
+    # Bench-only scale twin: sub-bucketed sequence packing (no single
+    # mega-source serializes one partition's window sort).
+    from bda_spark.plans.datamix import pack_sequences_salted
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        pack_sequences_salted(load_table(spark, sf_dir, "documents")).collect()
+        best = min(best, time.time() - t0)
+    timings["docs_pack_sequences_salted"] = round(best, 3)
+
     # Medallion end-to-end (bronze fixture prep is untimed setup).
     # Same min-of-2 policy as the queries: each run re-executes the full
     # job against a fresh output dir, only session noise is elided.

@@ -131,6 +131,64 @@ def test_mixture_weights_temper_dominant_sources(spark, sf_dir, docs_pd):
     assert {r.source: r.n_tokens for r in rows} == exp
 
 
+def test_salted_packing_conserves_and_bounds_overhead(spark, sf_dir, docs_pd):
+    """The mega-source scale twin: sub-bucketed packing keeps the
+    conservation laws and costs at most (n_buckets - 1) extra boundary
+    sequences per source vs the unsalted manifest."""
+    from bda_spark.plans.datamix import _H_MOD, _H_SAMPLE, pack_sequences_salted
+    from bda_spark.sources.batch import load_table
+
+    n_buckets = 4
+    rows = pack_sequences_salted(
+        load_table(spark, sf_dir, "documents"), seq_len=128, n_buckets=n_buckets
+    ).collect()
+    # conservation across salts
+    per_src_docs, per_src_tokens = {}, {}
+    for r in rows:
+        assert 0 <= r.salt < n_buckets
+        per_src_docs[r.source] = per_src_docs.get(r.source, 0) + r.n_docs
+        per_src_tokens[r.source] = per_src_tokens.get(r.source, 0) + r.seq_tokens
+    assert per_src_docs == docs_pd.groupby("source").size().to_dict()
+    exp_tokens = (
+        docs_pd.assign(nt=docs_pd.text.map(_n_tokens))
+        .groupby("source")
+        .nt.sum()
+        .to_dict()
+    )
+    assert per_src_tokens == exp_tokens
+    # bounded boundary overhead vs the unsalted packing
+    unsalted = QUERIES["docs_pack_sequences"](spark, sf_dir).collect()
+    n_unsalted = {}
+    for r in unsalted:
+        n_unsalted[r.source] = n_unsalted.get(r.source, 0) + 1
+    n_salted = {}
+    for r in rows:
+        n_salted[r.source] = n_salted.get(r.source, 0) + 1
+    for src, n in n_salted.items():
+        assert n <= n_unsalted[src] + (n_buckets - 1)
+    # full manifest matches an independent Python recompute
+    expected = {}
+    for _, row in docs_pd.sort_values("doc_id").iterrows():
+        salt = int(row.doc_id) * _H_SAMPLE % _H_MOD % n_buckets
+        key = (row.source, salt)
+        offset = expected.setdefault(key, {"offset": 0, "seqs": {}})
+        sid = offset["offset"] // 128
+        seq = offset["seqs"].setdefault(sid, [0, 0])
+        nt = _n_tokens(row.text)
+        seq[0] += 1
+        seq[1] += nt
+        offset["offset"] += nt
+    got = {
+        (r.source, r.salt, r.seq_id): (r.n_docs, r.seq_tokens) for r in rows
+    }
+    exp_flat = {
+        (src, salt, sid): tuple(v)
+        for (src, salt), d in expected.items()
+        for sid, v in d["seqs"].items()
+    }
+    assert got == exp_flat
+
+
 def test_pack_sequences_conserves_docs_and_tokens(spark, sf_dir, docs_pd):
     rows = QUERIES["docs_pack_sequences"](spark, sf_dir).collect()
     per_src_docs = docs_pd.groupby("source").size().to_dict()
