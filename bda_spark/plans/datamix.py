@@ -64,15 +64,11 @@ def doc_decontaminate(spark, sf_dir):
     side broadcast-joins and the corpus is never shuffled at all; here
     the bench side is 1/7 of the table, so AQE picks the strategy.
     """
-    g = shingles(t(spark, sf_dir, "documents"), n=DECONTAM_NGRAM)
-    bench = (
-        g.filter(F.col("doc_id") % 7 == 0).select("shingle").distinct()
-    )
-    return (
-        g.filter(F.col("doc_id") % 7 != 0)
-        .join(bench, "shingle")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hit_grams"))
+    docs = t(spark, sf_dir, "documents")
+    return contamination_hits(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        broadcast_benchmark=False,  # bench side is 1/7 of the corpus here
     )
 
 
@@ -338,4 +334,57 @@ def pack_sequences_salted(docs, seq_len: int = 128, n_buckets: int = 8):
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("seq_tokens"),
         )
+    )
+
+
+def contamination_hits(
+    docs,
+    benchmark,
+    n: int = DECONTAM_NGRAM,
+    broadcast_benchmark: bool = True,
+):
+    """The library form of ``doc_decontaminate``: flag rows of ``docs``
+    sharing any n-token shingle with an EXTERNAL ``benchmark`` frame
+    (both need doc_id + text). Returns (doc_id, n_hit_grams).
+
+    A real evaluation suite is thousands of documents against a corpus
+    of billions, so its distinct-gram set is forced to the broadcast
+    side by default and the training corpus is never shuffled; pass
+    ``broadcast_benchmark=False`` when the benchmark is a meaningful
+    fraction of the corpus (as in the self-contained registry query)
+    and AQE picks the join side. Shingling is shared with the MinHash
+    pipeline (operators.dedup.shingles)."""
+    g = shingles(docs, n=n)
+    bg = shingles(benchmark, n=n).select("shingle").distinct()
+    if broadcast_benchmark:
+        bg = F.broadcast(bg)
+    return (
+        g.join(bg, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+
+
+def quality_percentile_filter(
+    scored,
+    score_col: str,
+    keep_frac: float = 0.9,
+    by: str = "source",
+):
+    """Keep each domain's top ``keep_frac`` of documents by a quality
+    score — RELATIVE thresholds per source, the way production quality
+    gates are run (an absolute cutoff tuned on one domain guts
+    another). ``scored`` is any frame carrying ``by`` + ``score_col``
+    (e.g. the output of doc_quality_scores or doc_unigram_logprob
+    joined back to documents).
+
+    percent_rank is a per-``by``-partition window: each domain sorts
+    only its own rows, domains in parallel — same scale shape as the
+    sequence packer, same sub-bucketing escape hatch if one domain
+    dominates (at the cost of approximate cut points)."""
+    w = Window.partitionBy(by).orderBy(F.col(score_col).desc())
+    return (
+        scored.withColumn("_pr", F.percent_rank().over(w))
+        .filter(F.col("_pr") <= keep_frac)
+        .drop("_pr")
     )

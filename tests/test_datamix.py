@@ -131,6 +131,55 @@ def test_mixture_weights_temper_dominant_sources(spark, sf_dir, docs_pd):
     assert {r.source: r.n_tokens for r in rows} == exp
 
 
+def test_contamination_hits_external_benchmark(spark):
+    """The library form takes a SEPARATE benchmark table: docs sharing
+    a 13-gram are flagged with the exact overlap count, clean docs are
+    absent, and the benchmark side broadcasts."""
+    from pyspark.sql import Row
+
+    from bda_spark.plans.datamix import contamination_hits
+
+    run = " ".join(f"w{i}" for i in range(13))  # the shared 13-gram
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"intro {run} outro"),
+            Row(doc_id=2, text=" ".join(f"x{i}" for i in range(20))),
+        ]
+    )
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text=f"other words {run} trailing stuff here")]
+    )
+    out = contamination_hits(docs, bench)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the hint forces the bench side
+    rows = {r.doc_id: r.n_hit_grams for r in out.collect()}
+    assert rows == {1: 1}
+
+
+def test_quality_percentile_filter_is_per_source(spark):
+    """Relative gate: each source keeps its own top fraction, so a
+    uniformly weaker source is not wiped out by a global cutoff."""
+    from pyspark.sql import Row
+
+    from bda_spark.plans.datamix import quality_percentile_filter
+
+    rows = [
+        Row(doc_id=i, source="strong", score=float(100 + i)) for i in range(10)
+    ] + [Row(doc_id=100 + i, source="weak", score=float(i)) for i in range(10)]
+    out = quality_percentile_filter(
+        spark.createDataFrame(rows), "score", keep_frac=0.5, by="source"
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    # percent_rank <= 0.5 keeps the top 5 of each 10 (ranks 1-5 have
+    # pr 0, 1/9 .. 4/9; rank 6 is 5/9 > 0.5)
+    assert by_src == {
+        "strong": {5, 6, 7, 8, 9},
+        "weak": {105, 106, 107, 108, 109},
+    }
+
+
 def test_salted_packing_conserves_and_bounds_overhead(spark, sf_dir, docs_pd):
     """The mega-source scale twin: sub-bucketed packing keeps the
     conservation laws and costs at most (n_buckets - 1) extra boundary
