@@ -266,3 +266,76 @@ def minhash_neardup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def minhash_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """The PERSISTABLE corpus-side artifact for incremental dedup: one
+    signature row per document (doc_id, n_shingles, mh0..mh{k-1}).
+    Write it to parquet once per corpus build; daily increments then
+    dedup against it WITHOUT re-shingling the corpus (the production
+    shape — re-running all-pairs LSH over 100 TB per daily batch would
+    dwarf the batch itself)."""
+    return minhash_signatures(shingles(docs, id_col, text_col, ngram), num_hashes, seed)
+
+
+def minhash_match_new(
+    new_docs: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 64,
+    band_rows: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental near-dup detection: match a NEW batch against a
+    prebuilt ``minhash_index`` (same ngram/num_hashes/seed — the hash
+    family must be identical or signatures are incomparable). Returns
+    (new_id, corpus_id, est_jaccard) for pairs whose ESTIMATED Jaccard
+    (fraction of agreeing minhashes — the standard unbiased estimator,
+    stderr ~ 1/sqrt(k) ~ 0.125 at k=64) clears the threshold.
+
+    Candidates come from band-key collisions (new side x index side
+    only — the corpus is never self-joined), estimation from the two
+    signature rows alone: the corpus TEXT is never touched, which is
+    the point. Batch-exact verification, if wanted, is a follow-up
+    join of the candidate pairs against corpus text via
+    ``ngram_jaccard``-style intersection counting.
+    """
+    new_sigs = minhash_index(new_docs, id_col, text_col, ngram, num_hashes, seed)
+    nb = band_keys(new_sigs, num_hashes, band_rows).withColumnRenamed(
+        "doc_id", "new_id"
+    )
+    cb = band_keys(index, num_hashes, band_rows).withColumnRenamed(
+        "doc_id", "corpus_id"
+    )
+    cands = nb.join(cb, "band_key").select("new_id", "corpus_id").distinct()
+    mh_new = new_sigs.select(
+        F.col("doc_id").alias("new_id"),
+        *[F.col(f"mh{k}").alias(f"a{k}") for k in range(num_hashes)],
+    )
+    mh_idx = index.select(
+        F.col("doc_id").alias("corpus_id"),
+        *[F.col(f"mh{k}").alias(f"b{k}") for k in range(num_hashes)],
+    )
+    agree = sum(
+        (F.col(f"a{k}") == F.col(f"b{k}")).cast("int") for k in range(num_hashes)
+    )
+    return (
+        cands.join(mh_new, "new_id")
+        .join(mh_idx, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            (agree / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )

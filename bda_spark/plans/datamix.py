@@ -388,3 +388,61 @@ def quality_percentile_filter(
         .filter(F.col("_pr") <= keep_frac)
         .drop("_pr")
     )
+
+
+@query(
+    "doc_chunks_overlap",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), sized AS (
+      SELECT doc_id, tk, len(tk) AS n,
+             CASE WHEN len(tk) <= 64 THEN 1
+                  ELSE 1 + CAST(ceil((len(tk) - 64) / 48.0) AS BIGINT)
+             END AS nc
+      FROM toks WHERE len(tk) > 0
+    )
+    SELECT doc_id, i AS chunk_id,
+           len(tk[i * 48 + 1 : i * 48 + 64]) AS n_chunk_tokens,
+           md5(array_to_string(tk[i * 48 + 1 : i * 48 + 64], ' ')) AS chunk_md5
+    FROM sized, unnest(generate_series(0, nc - 1)) AS u(i)
+    """,
+)
+def doc_chunks_overlap(spark, sf_dir):
+    """Sliding-window document chunking (64-token chunks, stride 48 →
+    16-token overlap): the retrieval / context-window prep step that
+    turns documents into embeddable passages. Chunk content is pinned
+    by md5 of the joined tokens, so the oracle comparison proves the
+    byte-exact text of every chunk, not just counts.
+
+    Registered in the DEFERRED_TAIL (the driver's 50-row window is
+    full); verified on every pytest run by test_oracle_queries.
+
+    Scale shape: pure per-row expression work — split once, emit
+    ceil-ratio many slices via posexplode; no shuffle at all until a
+    downstream consumer aggregates. The 64/48 numbers are test-data
+    sized (docs here are ~25-100 tokens); production uses e.g.
+    512/384 with the identical plan.
+    """
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("tk")
+    ).withColumn("n", F.size("tk")).filter(F.col("n") > 0)
+    nc = F.when(F.col("n") <= 64, F.lit(1)).otherwise(
+        (F.ceil((F.col("n") - 64) / 48.0) + 1).cast("bigint")
+    )
+    chunk = F.slice("tk", F.col("chunk_id") * 48 + 1, 64)
+    return (
+        d.withColumn("nc", nc)
+        .select(
+            "doc_id",
+            "tk",
+            F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+        )
+    )

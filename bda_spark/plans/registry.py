@@ -67,6 +67,7 @@ DEFERRED_TAIL = [
     "top_customers",           # join+topk ⊂ regional_order_stats + orders_rank_topk
     "profile_stats_orders",    # describe-profile twin of generated_ticks_profile
     "union_account_balances",  # trivial union; silver melt pytest covers U1
+    "doc_chunks_overlap",      # born post-cap; md5-pinned by pytest oracle run
 ]
 
 

@@ -114,6 +114,41 @@ def test_neardup_clusters_raises_when_round_budget_too_small(spark):
     assert got == {1}
 
 
+def test_incremental_dedup_matches_new_batch_against_index(spark, tmp_path):
+    """The production incremental shape: persist the corpus signature
+    index once, then match a NEW batch against it — the near-dup of a
+    corpus doc is found with high estimated Jaccard, the fresh doc is
+    not flagged, and the corpus text is never re-read."""
+    from bda_spark.operators.dedup import minhash_index, minhash_match_new
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text="totally different words " * 10),
+            Row(doc_id=3, text="yet another unrelated document body " * 8),
+        ]
+    )
+    idx_path = str(tmp_path / "mh_index")
+    minhash_index(corpus).write.parquet(idx_path)  # the persisted artifact
+    index = spark.read.parquet(idx_path)
+
+    new_batch = spark.createDataFrame(
+        [
+            Row(doc_id=101, text=base + "tail variation words"),  # near-dup of 1
+            Row(doc_id=102, text="completely fresh content here " * 9),
+        ]
+    )
+    got = minhash_match_new(new_batch, index, threshold=0.5).collect()
+    assert {(r.new_id, r.corpus_id) for r in got} == {(101, 1)}
+    assert all(r.est_jaccard > 0.5 for r in got)
+    # determinism: same seeds -> identical estimate on rerun
+    again = minhash_match_new(new_batch, index, threshold=0.5).collect()
+    assert {(r.new_id, r.corpus_id, r.est_jaccard) for r in again} == {
+        (r.new_id, r.corpus_id, r.est_jaccard) for r in got
+    }
+
+
 def test_neardup_clusters_log_round_convergence(spark):
     """Pointer jumping makes round count logarithmic in the diameter: a
     diameter-40 chain must converge well inside 8 rounds (min-label
