@@ -173,6 +173,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    max_iter: int = 10,
 ) -> DataFrame:
     """IVF-style ANN top-k: assign the corpus to KMeans cells once,
     probe each query's ``n_probe`` nearest cells, exact-cosine rerank
@@ -192,7 +193,7 @@ def ivf_topk(
     with ``n_probe = n_centroids`` every cell is probed and the result
     is EXACTLY brute force (the correctness row runs that regime; the
     recall/speed trade of partial probing is pinned in pytest)."""
-    assigned, centroids = ivf_index(embeddings, n_centroids, seed)
+    assigned, centroids = ivf_index(embeddings, n_centroids, seed, max_iter)
     cent_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
     )

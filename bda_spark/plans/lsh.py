@@ -201,7 +201,11 @@ def ivf_topk_q(spark, sf_dir):
     trade (the actual 100 TB regime) is pinned by tests/test_lsh.py."""
     e = t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
-    topk = ivf_topk(e, queries, k=5, n_centroids=16, n_probe=16)
+    # Full probe is exact whatever the centroids, so the quantizer only
+    # needs enough iterations to partition the space — 2, not the
+    # quality-tuned 10 the partial-probe regime uses (each extra KMeans
+    # iteration is a full corpus pass).
+    topk = ivf_topk(e, queries, k=5, n_centroids=16, n_probe=16, max_iter=2)
     return topk.select(
         "query_id", "neighbor_id", r6(F.col("cosine")).alias("cosine"), "rk"
     )
