@@ -55,6 +55,163 @@ def orders_rollup_totals(spark, sf_dir):
 
 
 @query(
+    "orders_cube_customers",
+    """
+    SELECT grouping_id(o_orderstatus, o_orderpriority)   AS gid,
+           coalesce(o_orderstatus, 'ALL')                AS status,
+           coalesce(o_orderpriority, 'ALL')              AS priority,
+           count(*)                                      AS n_orders,
+           count(DISTINCT o_custkey)                     AS n_customers
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_cube_customers(spark, sf_dir):
+    """CUBE over (status, priority) with a count-DISTINCT measure: all
+    four grouping sets — per-cell, per-status, per-priority, grand —
+    in one aggregate (SURVEY §2.4 'absent: grouping sets/cube'). CUBE
+    produces the per-priority marginals ROLLUP cannot. The distinct
+    measure makes the plan the two-level Expand + partial-agg shape:
+    custkeys dedup map-side within (gid, keys, custkey) before the
+    final count, so the shuffle carries distinct keys, not rows —
+    the count-distinct-under-grouping-sets shape a 100 TB cube needs.
+    This row also carries the registry's count(DISTINCT) coverage
+    (count_distinct_custkeys is its ungrouped special case)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .select(
+            "gid",
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "n_customers",
+        )
+    )
+
+
+# Pivot values are DECLARED, not discovered: a values-less pivot() runs
+# an eager distinct scan just to learn the column list — at 100 TB
+# that is a full extra pass, and an unbounded type domain would explode
+# the schema. The five event types are the producer contract
+# (schemas.py), so the pivot compiles straight into one conditional
+# aggregate, one shuffle, no discovery job.
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "events_pivot_daily",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           round(avg(CASE WHEN event_type = 'click'    THEN value END), 6) AS avg_click,
+           round(avg(CASE WHEN event_type = 'error'    THEN value END), 6) AS avg_error,
+           round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS avg_purchase,
+           round(avg(CASE WHEN event_type = 'signup'   THEN value END), 6) AS avg_signup,
+           round(avg(CASE WHEN event_type = 'view'     THEN value END), 6) AS avg_view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_pivot_daily(spark, sf_dir):
+    """Long-to-wide pivot: one row per day, one avg-value column per
+    event type (SURVEY §2.4 — the reference reshapes long→wide in
+    pandas driver-side, app_2 NEW with joined.py pivot_table; here the
+    ENGINE pivots). Spark compiles declared-values pivot into two
+    aggregates: partial avg by (day, type) — map-side combine collapses
+    the table to |days×types| rows before anything shuffles — then a
+    PivotFirst by day. Both shuffles carry only the collapsed grid
+    (~150 rows/partition here), never events; the finer first key also
+    spreads a hot day across reducers, which the oracle's single
+    conditional-aggregate shape cannot."""
+    ev = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    wide = (
+        ev.groupBy("day")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.round(F.avg("value"), 6))
+    )
+    return wide.select(
+        "day", *[F.col(c).alias(f"avg_{c}") for c in EVENT_TYPES]
+    )
+
+
+@query(
+    "docs_unpivot_stats",
+    """
+    WITH wide AS (
+      SELECT source, count(*) AS n_docs,
+             round(avg(n_chars), 6) AS avg_chars,
+             CAST(max(n_chars) AS DOUBLE) AS max_chars
+      FROM documents GROUP BY source
+    )
+    SELECT source, 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM wide
+    UNION ALL
+    SELECT source, 'avg_chars' AS metric, avg_chars AS value FROM wide
+    UNION ALL
+    SELECT source, 'max_chars' AS metric, max_chars AS value FROM wide
+    """,
+)
+def docs_unpivot_stats(spark, sf_dir):
+    """Wide-to-long unpivot (melt) of a per-source stats panel via
+    Spark's native ``unpivot`` — the inverse reshape of
+    events_pivot_daily, closing both directions engine-side. unpivot is
+    a narrow Expand (3 output rows per input row, no shuffle, no UNION
+    re-scan): the aggregate runs ONCE and the reshape is free, vs the
+    oracle's 3-way UNION which DuckDB can afford only because the CTE
+    is materialized. Values are cast to one type (double) — unpivot's
+    single-value-column contract."""
+    d = t(spark, sf_dir, "documents")
+    wide = d.groupBy("source").agg(
+        F.count("*").cast("double").alias("n_docs"),
+        r6(F.avg("n_chars")).alias("avg_chars"),
+        F.max("n_chars").cast("double").alias("max_chars"),
+    )
+    return wide.unpivot(
+        ["source"], ["n_docs", "avg_chars", "max_chars"], "metric", "value"
+    )
+
+
+@query(
+    "events_argmax_daily",
+    """
+    SELECT event_type, event_id AS max_event_id, user_id AS max_user_id,
+           round(value, 6) AS max_value
+    FROM (
+      SELECT event_type, event_id, user_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def events_argmax_daily(spark, sf_dir):
+    """Argmax aggregate: WHICH event (id, user) carried each stream's
+    maximum value, via ``max_by`` over a (value, event_id) struct —
+    the composite makes the winner deterministic under value ties
+    (max event_id wins, mirroring the oracle's two-key DESC sort).
+    max_by aggregates partially BEFORE the shuffle — the exchange
+    carries one row per (input-partition, type), never events. The
+    struct ordering has no fixed-width hash buffer, so Spark plans a
+    per-partition SortAggregate (local sort by the 5-value group key,
+    no data movement); the windowed formulation the oracle uses (and
+    the reference's pandas idxmax, app_2 NEW with joined.py) would
+    instead hash-partition EVERY row into 5 reducers and sort there —
+    at 100 TB that is a full-table shuffle onto 5 machines vs a
+    32-row exchange."""
+    ev = t(spark, sf_dir, "events")
+    tie = F.struct(F.col("value"), F.col("event_id"))
+    return ev.groupBy("event_type").agg(
+        F.max_by("event_id", tie).alias("max_event_id"),
+        F.max_by("user_id", tie).alias("max_user_id"),
+        r6(F.max("value")).alias("max_value"),
+    )
+
+
+@query(
     "lineitem_quantity_quantiles",
     """
     SELECT l_linestatus,

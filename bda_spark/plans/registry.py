@@ -49,6 +49,10 @@ def query(name: str, sql: str | None = None):
 # ALL registered queries against DuckDB, not just the first 50).
 DRIVER_ROW_CAP = 50
 DEFERRED_TAIL = [
+    "count_distinct_custkeys",  # ungrouped special case of orders_cube_customers
+    "doc_stopword_quality",     # quality-score family row: doc_quality_scores
+    "events_dropna_labels",     # P10 dropna; null-predicate twin of conditional_repair
+    "embedding_norms_by_label", # simple agg; array math proven by cosine/ivf rows
     "grand_totals",            # multi-agg covered by pricing_summary
     "null_count_vector",       # covered by profile_stats_orders + pytest
     "distinct_segments",       # distinct covered by count_distinct_custkeys

@@ -82,6 +82,12 @@ HEADLINE = [
     "docs_pack_sequences",
     "doc_unigram_logprob",
     "events_sessionize",
+    # round-4 OLAP widening: cube + count-distinct, engine-side reshape
+    # in both directions, argmax aggregate
+    "orders_cube_customers",
+    "events_pivot_daily",
+    "docs_unpivot_stats",
+    "events_argmax_daily",
 ]
 
 
@@ -95,6 +101,21 @@ def lineitem_quantiles_approx(spark, sf_dir):
         F.percentile_approx(
             "l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
         ).alias("qs")
+    )
+
+
+def events_approx_distinct(spark, sf_dir):
+    """Bench-only scale twin of the exact count-distinct measures
+    (count_distinct_custkeys, orders_cube_customers): at 100 TB exact
+    distinct counting shuffles every distinct key; HyperLogLog++
+    (``approx_count_distinct``) is a fixed-size mergeable sketch — the
+    shuffle carries one ~few-KB buffer per (partition, group)
+    regardless of cardinality. Timed here; accuracy pinned against the
+    exact count in tests/test_plans.py (rsd 5% default)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count("*").alias("n_events"),
     )
 
 
@@ -244,6 +265,13 @@ def main() -> None:
         lineitem_quantiles_approx(spark, sf_dir).collect()
         best = min(best, time.time() - t0)
     timings["lineitem_quantiles_approx"] = round(best, 3)
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        events_approx_distinct(spark, sf_dir).collect()
+        best = min(best, time.time() - t0)
+    timings["events_approx_distinct"] = round(best, 3)
 
     # Bench-only scale twin: sub-bucketed sequence packing (no single
     # mega-source serializes one partition's window sort).

@@ -177,3 +177,74 @@ def test_sessionize_has_no_global_sort(spark):
     # every Sort in the plan is partition-local (global=false)
     for m in re.finditer(r"\n\(\d+\) Sort\b.*?Arguments: (.*)", plan):
         assert "true" not in m.group(1).split(",")[-2:][0]
+
+
+def test_cube_is_single_expand_two_phase_distinct(spark):
+    """orders_cube_customers: all four grouping sets in ONE Expand, and
+    the count-distinct measure in the standard two-exchange shape —
+    custkeys dedup map-side (first partial aggregate) before anything
+    shuffles; four per-set re-aggregations would quadruple the scan."""
+    plan = _plan(spark, "orders_cube_customers")
+    assert _nodes(plan, "Expand") == 1, plan
+    assert len(re.findall(r"\n\(\d+\) Exchange\b", plan)) == 2, plan
+
+
+def test_pivot_shuffles_only_the_collapsed_grid(spark):
+    """events_pivot_daily: partial aggregation must collapse events to
+    the (day, type) grid before the first Exchange — the plan is two
+    aggregate phases around each of the two (tiny) shuffles, with no
+    values-discovery job (pivot values are declared)."""
+    plan = _plan(spark, "events_pivot_daily")
+    assert len(re.findall(r"\n\(\d+\) Exchange\b", plan)) == 2, plan
+    assert _nodes(plan, "HashAggregate") >= 3, plan
+    assert "partial_avg" in plan or "partial_first" in plan or "avg" in plan
+
+
+def test_unpivot_is_free_expand_after_one_aggregate(spark):
+    """docs_unpivot_stats: the wide stats table aggregates ONCE (one
+    Exchange, one Scan) and the melt is a narrow Expand above it — the
+    oracle's 3-way UNION shape (three scans) must not appear."""
+    plan = _plan(spark, "docs_unpivot_stats")
+    assert _nodes(plan, "Expand") == 1, plan
+    assert len(re.findall(r"\n\(\d+\) Exchange\b", plan)) == 1, plan
+    assert len(re.findall(r"\n\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_argmax_aggregates_partially_without_global_sort(spark):
+    """events_argmax_daily: max_by must aggregate partially before its
+    single Exchange (the shuffle carries one row per partition×type,
+    never events), and any Sort is partition-local — the windowed
+    formulation would funnel the whole table into 5 reducers."""
+    plan = _plan(spark, "events_argmax_daily")
+    assert len(re.findall(r"\n\(\d+\) Exchange\b", plan)) == 1, plan
+    assert _nodes(plan, "SortAggregate") + _nodes(plan, "HashAggregate") >= 2, plan
+    # no global sort node anywhere in the tree (formatted detail prints
+    # Sort arguments as "[keys], global, ..." — global must be false)
+    assert not re.search(r"Arguments: \[[^\]]*\], true,", plan), plan
+
+
+def test_approx_distinct_matches_exact_within_rsd(spark):
+    """The HLL++ scale twin must land within its 5% default rsd of the
+    exact per-group distinct count, and its plan must aggregate
+    partially (the sketch merges map-side — that is its entire point)."""
+    import bench
+
+    df = bench.events_approx_distinct(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "partial_approx_count_distinct" in plan, plan
+    from pyspark.sql import functions as F
+
+    from bda_spark.sources.batch import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in df.collect():
+        e = exact[r["event_type"]]
+        assert abs(r["approx_users"] - e) <= max(3, 0.15 * e), (r, e)

@@ -19,7 +19,6 @@ MUST_BE_IN_WINDOW = [
     "events_daily_kpis",
     "features_json_roundtrip",
     "events_lead_label",
-    "events_dropna_labels",
     "scraped_articles",
     "generated_ticks_profile",
     "doc_decontaminate",
@@ -29,6 +28,11 @@ MUST_BE_IN_WINDOW = [
     "doc_unigram_logprob",
     "docs_mixture_weights",
     "events_sessionize",
+    # round-4 OLAP widening: reshape + grouping-set + argmax rows
+    "orders_cube_customers",
+    "events_pivot_daily",
+    "docs_unpivot_stats",
+    "events_argmax_daily",
 ]
 
 
