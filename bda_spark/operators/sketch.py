@@ -1,0 +1,122 @@
+"""Sketch-based membership: a blocked Bloom filter in pure DataFrame
+algebra (no driver-side sketch object, no UDF).
+
+The 100 TB decontamination / blocklist problem: "does this n-gram /
+URL / doc hash appear in a reference set" at corpus scale. An exact
+equi-join must move the full distinct reference set (and, if neither
+side broadcasts, shuffle the corpus). A Bloom filter caps the
+reference side at a FIXED size — ``m_words`` 64-bit words, a few MB
+regardless of reference cardinality — at the cost of tunable false
+positives and ZERO false negatives, which makes it the ideal
+*prefilter*: prune the corpus with the broadcast bitmap, then run the
+exact join only on survivors (false positives die there, so the final
+answer is exact — the standard two-phase shape).
+
+Variant: a BLOCKED Bloom filter (Putze/Sanders/Singler 2009 — the
+cache-line variant carried into production filters, e.g. RocksDB's).
+All k probe bits of an item land in ONE 64-bit word:
+
+    word(x) = xxhash64(x)        mod m_words        (block selector)
+    mask(x) = OR of k bits taken from 6-bit slices of
+              xxhash64(x, seed)                     (bits in block)
+
+so BUILD is one narrow projection + ``bit_or`` groupBy over at most
+m_words rows, and PROBE is one broadcast hash join on ``word`` plus a
+single ``(bits & mask) = mask`` comparison — one row per probed item,
+no per-bit fan-out, no re-aggregation to AND k separate lookups (a
+classic Bloom layout would need k joins or a k-row explode + groupBy).
+Everything stays inside whole-stage codegen.
+
+False-positive rate: with n items in m = 64 * m_words bits, a block
+holds lambda = 64 * n / m items on average; a probe's k bits are set
+spuriously with roughly (1 - e^(-k * lambda / 64))^k — within ~2x of
+a classic Bloom filter at the same size for lambda <= 8. Size
+``m_words`` to ~1 word per reference item (lambda ~ 1) for sub-percent
+FP; the prefilter-then-verify composition makes the rate a
+performance knob, never a correctness one.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BLOOM_WORDS = 1 << 16  # default 64 Ki words = 512 KiB bitmap
+BLOOM_K = 4
+
+
+def _word_and_mask(
+    col: str | Column, m_words: int, k: int, seed: int
+) -> tuple[Column, Column]:
+    """(block index, k-bit in-block mask) for each value — the only
+    expressions build and probe share, so they agree by construction."""
+    c = F.col(col) if isinstance(col, str) else col
+    word = F.pmod(F.xxhash64(c), F.lit(m_words))
+    h2 = F.xxhash64(c, F.lit(seed))
+    # F.shiftleft only accepts a literal shift amount; call the SQL
+    # function directly so the bit index can be an expression
+    mask = reduce(
+        Column.bitwiseOR,
+        [
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.shiftright(h2, 6 * i).bitwiseAND(F.lit(63)).cast("int"),
+            )
+            for i in range(k)
+        ],
+    )
+    return word, mask
+
+
+def blocked_bloom_bitmap(
+    items: DataFrame,
+    col: str,
+    m_words: int = BLOOM_WORDS,
+    k: int = BLOOM_K,
+    seed: int = 7,
+) -> DataFrame:
+    """Build the bitmap: (word, bits) with one row per touched block.
+    At most ``m_words`` rows whatever the reference cardinality — the
+    fixed-size property that lets 10^9 reference items broadcast as a
+    sub-MB table. bit_or aggregates partially map-side."""
+    word, mask = _word_and_mask(col, m_words, k, seed)
+    return (
+        items.select(word.alias("word"), mask.alias("mask"))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def blocked_bloom_probe(
+    probes: DataFrame,
+    col: str,
+    bitmap: DataFrame,
+    m_words: int = BLOOM_WORDS,
+    k: int = BLOOM_K,
+    seed: int = 7,
+) -> DataFrame:
+    """Filter ``probes`` to rows whose ``col`` MIGHT be in the set the
+    bitmap was built from (false positives possible at the configured
+    rate; false negatives impossible — same hash family, same params).
+
+    The bitmap is force-broadcast: the whole point is that its size is
+    bounded by m_words, so the probe side — the 100 TB corpus — is
+    never shuffled; a left join + null-check keeps rows whose block
+    was never touched out via the same single comparison."""
+    word, mask = _word_and_mask(col, m_words, k, seed)
+    probed = probes.withColumn("_bf_word", word).withColumn("_bf_mask", mask)
+    return (
+        probed.join(
+            F.broadcast(bitmap.withColumnRenamed("word", "_bf_word")),
+            "_bf_word",
+            "left",
+        )
+        .filter(
+            F.col("bits").isNotNull()
+            & (F.col("bits").bitwiseAND(F.col("_bf_mask")) == F.col("_bf_mask"))
+        )
+        .drop("_bf_word", "_bf_mask", "bits")
+    )

@@ -34,9 +34,9 @@ DECONTAM_NGRAM = 13
 _TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
 
 
-@query(
-    "doc_decontaminate",
-    f"""
+# Shared by doc_decontaminate and its Bloom-prefiltered twin: the
+# prefilter provably changes nothing, so one oracle proves both.
+ORACLES_SHARED_DECONTAM = f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS} AS tk FROM documents
     ), grams AS (
@@ -47,8 +47,10 @@ _TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
     FROM grams c JOIN bench USING (g)
     WHERE c.doc_id % 7 <> 0
     GROUP BY c.doc_id
-    """,
-)
+    """
+
+
+@query("doc_decontaminate", ORACLES_SHARED_DECONTAM)
 def doc_decontaminate(spark, sf_dir):
     """Benchmark decontamination: flag training documents sharing any
     13-token shingle with a held-out evaluation set (here stood in by
@@ -362,6 +364,56 @@ def contamination_hits(
         g.join(bg, "shingle")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hit_grams"))
+    )
+
+
+def contamination_hits_bloom(
+    docs,
+    benchmark,
+    n: int = DECONTAM_NGRAM,
+    m_words: int = 1 << 16,
+    k: int = 4,
+):
+    """Bloom-prefiltered decontamination — the shape for benchmark sets
+    too big to broadcast exactly: build a FIXED-SIZE blocked-Bloom
+    bitmap over the benchmark's shingles (m_words 64-bit words, ~512 KiB
+    at the default, whatever the benchmark cardinality), broadcast it,
+    prune the corpus's shingles with one codegen'd bits-check, then run
+    the exact verify join only on survivors. False positives die in the
+    verify; false negatives are impossible (same hash family both
+    sides) — so the result is EXACTLY ``contamination_hits``, which is
+    why the registry twin shares doc_decontaminate's oracle verbatim.
+
+    At 100 TB the economics: exact broadcast needs the full distinct
+    gram set driver-side (GBs for a large eval suite); the bitmap stays
+    sub-MB and the corpus-side scan drops ~99% of grams before the only
+    shuffle (the verify join's survivor side)."""
+    from ..operators.sketch import blocked_bloom_bitmap, blocked_bloom_probe
+
+    g = shingles(docs, n=n)
+    bg = shingles(benchmark, n=n).select("shingle").distinct()
+    bitmap = blocked_bloom_bitmap(bg, "shingle", m_words, k)
+    candidates = blocked_bloom_probe(g, "shingle", bitmap, m_words, k)
+    return (
+        candidates.join(bg, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+
+
+@query("doc_decontaminate_bloom", ORACLES_SHARED_DECONTAM)
+def doc_decontaminate_bloom(spark, sf_dir):
+    """Registry twin of ``doc_decontaminate`` through the blocked-Bloom
+    prefilter (``contamination_hits_bloom``): byte-identical output —
+    the shared oracle proves the prefilter drops nothing — with the
+    fixed-size-broadcast scale shape. Sits in the DEFERRED_TAIL (the
+    driver's 50-row window is full; doc_decontaminate is the in-window
+    row for this component) and is oracle-verified on every pytest run
+    by test_oracle_queries."""
+    docs = t(spark, sf_dir, "documents")
+    return contamination_hits_bloom(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
     )
 
 

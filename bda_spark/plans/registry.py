@@ -72,6 +72,7 @@ DEFERRED_TAIL = [
     "profile_stats_orders",    # describe-profile twin of generated_ticks_profile
     "union_account_balances",  # trivial union; silver melt pytest covers U1
     "doc_chunks_overlap",      # born post-cap; md5-pinned by pytest oracle run
+    "doc_decontaminate_bloom", # Bloom-prefiltered twin; shares doc_decontaminate's oracle
 ]
 
 

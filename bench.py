@@ -88,6 +88,7 @@ HEADLINE = [
     "events_pivot_daily",
     "docs_unpivot_stats",
     "events_argmax_daily",
+    "doc_decontaminate_bloom",
 ]
 
 
