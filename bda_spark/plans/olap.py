@@ -277,3 +277,41 @@ def orders_rank_topk(spark, sf_dir):
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "customer_balance_ntiles",
+    """
+    SELECT c_mktsegment, quartile, count(*) AS n,
+           round(min(c_acctbal), 6) AS lo, round(max(c_acctbal), 6) AS hi
+    FROM (
+      SELECT c_mktsegment, c_acctbal,
+             ntile(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer
+    ) GROUP BY 1, 2
+    """,
+)
+def customer_balance_ntiles(spark, sf_dir):
+    """ntile(4) balance quartiles per market segment (SURVEY §2.5
+    'absent: …/ntile' — the last window function of that list without
+    a row). c_custkey tiebreak pins tile boundaries when balances tie,
+    so both engines assign identical tiles. Same scale shape as
+    orders_rank_topk: hash partition by segment, per-partition local
+    sort, no global sort; the quartile summary (counts + bounds) keeps
+    the row per (segment, tile) — 20 rows out."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_acctbal",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            r6(F.min("c_acctbal")).alias("lo"),
+            r6(F.max("c_acctbal")).alias("hi"),
+        )
+    )

@@ -495,3 +495,87 @@ def events_sessionize(spark, sf_dir):
             "total_value",
         )
     )
+
+
+@query(
+    "events_trailing_7d",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             round(sum(value), 6) AS daily_total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, daily_total,
+           round(avg(daily_total) OVER (
+             PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ), 6) AS trail7_avg,
+           count(*) OVER (
+             PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS trail7_days
+    FROM daily
+    """,
+)
+def events_trailing_7d(spark, sf_dir):
+    """Trailing 7-day average via a RANGE window frame — value-based
+    framing over the date axis, not ROWS: days missing from the data
+    simply don't widen the frame, so the two formulations differ
+    whenever a stream has gaps (ROWS BETWEEN 6 PRECEDING would reach
+    back 7 *observations*). SURVEY §2.5 has only unbounded/lag frames.
+
+    Scale shape: the daily aggregate collapses events to the
+    |days×types| grid FIRST (partial map-side agg, one shuffle), and
+    the range window runs per-type over that tiny frame — the fact
+    table never meets a window function. daily_total is rounded before
+    the window on both engines so the frame sums identical inputs."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(r6(F.sum("value")).alias("daily_total"))
+    # rangeBetween needs a numeric ordering key: days since epoch
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "daily_total",
+        r6(F.avg("daily_total").over(w)).alias("trail7_avg"),
+        F.count("*").over(w).alias("trail7_days"),
+    )
+
+
+@query(
+    "events_variant_extract",
+    """
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_variant_extract(spark, sf_dir):
+    """Spark 4 VARIANT decode of the JSON props column:
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``try_variant_get`` extraction — the modern replacement for
+    re-parsing JSON text per access (events_json_extract's
+    get_json_object form). At 100 TB the difference is parse-once
+    shredded binary vs a full JSON text parse per extracted field;
+    with props landed as a variant COLUMN in parquet, extraction
+    becomes pure columnar reads. The oracle extracts the same field
+    from the JSON text — a hash match proves the variant path decodes
+    losslessly. Integer sum keeps the comparison FP-free."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.try_variant_get(
+                F.parse_json("props"), "$.k", "bigint"
+            ).alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+    )

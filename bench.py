@@ -89,6 +89,9 @@ HEADLINE = [
     "docs_unpivot_stats",
     "events_argmax_daily",
     "doc_decontaminate_bloom",
+    "events_trailing_7d",
+    "events_variant_extract",
+    "customer_balance_ntiles",
 ]
 
 

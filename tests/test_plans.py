@@ -248,3 +248,29 @@ def test_approx_distinct_matches_exact_within_rsd(spark):
     for r in df.collect():
         e = exact[r["event_type"]]
         assert abs(r["approx_users"] - e) <= max(3, 0.15 * e), (r, e)
+
+
+def test_trailing_range_window_runs_over_collapsed_grid(spark):
+    """events_trailing_7d: the RANGE window must sit ABOVE the daily
+    aggregate (events collapse map-side first) and sort only within
+    event_type partitions — the fact table never meets the window."""
+    plan = _plan(spark, "events_trailing_7d")
+    assert _nodes(plan, "Window") == 1, plan
+    # window's sort is partition-local
+    assert not re.search(r"Arguments: \[[^\]]*\], true,", plan), plan
+    # partial aggregation below the first Exchange
+    assert _nodes(plan, "HashAggregate") >= 2, plan
+
+
+def test_ntile_has_no_global_sort(spark):
+    plan = _plan(spark, "customer_balance_ntiles")
+    assert _nodes(plan, "Window") == 1, plan
+    assert not re.search(r"Arguments: \[[^\]]*\], true,", plan), plan
+
+
+def test_variant_extract_stays_in_single_aggregate(spark):
+    """events_variant_extract: parse_json + typed get compiles to one
+    partial-then-final aggregate — no UDF, no extra exchange."""
+    plan = _plan(spark, "events_variant_extract")
+    assert len(re.findall(r"\n\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
