@@ -79,6 +79,7 @@ DEFERRED_TAIL = [
     "events_trailing_7d",       # RANGE-frame trailing window over the daily grid
     "events_variant_extract",   # Spark-4 VARIANT decode; oracle = JSON-text twin
     "customer_balance_ntiles",  # ntile(4) quartiles; window family w/ orders_rank_topk
+    "docs_listagg_sources",     # Spark-4 listagg WITHIN GROUP; deterministic ordered concat
 ]
 
 

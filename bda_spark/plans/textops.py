@@ -509,3 +509,33 @@ def doc_pii_scan(spark, sf_dir):
         F.md5(masked.cast("binary")).alias("masked_md5"),
         F.length("t").alias("n_chars_scanned"),
     )
+
+
+@query(
+    "docs_listagg_sources",
+    """
+    SELECT lang, count(*) AS n_docs,
+           string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+    FROM documents GROUP BY lang
+    """,
+)
+def docs_listagg_sources(spark, sf_dir):
+    """Ordered string aggregation via Spark 4's ``listagg`` (SQL:2016
+    WITHIN GROUP) — the manifest-building aggregate (per-language
+    source lists, per-cluster member rosters) that previously needed
+    collect_list + array_sort + array_join. DISTINCT + a total ORDER BY
+    make the result deterministic, so it hash-matches DuckDB's
+    string_agg byte-for-byte. Scale note: the aggregate buffer is the
+    distinct-source set per group — bounded by the source domain, not
+    rows; an unbounded-domain listagg (e.g. per-doc token concat)
+    belongs in docs_pack_sequences' window form instead."""
+    d = t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("v_docs_listagg")
+    return spark.sql(
+        """
+        SELECT lang, count(*) AS n_docs,
+               listagg(DISTINCT source, ',') WITHIN GROUP (ORDER BY source)
+                 AS sources
+        FROM v_docs_listagg GROUP BY lang
+        """
+    )

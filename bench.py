@@ -92,6 +92,7 @@ HEADLINE = [
     "events_trailing_7d",
     "events_variant_extract",
     "customer_balance_ntiles",
+    "docs_listagg_sources",
 ]
 
 
