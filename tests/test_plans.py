@@ -274,3 +274,17 @@ def test_variant_extract_stays_in_single_aggregate(spark):
     plan = _plan(spark, "events_variant_extract")
     assert len(re.findall(r"\n\(\d+\) Exchange\b", plan)) == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "orders_cube_customers", "events_pivot_daily", "docs_unpivot_stats",
+        "events_argmax_daily", "events_trailing_7d", "customer_balance_ntiles",
+        "events_variant_extract", "docs_listagg_sources",
+        "doc_decontaminate_bloom",
+    ],
+)
+def test_no_cartesian_products_round4(spark, name):
+    """Round-4 additions join the no-cartesian audit."""
+    assert "CartesianProduct" not in _plan(spark, name)

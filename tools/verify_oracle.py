@@ -43,15 +43,30 @@ def normalize(rows, colnames):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
-    spark = get_spark("verify_oracle")
+    if vanilla:
+        # Mimic the driver exactly: default confs (200 shuffle
+        # partitions, no tuned knobs) — catches results that only hold
+        # under our session's partitioning/summation order.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("verify_oracle_vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("verify_oracle")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
