@@ -42,3 +42,53 @@ def write_range_sorted(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+) -> int:
+    """Small-file compaction — the maintenance job every streaming sink
+    needs at scale: micro-batch appends leave thousands of KB-sized
+    files whose per-file open/footer cost eventually dominates scans.
+    Rewrites ``path`` into ceil(total_bytes / target_file_bytes) files
+    (256 MB default — the parquet sweet spot) and returns the new file
+    count.
+
+    ``coalesce`` (not repartition) does the merge: a narrow,
+    shuffle-free union of input splits — compaction moves bytes once,
+    from source files to compacted files, never through an exchange.
+
+    Crash-safe by the same swap discipline as the idempotent merge
+    sink: the compacted table is FULLY written to a sibling temp dir,
+    the live dir is moved aside, the temp moved in, and the aside copy
+    deleted only last; a crash between the renames is healed by the
+    recovery scan at the next call (the aside dir IS the table if the
+    live dir is missing). Readers never observe a partial table."""
+    from .sinks import _hadoop_path
+
+    fs, target = _hadoop_path(spark, path)
+    base = path.rstrip("/")
+    tmp, old = base + "__compact_tmp", base + "__compact_old"
+    _, tmp_p = _hadoop_path(spark, tmp)
+    _, old_p = _hadoop_path(spark, old)
+
+    # heal a previous crash: aside dir present + live dir missing
+    if fs.exists(old_p) and not fs.exists(target):
+        fs.rename(old_p, target)
+    fs.delete(tmp_p, True)
+    fs.delete(old_p, True)
+
+    total = fs.getContentSummary(target).getLength()
+    n_files = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(path)
+    df.coalesce(int(n_files)).write.mode("overwrite").parquet(tmp)
+
+    if not fs.rename(target, old_p):
+        raise IOError(f"compaction swap failed: could not move {path} aside")
+    if not fs.rename(tmp_p, target):
+        fs.rename(old_p, target)  # roll back — never leave the table missing
+        raise IOError(f"compaction swap failed: could not move {tmp} in")
+    fs.delete(old_p, True)
+    return int(n_files)

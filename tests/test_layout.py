@@ -83,3 +83,44 @@ def test_range_predicate_prunes_most_of_the_scan(spark, tmp_path):
     s_ranges = _file_ranges(scattered_dest, "event_id")
     s_touching = [r for r in s_ranges if not (r[1] < lo or r[0] > hi)]
     assert len(s_touching) == len(s_ranges), s_ranges
+
+
+def test_compaction_shrinks_files_and_preserves_rows(spark, tmp_path):
+    from bda_spark.sources.layout import compact_parquet
+
+    ev = load_table(spark, SF_DIR, "events")
+    dest = str(tmp_path / "sprawl")
+    # simulate micro-batch sprawl: 64 tiny files
+    ev.repartition(64).write.mode("overwrite").parquet(dest)
+    before_files = len(glob.glob(os.path.join(dest, "*.parquet")))
+    assert before_files == 64
+    before = {tuple(r) for r in spark.read.parquet(dest).collect()}
+
+    n = compact_parquet(spark, dest, target_file_bytes=1024 * 1024)
+    after_files = len(glob.glob(os.path.join(dest, "*.parquet")))
+    assert after_files == n < before_files
+    after = {tuple(r) for r in spark.read.parquet(dest).collect()}
+    assert after == before
+    # no staging dirs left behind
+    assert not os.path.exists(dest + "__compact_tmp")
+    assert not os.path.exists(dest + "__compact_old")
+
+
+def test_compaction_heals_a_crashed_swap(spark, tmp_path):
+    """If a crash left the table moved aside (live dir missing), the
+    next compaction restores it before doing anything else."""
+    import shutil
+
+    from bda_spark.sources.layout import compact_parquet
+
+    ev = load_table(spark, SF_DIR, "events").limit(100)
+    dest = str(tmp_path / "crashed")
+    ev.write.mode("overwrite").parquet(dest)
+    expected = {tuple(r) for r in spark.read.parquet(dest).collect()}
+    # simulate the crash window: live dir renamed aside, tmp lost
+    shutil.move(dest, dest + "__compact_old")
+    assert not os.path.exists(dest)
+
+    compact_parquet(spark, dest, target_file_bytes=64 * 1024 * 1024)
+    healed = {tuple(r) for r in spark.read.parquet(dest).collect()}
+    assert healed == expected
