@@ -80,6 +80,8 @@ def compact_parquet(
     fs.delete(tmp_p, True)
     fs.delete(old_p, True)
 
+    if not fs.exists(target):
+        raise FileNotFoundError(f"compact_parquet: no table at {path}")
     total = fs.getContentSummary(target).getLength()
     n_files = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(path)

@@ -124,3 +124,12 @@ def test_compaction_heals_a_crashed_swap(spark, tmp_path):
     compact_parquet(spark, dest, target_file_bytes=64 * 1024 * 1024)
     healed = {tuple(r) for r in spark.read.parquet(dest).collect()}
     assert healed == expected
+
+
+def test_compaction_of_missing_table_raises_cleanly(spark, tmp_path):
+    import pytest as _pytest
+
+    from bda_spark.sources.layout import compact_parquet
+
+    with _pytest.raises(FileNotFoundError, match="no table at"):
+        compact_parquet(spark, str(tmp_path / "nope"))
