@@ -28,5 +28,8 @@ def floor_to(col: str, seconds: int) -> Column:
     """Floor a timestamp column to an N-second grid (pandas
     ``dt.floor('5s')`` equivalent — stream_eda.ipynb cell 14)."""
     return F.timestamp_seconds(
-        (F.unix_timestamp(F.col(col)) / seconds).cast("long") * seconds
+        # cast: NTZ/LTZ-indifferent (unix_timestamp is LTZ-only; no-op
+        # on already-LTZ input, exact under the UTC session pin).
+        (F.unix_timestamp(F.col(col).cast("timestamp")) / seconds).cast("long")
+        * seconds
     )

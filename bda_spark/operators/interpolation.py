@@ -109,7 +109,14 @@ def grid_interpolate(
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     valid_ts = F.when(F.col("_v").isNotNull(), F.col("grid_ts"))
-    ut = F.unix_timestamp
+
+    def ut(c):
+        # NTZ/LTZ-indifferent epoch seconds: unix_timestamp is LTZ-only,
+        # and callers may pass frames the source boundary didn't
+        # canonicalize (the cast is a no-op on LTZ input).
+        col = F.col(c) if isinstance(c, str) else c
+        return F.unix_timestamp(col.cast("timestamp"))
+
     filled = (
         g.withColumn("_pv", F.last("_v", ignorenulls=True).over(wp))
         .withColumn("_pt", F.last(valid_ts, ignorenulls=True).over(wp))

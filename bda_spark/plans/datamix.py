@@ -115,7 +115,7 @@ def docs_stratified_sample(spark, sf_dir):
            CASE WHEN (doc_id * {_H_SPLIT}) % {_H_MOD} % 100 < 10
                 THEN 'val' ELSE 'train' END AS split,
            count(*) AS n_docs,
-           sum(len({_TOKS})) AS n_tokens
+           CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
     FROM documents
     GROUP BY 1, 2
     """,
@@ -195,16 +195,20 @@ def doc_unigram_logprob(spark, sf_dir):
     "docs_mixture_weights",
     f"""
     WITH s AS (
-      SELECT source, sum(len({_TOKS})) AS n_tokens
+      SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
       FROM documents GROUP BY source
-    ), sh AS (
+    ), q AS (
       SELECT source, n_tokens,
-             CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS share
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000000) AS BIGINT)
+               AS q_sqrt
       FROM s
     )
-    SELECT source, n_tokens, round(share, 6) AS token_share,
-           round(sqrt(share) / sum(sqrt(share)) OVER (), 6) AS temp_share
-    FROM sh
+    SELECT source, n_tokens,
+           round(CAST(n_tokens AS DOUBLE)
+                 / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share,
+           round(CAST(q_sqrt AS DOUBLE)
+                 / CAST(sum(q_sqrt) OVER () AS DOUBLE), 6) AS temp_share
+    FROM q
     """,
 )
 def docs_mixture_weights(spark, sf_dir):
@@ -213,6 +217,16 @@ def docs_mixture_weights(spark, sf_dir):
     up-weights small domains, tempers dominant crawls. Output is the
     per-source token budget table plus its raw and temperature-adjusted
     shares — the knob a mixture builder multiplies into sampling rates.
+
+    Determinism: the temperature weight is sqrt(n)/Σsqrt(n) — but a
+    double Σsqrt is summation-order-dependent, the exact FP class that
+    flaked this suite in r2/r3. So sqrt is QUANTIZED per row to an
+    integer (floor(sqrt(n)·1e9): sqrt is IEEE correctly-rounded on both
+    engines, one multiply, one floor — all deterministic scalars), the
+    window sums are exact BIGINT arithmetic (order-free), and the only
+    remaining FP op before round(...,6) is a single double division of
+    two exactly-representable integers. Quantization error is ~1e-9
+    relative, invisible at 6 digits.
 
     Scale shape: one token-count aggregation (map-side combined) down
     to |sources| rows; the two normalizations are partitionless windows
@@ -227,15 +241,22 @@ def docs_mixture_weights(spark, sf_dir):
         .agg(F.sum("n_tok").alias("n_tokens"))
     )
     w = Window.partitionBy()
-    sh = s.withColumn(
-        "share", F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)
+    q = s.withColumn(
+        "q_sqrt",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1e9).cast("bigint"),
     )
-    return sh.select(
+    return q.select(
         "source",
         "n_tokens",
-        F.round("share", 6).alias("token_share"),
         F.round(
-            F.sqrt("share") / F.sum(F.sqrt("share")).over(w), 6
+            F.col("n_tokens").cast("double")
+            / F.sum("n_tokens").over(w).cast("double"),
+            6,
+        ).alias("token_share"),
+        F.round(
+            F.col("q_sqrt").cast("double")
+            / F.sum("q_sqrt").over(w).cast("double"),
+            6,
         ).alias("temp_share"),
     )
 
@@ -252,7 +273,7 @@ def docs_mixture_weights(spark, sf_dir):
       FROM d
     )
     SELECT source, CAST(floor((cum - n_tokens) / 128.0) AS BIGINT) AS seq_id,
-           count(*) AS n_docs, sum(n_tokens) AS seq_tokens
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
     FROM c GROUP BY 1, 2
     """,
 )

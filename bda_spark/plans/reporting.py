@@ -51,7 +51,8 @@ def register_reporting_views(spark: SparkSession, sf_dir: str) -> None:
     "report_weekly_rollup",
     """
     SELECT CAST(date_trunc('week', day) AS DATE) AS week, event_type,
-           sum(n_events) AS n_events, sum(total_micro) AS total_value_micro
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(sum(total_micro) AS BIGINT) AS total_value_micro
     FROM (
       SELECT CAST(ts AS DATE) AS day, event_type,
              count(*) AS n_events,

@@ -552,7 +552,7 @@ def events_trailing_7d(spark, sf_dir):
     "events_variant_extract",
     """
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            count(*) AS n
     FROM events GROUP BY event_type
     """,

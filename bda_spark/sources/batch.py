@@ -44,14 +44,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session factory) so date/window bucketing matches the tz-naive
     DuckDB oracle even under the driver's vanilla SparkSession on a
     non-UTC host.
+
+    Timestamp flavor is CANONICALIZED here, at the source boundary: the
+    driver's generator has shipped ``ts`` as TIMESTAMP(NANOS) (read as
+    long, converted exactly), as tz-tagged TIMESTAMP, and as untagged
+    TIMESTAMP_NTZ across regenerations. Every consumer downstream
+    (``unix_millis``, watermarks, window()) assumes one type, so the
+    scan normalizes to session-tz TIMESTAMP (LTZ) — under the UTC pin
+    above, NTZ -> LTZ is value-preserving. Without this, a driver-side
+    data regeneration flips query plans from green to
+    DATATYPE_MISMATCH (the round-5 bench outage).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

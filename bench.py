@@ -183,7 +183,9 @@ def prepare_ticks(spark, sf_dir: str, out_dir: str) -> None:
     events = load_table(spark, sf_dir, "events")
     tick = F.struct(
         F.lit("BP").alias("symbol"),
-        F.unix_millis("ts").alias("timestamp"),
+        # cast: belt-and-braces vs NTZ parquet (load_table canonicalizes,
+        # but a setup crash here killed the whole round-5 bench).
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("timestamp"),
         F.lit("YLIFE_FEED").alias("source"),
         F.lit("MARKET_DATA").alias("data_type"),
         F.lit(-1.0).alias("bid"),

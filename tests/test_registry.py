@@ -68,3 +68,45 @@ def test_queries_and_oracles_share_order_and_keys():
     qs, os_ = list(get_queries()), get_oracles()
     # oracles is a subset (rows-only checks may omit), in the same order
     assert [k for k in qs if k in os_] == list(os_)
+
+
+# --- oracle output-type guard -------------------------------------------
+# The driver hash-canonicalizes DuckDB results at the ARROW/dtype level,
+# so a DuckDB-only width (HUGEINT from sum(BIGINT), int128) hashes
+# differently from Spark's bigint even when every value is identical.
+# That exact gap cost 4 red rows for two straight rounds (r4/r5:
+# docs_train_val_split, docs_mixture_weights, docs_pack_sequences,
+# report_weekly_rollup). Guard: DESCRIBE every oracle and reject any
+# output column whose declared type has no Spark twin — the fix is
+# always a CAST(... AS BIGINT/DOUBLE) in the oracle SQL.
+
+_UNSAFE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def _flag_unsafe_types(con, sql: str) -> dict[str, str]:
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    return {
+        col: ty
+        for col, ty, *_ in desc
+        if any(u in ty.upper() for u in _UNSAFE_TYPES)
+    }
+
+
+def test_type_guard_is_red_on_uncast_sum(duck):
+    # self-test: the guard must actually catch the failure class
+    flagged = _flag_unsafe_types(
+        duck, "SELECT sum(x) AS s FROM (VALUES (1), (2)) t(x)"
+    )
+    assert flagged == {"s": "HUGEINT"}
+
+
+def test_no_oracle_emits_driver_hash_unsafe_types(duck):
+    bad = {}
+    for name, sql in get_oracles().items():
+        flagged = _flag_unsafe_types(duck, sql)
+        if flagged:
+            bad[name] = flagged
+    assert not bad, (
+        "oracle output columns with no Spark type twin (driver hash "
+        f"mismatch even when values agree) — add CAST in the SQL: {bad}"
+    )

@@ -23,13 +23,20 @@ from bda_spark.session import get_spark
 
 
 def normalize(rows, colnames):
-    """Sort columns by name, canonicalize values, sort rows."""
+    """Sort columns by name, canonicalize values, sort rows.
+
+    Values are tagged with their fetched Python TYPE, not just
+    stringified — the driver hashes at the dtype level, so an int vs
+    Decimal vs float disagreement must fail here even when str(v)
+    matches (the stringified version of this function let the HUGEINT
+    class survive two rounds undetected)."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     out = []
     for row in rows:
         vals = []
         for i in order:
             v = row[i]
+            ty = type(v).__name__
             if isinstance(v, float):
                 if math.isnan(v):
                     v = "NaN"
@@ -37,7 +44,7 @@ def normalize(rows, colnames):
                     v = round(v, 6)
                     if v == -0.0:
                         v = 0.0
-            vals.append(str(v))
+            vals.append(f"{ty}:{v}")
         out.append(tuple(vals))
     return sorted(out), [colnames[i] for i in order]
 
