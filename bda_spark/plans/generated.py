@@ -13,11 +13,14 @@ contract (reference: tests_pub_sub_schema.py:53-112).
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import validate_ticks
 from ..sources.generator import generate_ticks
-from .registry import query, r6
+from .registry import query, r6, t
 
 _N = 10_000
 
@@ -75,4 +78,67 @@ def generated_ticks_profile(spark, sf_dir):
         r6(F.avg("market_sentiment")).alias("avg_sentiment"),
         r6(F.avg("trading_activity")).alias("avg_activity"),
         r6(F.sum("volume")).alias("total_volume"),
+    )
+
+
+@query(
+    "csv_tick_ingest",
+    """
+    SELECT 'BP' AS symbol, count(*) AS n_ticks,
+           CAST(min(epoch_ms(ts)) AS BIGINT) AS min_ts,
+           CAST(max(epoch_ms(ts)) AS BIGINT) AS max_ts,
+           min(value) AS min_price,
+           max(value) AS max_price
+    FROM events
+    """,
+)
+def csv_tick_ingest(spark, sf_dir):
+    """CSV capture round-trip (sources S1-adjacent: the reference lands
+    whole Kafka topics as CSV for offline analysis — reference:
+    Deliverable_3/kafka_messages.csv). The events table is shaped into
+    the 13-field tick capture, written as headered CSV, read back
+    through ``read_csv_ticks`` (explicit schema, no inference pass),
+    gated by validate_ticks (D8), and profiled. The oracle recomputes
+    the profile straight from events — matching proves the CSV
+    encode/decode cycle is lossless for every field type it touches
+    (string, epoch-millis bigint, double: Spark writes doubles with
+    round-trippable shortest repr).
+
+    Aggregates are deliberately order-free exact ops (count, min, max)
+    — no double summation whose order could differ between engines.
+
+    Registered in the DEFERRED_TAIL (driver window frozen at 50 rows);
+    oracle-verified every pytest run by test_oracle_queries.
+    """
+    from ..streaming.sources import read_csv_ticks
+
+    events = t(spark, sf_dir, "events")
+    tick_cols = [
+        F.lit("BP").alias("symbol"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("timestamp"),
+        F.lit("YLIFE_FEED").alias("source"),
+        F.lit("MARKET_DATA").alias("data_type"),
+        F.lit(-1.0).alias("bid"),
+        F.lit(-1.0).alias("ask"),
+        F.col("value").alias("price"),
+        (F.col("user_id") * 10.0).alias("volume"),
+        F.lit(-1.0).alias("spread_raw"),
+        F.lit(-1.0).alias("spread_table"),
+        (F.col("value") / 10.0).alias("volatility"),
+        F.lit(0.5).alias("market_sentiment"),
+        F.lit(50.0).alias("trading_activity"),
+    ]
+    capture = os.path.join(
+        tempfile.mkdtemp(prefix="bda_csv_ticks_"), "capture"
+    )
+    events.select(tick_cols).write.option("header", "true").mode(
+        "overwrite"
+    ).csv(capture)
+    ticks = validate_ticks(read_csv_ticks(spark, capture))
+    return ticks.groupBy("symbol").agg(
+        F.count("*").alias("n_ticks"),
+        F.min("timestamp").alias("min_ts"),
+        F.max("timestamp").alias("max_ts"),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
     )

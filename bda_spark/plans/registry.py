@@ -76,6 +76,7 @@ DEFERRED_TAIL = [
     # Post-cap additions (window full): new components whose oracle runs
     # every pytest (test_oracle_queries), driver row deliberately ceded
     # to keep the 50-row window stable across rounds.
+    "csv_tick_ingest",          # CSV encode/decode round-trip; profile ⊂ events aggs
     "events_trailing_7d",       # RANGE-frame trailing window over the daily grid
     "events_variant_extract",   # Spark-4 VARIANT decode; oracle = JSON-text twin
     "customer_balance_ntiles",  # ntile(4) quartiles; window family w/ orders_rank_topk

@@ -28,6 +28,7 @@ def write_range_sorted(
     col: str,
     num_files: int,
     partition_by: list[str] | None = None,
+    bloom_filter_cols: dict[str, int] | None = None,
 ) -> None:
     """Land ``df`` as parquet range-clustered on ``col``: ``num_files``
     files (per hive partition if ``partition_by``), each owning a
@@ -36,12 +37,92 @@ def write_range_sorted(
     ``num_files`` sizes the slices: pick total_bytes / target_file_size
     (128-512 MB files are the parquet sweet spot — at 100 TB that is
     hundreds of thousands of files, which is exactly why the slicing
-    must be done by the engine, not a driver loop)."""
+    must be done by the engine, not a driver loop).
+
+    ``bloom_filter_cols`` maps column -> expected distinct count and
+    adds a parquet bloom filter per listed column (see
+    ``bloom_filter_options``): min/max stats prune the RANGE axis;
+    blooms prune POINT lookups on high-cardinality keys the sort
+    doesn't cover (user_id in a ts-sorted table)."""
     clustered = df.repartitionByRange(num_files, col).sortWithinPartitions(col)
     writer = clustered.write.mode("overwrite")
+    for k, v in bloom_filter_options(bloom_filter_cols).items():
+        writer = writer.option(k, v)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def bloom_filter_options(
+    bloom_filter_cols: dict[str, int] | None,
+    disable_dictionary: bool = True,
+) -> dict[str, str]:
+    """Parquet writer options enabling a split-block bloom filter per
+    column (parquet-mr's ``parquet.bloom.filter.enabled#col`` contract,
+    honored by Spark's parquet sink). Blooms answer "is this VALUE
+    possibly in this row group" for point/IN predicates on keys whose
+    values hash-scatter across the file — exactly where min/max stats
+    are useless (every row group spans nearly the full key domain).
+    At 100 TB a point lookup on a bloomed key skips ~all row groups at
+    footer-read cost; the write-side price is ~1.1 bytes per distinct
+    value per row group at the default 1% FPP.
+
+    ``expected.ndv`` sizes each filter: per ROW GROUP distinct count,
+    not per table — overstating it wastes footer bytes, understating
+    inflates the false-positive rate (a correctness-neutral, pure
+    performance knob).
+
+    ``disable_dictionary`` (default on) also turns OFF dictionary
+    encoding for the bloomed columns: parquet-mr silently skips the
+    bloom for any chunk that stays fully dictionary-encoded (the dict
+    already answers membership exactly), so a bloomed-but-small chunk
+    would land with no filter at all and the point-lookup plan changes
+    shape with data volume. A bloom-worthy key is high-cardinality by
+    definition — its dict pages overflow and fall back to plain at
+    production chunk sizes anyway — so forcing plain encoding just
+    makes the footer layout deterministic at every size."""
+    opts: dict[str, str] = {}
+    for col, ndv in (bloom_filter_cols or {}).items():
+        opts[f"parquet.bloom.filter.enabled#{col}"] = "true"
+        opts[f"parquet.bloom.filter.expected.ndv#{col}"] = str(int(ndv))
+        if disable_dictionary:
+            opts[f"parquet.enable.dictionary#{col}"] = "false"
+    return opts
+
+
+def bloom_filter_columns(spark, path: str) -> dict[str, bool]:
+    """Footer-level audit: which columns of the parquet files under
+    ``path`` carry a bloom filter (True iff every file's first row
+    group has one for that column). pyarrow doesn't surface bloom
+    offsets, so this asks the JVM's parquet-hadoop footer reader —
+    the same classes Spark's scan uses to decide row-group skipping."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(conf)
+    present: dict[str, bool] = {}
+    it = fs.listFiles(jpath, True)
+    n_files = 0
+    while it.hasNext():
+        f = it.next().getPath()
+        if not f.getName().endswith(".parquet"):
+            continue
+        n_files += 1
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(
+            jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+        )
+        try:
+            block = reader.getFooter().getBlocks().get(0)
+            for i in range(block.getColumns().size()):
+                cc = block.getColumns().get(i)
+                name = cc.getPath().toDotString()
+                has = cc.getBloomFilterOffset() >= 0
+                present[name] = present.get(name, True) and has
+        finally:
+            reader.close()
+    if n_files == 0:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    return present
 
 
 def compact_parquet(

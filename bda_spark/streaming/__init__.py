@@ -12,14 +12,22 @@ determinism; production swaps in the Kafka source and processing-time
 triggers without touching the plan.
 """
 
-from .sources import decode_ticks, file_replay_tick_stream, kafka_tick_stream
+from .sources import (
+    csv_replay_tick_stream,
+    decode_ticks,
+    file_replay_tick_stream,
+    kafka_tick_stream,
+    read_csv_ticks,
+)
 from .pipeline import SYMBOL_FEATURES, TickPipeline, normalize_ticks, windowed_features
 from .correlation import CorrelationPipeline
 
 __all__ = [
+    "csv_replay_tick_stream",
     "decode_ticks",
     "file_replay_tick_stream",
     "kafka_tick_stream",
+    "read_csv_ticks",
     "SYMBOL_FEATURES",
     "TickPipeline",
     "normalize_ticks",

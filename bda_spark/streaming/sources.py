@@ -69,6 +69,39 @@ def file_replay_tick_stream(
     return decode_ticks(reader.text(directory))
 
 
+def read_csv_ticks(spark: SparkSession, path: str) -> DataFrame:
+    """Batch-read a captured tick stream from CSV with the explicit
+    13-field schema — the reference lands whole Kafka topics as exactly
+    this shape for offline analysis (reference:
+    Deliverable_3/kafka_messages.csv — header
+    ``symbol,timestamp,...,trading_activity``). Explicit schema (no
+    inferSchema pass over the files), header row skipped, malformed
+    lines become all-null rows (PERMISSIVE) and are dropped by the same
+    ingest gate as every other tick path
+    (functions.cleaning.validate_ticks) — CSV is just a third encoding
+    in front of the one decode/validate pipeline."""
+    return (
+        spark.read.schema(TICK_SCHEMA)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def csv_replay_tick_stream(
+    spark: SparkSession,
+    directory: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``read_csv_ticks``: replay captured CSV files
+    through Structured Streaming, so a historical capture can drive the
+    same TickPipeline a live Kafka feed does (backtesting shape)."""
+    reader = spark.readStream.schema(TICK_SCHEMA).option("header", "true")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.csv(directory)
+
+
 def dedup_ticks_within_watermark(
     ticks: DataFrame, watermark: str = "10 minutes"
 ) -> DataFrame:

@@ -126,6 +126,30 @@ def test_compaction_heals_a_crashed_swap(spark, tmp_path):
     assert healed == expected
 
 
+def test_bloom_filters_land_in_footers_only_where_asked(spark, tmp_path):
+    """write_range_sorted with bloom_filter_cols must emit a parquet
+    bloom filter for exactly the requested columns, verified at the
+    FOOTER level (the JVM parquet reader's bloom offset — the same
+    metadata Spark's scan consults for row-group skipping)."""
+    from bda_spark.sources.layout import bloom_filter_columns
+
+    ev = load_table(spark, SF_DIR, "events")
+    dest = str(tmp_path / "bloomed")
+    write_range_sorted(
+        ev, dest, "ts", num_files=4,
+        bloom_filter_cols={"user_id": 1000, "event_type": 16},
+    )
+    present = bloom_filter_columns(spark, dest)
+    assert present["user_id"] and present["event_type"]
+    # unlisted columns must NOT pay the footer cost
+    assert not present["value"] and not present["ts"]
+
+    # and a plain write carries none at all
+    plain = str(tmp_path / "plain")
+    write_range_sorted(ev, plain, "ts", num_files=4)
+    assert not any(bloom_filter_columns(spark, plain).values())
+
+
 def test_compaction_of_missing_table_raises_cleanly(spark, tmp_path):
     import pytest as _pytest
 
