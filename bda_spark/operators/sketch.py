@@ -90,6 +90,87 @@ def blocked_bloom_bitmap(
     )
 
 
+def frequent_items(
+    df: DataFrame,
+    col: str,
+    k: int = 20,
+    counters: int = 1024,
+) -> DataFrame:
+    """Approximate top-k heavy hitters via mergeable Misra-Gries
+    summaries — the sketch twin of the exact explode->groupBy->top-k
+    (plans.textops.keyword_counts) for the 100 TB regime. Returns
+    (item, est_count, max_count) for the k heaviest items, where
+    est_count <= true count <= max_count.
+
+    Why a sketch at scale: the exact top-k shuffles EVERY distinct key
+    (the full vocabulary — billions of rows of shuffle for web-scale
+    text). Misra-Gries caps per-partition state at ``counters`` slots,
+    so the only shuffle is <= (counters + 1) rows PER PARTITION,
+    whatever the cardinality — same economics as the bench's HLL/KLL
+    twins (approx_count_distinct / percentile_approx), for top-k.
+
+    Shape: one ``mapInPandas`` pass builds a per-partition summary
+    (vectorized value_counts per arrow batch, merged into a dict that
+    compacts back to ``counters`` entries by subtracting the
+    (counters+1)-th largest weight — the Agarwal et al. 2013 mergeable-
+    summaries rule, which is what makes map-side summaries combinable
+    by plain addition). Each partition also emits one null-item row
+    carrying its total subtracted weight; the final aggregation sums
+    summaries by item (a tiny shuffle) and the null rows give the
+    global error bound: for every item,
+        true_count - est_count <= sum(decrements) <= n / (counters+1),
+    and any item with true count above that bound is guaranteed
+    present. With ``counters`` >= the true distinct count no
+    compaction ever fires, the decrement side is zero, and the result
+    is EXACT — the property the registry oracle pins.
+
+    ``mapInPandas`` (not a Python UDF per row): arrow-batch transfer,
+    pandas ``value_counts`` does the per-batch counting vectorized.
+    """
+    n_slots = int(counters)
+
+    def summarize(batches):
+        import pandas as pd
+
+        summary: dict = {}
+        subtracted = 0
+        for pdf in batches:
+            for item, c in pdf["item"].value_counts().items():
+                summary[item] = summary.get(item, 0) + int(c)
+            if len(summary) > n_slots:
+                cut = sorted(summary.values(), reverse=True)[n_slots]
+                summary = {i: w - cut for i, w in summary.items() if w > cut}
+                subtracted += cut
+        yield pd.DataFrame(
+            {
+                "item": list(summary.keys()) + [None],
+                "weight": list(summary.values()) + [subtracted],
+            }
+        )
+
+    summaries = (
+        df.select(F.col(col).cast("string").alias("item"))
+        .filter(F.col("item").isNotNull())
+        .mapInPandas(summarize, "item string, weight long")
+    )
+    err = summaries.filter(F.col("item").isNull()).agg(
+        F.coalesce(F.sum("weight"), F.lit(0)).alias("_err")
+    )
+    return (
+        summaries.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("weight").alias("est_count"))
+        .crossJoin(F.broadcast(err))
+        .select(
+            "item",
+            "est_count",
+            (F.col("est_count") + F.col("_err")).alias("max_count"),
+        )
+        .orderBy(F.desc("est_count"), "item")
+        .limit(int(k))
+    )
+
+
 def blocked_bloom_probe(
     probes: DataFrame,
     col: str,

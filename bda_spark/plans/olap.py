@@ -105,6 +105,102 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 @query(
+    "orders_grouping_sets_margins",
+    """
+    SELECT grouping_id(o_orderstatus, o_orderpriority)   AS gid,
+           coalesce(o_orderstatus, 'ALL')                AS status,
+           coalesce(o_orderpriority, 'ALL')              AS priority,
+           count(*)                                      AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT)                               AS total_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def orders_grouping_sets_margins(spark, sf_dir):
+    """Explicit GROUPING SETS — the per-status and per-priority
+    MARGINALS only, a set combination neither ROLLUP nor CUBE
+    expresses (rollup adds the cells, cube adds cells + grand total).
+    Same single Expand + hash-aggregate plan as its rollup/cube
+    siblings: Expand emits one replica per grouping set, partial
+    aggregation combines map-side, one shuffle total.
+
+    The price measure is summed in exact integer cents (per-row
+    quantization BEFORE the sum, the report_weekly_rollup discipline)
+    so no double-summation order can differ between engines.
+
+    Registered in the DEFERRED_TAIL (driver window frozen at 50 rows);
+    oracle-verified every pytest run by test_oracle_queries."""
+    o = t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    return (
+        o.withColumn("_cents", cents)
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum("_cents").alias("total_cents"),
+        )
+        .select(
+            "gid",
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_cents",
+        )
+    )
+
+
+@query(
+    "events_mode_daily",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT day, event_type, n,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY n DESC, event_type) AS rn
+      FROM d
+    )
+    SELECT day, event_type AS mode_event_type, n AS n_occurrences
+    FROM r WHERE rn = 1
+    """,
+)
+def events_mode_daily(spark, sf_dir):
+    """Deterministic mode(): the most frequent event_type per day,
+    ties broken by lexicographically smallest type. Spark 3.4's builtin
+    ``mode()`` aggregate is tie-NONdeterministic (hash-map iteration
+    order), which makes it untestable and irreproducible — this is the
+    two-level shape that fixes that: count per (day, type) — map-side
+    combined — then a row_number window over the COLLAPSED (day, type)
+    grid (|days|x|types| rows, not events) with a total order.
+
+    Registered in the DEFERRED_TAIL (driver window frozen at 50 rows);
+    oracle-verified every pytest run by test_oracle_queries."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("day").orderBy(F.desc("n"), "event_type")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "day",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("n").alias("n_occurrences"),
+        )
+    )
+
+
+@query(
     "events_pivot_daily",
     """
     SELECT CAST(ts AS DATE) AS day,

@@ -77,6 +77,9 @@ DEFERRED_TAIL = [
     # every pytest (test_oracle_queries), driver row deliberately ceded
     # to keep the 50-row window stable across rounds.
     "csv_tick_ingest",          # CSV encode/decode round-trip; profile ⊂ events aggs
+    "keyword_counts_sketch",    # Misra-Gries twin of keyword_counts (exact regime)
+    "orders_grouping_sets_margins",  # explicit GROUPING SETS ⊂ rollup/cube family
+    "events_mode_daily",        # deterministic mode(); argmax-family twin
     "events_trailing_7d",       # RANGE-frame trailing window over the daily grid
     "events_variant_extract",   # Spark-4 VARIANT decode; oracle = JSON-text twin
     "customer_balance_ntiles",  # ntile(4) quartiles; window family w/ orders_rank_topk

@@ -89,6 +89,38 @@ def keyword_counts(spark, sf_dir):
 
 
 @query(
+    "keyword_counts_sketch",
+    """
+    SELECT keyword AS item, count(*) AS est_count, count(*) AS max_count
+    FROM (SELECT unnest(string_split(text, ' ')) AS keyword FROM documents)
+    WHERE keyword <> ''
+    GROUP BY keyword
+    ORDER BY est_count DESC, item
+    LIMIT 20
+    """,
+)
+def keyword_counts_sketch(spark, sf_dir):
+    """Misra-Gries twin of ``keyword_counts`` (operators.sketch.
+    frequent_items): per-partition bounded summaries instead of
+    shuffling the full vocabulary — the 100 TB top-k shape. With the
+    default 1024 counters >= this corpus's distinct-word count, no
+    compaction fires and the sketch is provably EXACT (est == max ==
+    true count), which is what lets an aggregate oracle pin it;
+    lossy-regime behavior (error bounds, guaranteed-presence) is pinned
+    by tests/test_sketch.py with deliberately tiny budgets.
+
+    Registered in the DEFERRED_TAIL (driver window frozen at 50 rows);
+    oracle-verified every pytest run by test_oracle_queries."""
+    from ..operators.sketch import frequent_items
+
+    d = t(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    return frequent_items(words, "word", k=20, counters=1024)
+
+
+@query(
     "docs_by_lang_source",
     """
     SELECT lang, source, count(*) AS n_docs,

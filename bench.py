@@ -93,6 +93,8 @@ HEADLINE = [
     "events_variant_extract",
     "customer_balance_ntiles",
     "docs_listagg_sources",
+    # round-6 surface: Misra-Gries frequent-items beside the exact top-k
+    "keyword_counts_sketch",
 ]
 
 

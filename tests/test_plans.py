@@ -94,6 +94,25 @@ def test_rollup_is_single_expand_aggregate(spark):
     assert _nodes(plan, "Exchange") == 1, plan
 
 
+def test_grouping_sets_is_single_expand_aggregate(spark):
+    """orders_grouping_sets_margins: both marginals in ONE Expand +
+    hash-aggregate pass, exactly like its rollup/cube siblings."""
+    plan = _plan(spark, "orders_grouping_sets_margins")
+    assert _nodes(plan, "Expand") == 1, plan
+    assert _nodes(plan, "Exchange") == 1, plan
+
+
+def test_mode_windows_the_collapsed_grid_not_events(spark):
+    """events_mode_daily: the row_number window must sort only the
+    (day, type) grid AFTER the counting aggregate collapsed events —
+    partial aggregation first, and no global sort anywhere."""
+    plan = _plan(spark, "events_mode_daily")
+    assert plan.count("HashAggregate") >= 2, plan
+    for line in plan.splitlines():
+        if line.strip().startswith("Sort ") or "] Sort [" in line:
+            assert "global=false" in line, line
+
+
 def test_rank_topk_has_no_global_sort(spark):
     """orders_rank_topk partitions its windows by priority: every Sort
     in the plan must be per-partition (global=false) — a global sort of

@@ -1,5 +1,6 @@
-"""Blocked Bloom filter (operators/sketch.py): membership guarantees,
-prefilter-equivalence, and the broadcast-probe plan shape."""
+"""Sketch operators (operators/sketch.py): blocked Bloom filter
+membership guarantees, prefilter-equivalence, broadcast-probe plan
+shape; Misra-Gries frequent-items accuracy and error bounds."""
 
 from __future__ import annotations
 
@@ -10,6 +11,7 @@ from pyspark.sql import functions as F
 from bda_spark.operators.sketch import (
     blocked_bloom_bitmap,
     blocked_bloom_probe,
+    frequent_items,
 )
 from bda_spark.plans.datamix import contamination_hits, contamination_hits_bloom
 
@@ -76,6 +78,84 @@ def test_bloom_prefilter_equals_exact_decontamination(spark):
         for r in contamination_hits_bloom(train, bench).collect()
     }
     assert bloom == exact and exact, "prefiltered result diverged from exact"
+
+
+# --- Misra-Gries frequent items -----------------------------------------
+
+
+def _zipf_words(spark):
+    """Skewed stream: word_i appears ~3000/(i+1) times, 60 distinct."""
+    return spark.range(0, 3000).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(59)),
+                lambda i: F.when(
+                    F.col("id") * (i + 1) < 3000, F.concat(F.lit("w"), i)
+                ),
+            )
+        ).alias("word")
+    ).filter(F.col("word").isNotNull()).repartition(8)
+
+
+def _exact_counts(df):
+    return {
+        r["word"]: r["n"]
+        for r in df.groupBy("word").agg(F.count("*").alias("n")).collect()
+    }
+
+
+def test_frequent_items_exact_when_counters_cover_vocab(spark):
+    """counters >= distinct count -> no compaction -> exact counts,
+    zero error bound (est == max), and the true top-k."""
+    words = _zipf_words(spark)
+    exact = _exact_counts(words)
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = frequent_items(words, "word", k=10, counters=256).collect()
+    assert [(r["item"], r["est_count"]) for r in got] == top
+    assert all(r["est_count"] == r["max_count"] for r in got)
+
+
+def test_frequent_items_bounds_hold_under_heavy_compaction(spark):
+    """Tiny budget (8 counters for 60 distinct): for EVERY item,
+    est <= true <= est + err where err = max_count - est_count, and
+    the undercount stays within the n/(counters+1) MG guarantee."""
+    words = _zipf_words(spark)
+    exact = _exact_counts(words)
+    n = sum(exact.values())
+    got = frequent_items(words, "word", k=60, counters=8).collect()
+    assert got, "sketch returned nothing"
+    err = got[0]["max_count"] - got[0]["est_count"]
+    assert 0 < err <= n  # lossy regime actually engaged
+    by_item = {r["item"]: r["est_count"] for r in got}
+    for item, true_n in exact.items():
+        est = by_item.get(item, 0)
+        assert est <= true_n <= est + err, (item, est, true_n, err)
+    # every item heavier than the global bound is guaranteed surfaced
+    for item, true_n in exact.items():
+        if true_n > err:
+            assert item in by_item, (item, true_n, err)
+
+
+def test_frequent_items_shuffle_is_bounded_by_counters(spark):
+    """The scale contract: whatever the input cardinality, the rows
+    crossing the shuffle are per-partition summaries — at most
+    counters+1 per input partition, not the vocabulary — and the final
+    aggregation sits downstream of the Python map stage in the plan."""
+    words = _zipf_words(spark)
+    n_parts = words.rdd.getNumPartitions()
+    counters = 8
+    df = frequent_items(words, "word", k=1000, counters=counters)
+    # survivors are capped by the summary budget, not distinct count
+    assert df.count() <= (counters + 1) * n_parts
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # the arrow-batched python summary stage is in the plan (not a
+    # row-at-a-time UDF), and the only sort is the final tiny top-k
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
 
 
 def test_probe_broadcasts_bitmap_never_shuffles_probes(spark):
