@@ -150,6 +150,48 @@ def test_bloom_filters_land_in_footers_only_where_asked(spark, tmp_path):
     assert not any(bloom_filter_columns(spark, plain).values())
 
 
+def test_zorder_prunes_on_every_participating_dimension(spark, tmp_path):
+    """write_zorder on (user_id, value): a narrow slab on EITHER column
+    must skip a meaningful share of files on footer stats alone —
+    the property the 1-D range sort cannot give (its secondary column
+    scatters across every file)."""
+    from bda_spark.sources.layout import write_zorder
+
+    ev = load_table(spark, SF_DIR, "events")
+    zdest = str(tmp_path / "zordered")
+    write_zorder(ev, zdest, ["event_id", "value"], num_files=16)
+    rdest = str(tmp_path / "range_eid")
+    write_range_sorted(ev, rdest, "event_id", num_files=16)
+
+    # identical rows whatever the layout
+    assert sorted(map(tuple, spark.read.parquet(zdest).collect())) == sorted(
+        map(tuple, spark.read.parquet(rdest).collect())
+    )
+
+    (e_lo, e_hi), (v_lo, v_hi) = ev.stat.approxQuantile(
+        ["event_id", "value"], [0.4, 0.5], 0.001
+    )
+
+    def touching(path, col, lo, hi):
+        ranges = _file_ranges(path, col)
+        return [r for r in ranges if not (r[1] < lo or r[0] > hi)], ranges
+
+    # z-order: BOTH dimensions prune — a ~10%-of-data slab skips at
+    # least a third of the files on footer min/max alone (measured:
+    # ~7/16 and ~5/16 touched; bound left loose for sampling noise)
+    ze, z_all = touching(zdest, "event_id", e_lo, e_hi)
+    zv, _ = touching(zdest, "value", v_lo, v_hi)
+    assert len(z_all) == 16
+    assert len(ze) <= 10, [len(ze), z_all]
+    assert len(zv) <= 10, len(zv)
+
+    # 1-D control: the sorted axis prunes hard, the other near-nothing
+    re_, _ = touching(rdest, "event_id", e_lo, e_hi)
+    rv, r_all = touching(rdest, "value", v_lo, v_hi)
+    assert len(re_) <= 3
+    assert len(rv) >= 14, "secondary column should not prune in 1-D"
+
+
 def test_compaction_of_missing_table_raises_cleanly(spark, tmp_path):
     import pytest as _pytest
 
