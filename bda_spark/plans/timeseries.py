@@ -579,3 +579,29 @@ def events_variant_extract(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
     )
+
+
+@query("events_distinct_sketch_rollup", None)
+def events_distinct_sketch_rollup(spark, sf_dir):
+    """Incremental distinct counting through a persisted-sketch-table
+    shape (operators.sketch.distinct_sketch_table / distinct_estimate):
+    build per-(day, event_type) HLL sketches — the table a 100 TB
+    deployment lands ONCE per day — then answer the per-type distinct
+    question by UNIONING the daily sketches, never touching raw rows.
+    Exact distinct counts can't do this (count(DISTINCT) is not
+    additive across days); HLL registers union losslessly.
+
+    Deliberately NO SQL oracle: an HLL estimate is not reproducible in
+    another engine (different hash family), and even the sparse regime
+    can sit ±1 off the true count — an exact-equality oracle would be
+    data-regeneration-fragile. The contract is pinned instead by
+    tests/test_sketch.py: estimate-vs-exact accuracy at small AND 10k
+    cardinality, union-vs-direct agreement, no-double-count on
+    re-union, and parquet persistence round-trip.
+
+    Registered in the DEFERRED_TAIL (driver window frozen at 50 rows)."""
+    from ..operators.sketch import distinct_estimate, distinct_sketch_table
+
+    e = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = distinct_sketch_table(e, ["day", "event_type"], "user_id")
+    return distinct_estimate(daily, ["event_type"], out_col="n_users")

@@ -158,6 +158,90 @@ def test_frequent_items_shuffle_is_bounded_by_counters(spark):
     assert "BatchEvalPython" not in plan, plan
 
 
+# --- HLL distinct sketch tables -----------------------------------------
+
+
+def test_distinct_sketch_union_tracks_exact_within_rsd(spark):
+    """10k true distinct across 7 daily parts: the union-of-parts
+    estimate and the direct whole-data estimate must both land within
+    the lgk=12 error envelope (~1.6% rsd; 3% asserted), and within 1%
+    of each other (register union is lossless; only sparse/dense
+    transition points differ)."""
+    from bda_spark.operators.sketch import distinct_estimate, distinct_sketch_table
+
+    df = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("day")
+    )
+    daily = distinct_sketch_table(df, ["day"], "id")
+    assert daily.count() == 7
+    union_est = distinct_estimate(daily).collect()[0]["approx_distinct"]
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("id", F.lit(12))).alias("d")
+    ).collect()[0]["d"]
+    assert abs(union_est - 10_000) <= 300, union_est
+    assert abs(direct - 10_000) <= 300, direct
+    assert abs(union_est - direct) <= 100, (union_est, direct)
+
+
+def test_distinct_sketch_table_survives_parquet_roundtrip(spark, tmp_path):
+    """The incremental pattern end-to-end: land the sketch table as
+    parquet (binary column), read it back COLD, union a subset of days
+    — the range query never touches raw rows and never double-counts
+    overlapping re-unions."""
+    from bda_spark.operators.sketch import distinct_estimate, distinct_sketch_table
+
+    df = spark.range(0, 1_000).select(
+        F.col("id"), (F.col("id") % 5).alias("day")
+    )
+    path = str(tmp_path / "sketches")
+    distinct_sketch_table(df, ["day"], "id").write.parquet(path)
+    persisted = spark.read.parquet(path)
+    # full-range union over the persisted table
+    full = distinct_estimate(persisted).collect()[0]["approx_distinct"]
+    assert abs(full - 1_000) <= 40, full
+    # no double-counting: unioning the same days twice stays at ~n
+    # (register max, not addition). Not bit-identical — datasketches
+    # promotes sparse->dense at different points with 10 vs 5 inputs —
+    # but far from 2n, which is the property that matters.
+    doubled = distinct_estimate(persisted.union(persisted)).collect()[0][
+        "approx_distinct"
+    ]
+    assert abs(doubled - full) <= 0.02 * full, (doubled, full)
+    # small-cardinality regime: 2 of 5 days hold 400 distinct ids —
+    # near-exact (sparse coupons), but NOT guaranteed bit-exact (±1
+    # observed), which is exactly why the registry row carries no
+    # SQL-equality oracle
+    two_days = distinct_estimate(
+        persisted.filter(F.col("day") < 2)
+    ).collect()[0]["approx_distinct"]
+    assert abs(two_days - 400) <= 4, two_days
+
+
+def test_distinct_sketch_rollup_query_tracks_exact(spark):
+    """The registered rows-only query vs the exact per-type distinct
+    count on the same data: within the lgk=12 envelope everywhere, and
+    dead-on at this fixture's tiny per-type cardinality."""
+    from bda_spark.plans import get_queries
+    from bda_spark.sources.batch import load_table
+
+    got = {
+        r["event_type"]: r["n_users"]
+        for r in get_queries()["events_distinct_sketch_rollup"](
+            spark, SF_DIR
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, n in exact.items():
+        assert abs(got[k] - n) <= max(1, int(0.03 * n)), (k, got[k], n)
+
+
 def test_probe_broadcasts_bitmap_never_shuffles_probes(spark):
     """The probe-side scale contract: the bitmap arrives by broadcast
     and no Exchange sits between the probe scan and the bloom join."""
