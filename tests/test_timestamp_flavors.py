@@ -86,6 +86,14 @@ def test_unix_millis_tick_shaping_survives_ntz(spark, tmp_path):
     assert {r["ms"] for r in rows} == expect
 
 
+def test_every_table_timestamp_is_canonicalized(spark):
+    # orders/lineitem ship their date columns as untagged timestamp[us]
+    # as well — the generalized sweep must normalize them too
+    for table, col in [("orders", "o_orderdate"), ("lineitem", "l_shipdate")]:
+        df = load_table(spark, "/root/testdata/sf0.001", table)
+        assert dict(df.dtypes)[col] == "timestamp", (table, col)
+
+
 def test_floor_to_accepts_raw_ntz_column(spark):
     # LTZ-only unix_timestamp inside floor_to must tolerate an
     # un-canonicalized NTZ column (library callers may skip load_table)
