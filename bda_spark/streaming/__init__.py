@@ -21,6 +21,7 @@ from .sources import (
 )
 from .pipeline import SYMBOL_FEATURES, TickPipeline, normalize_ticks, windowed_features
 from .correlation import CorrelationPipeline
+from .sessions import sessionize_ticks
 
 __all__ = [
     "csv_replay_tick_stream",
@@ -33,4 +34,5 @@ __all__ = [
     "normalize_ticks",
     "windowed_features",
     "CorrelationPipeline",
+    "sessionize_ticks",
 ]

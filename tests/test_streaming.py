@@ -346,6 +346,107 @@ def test_start_all_concurrent_growing_source(spark, tmp_path_factory):
 
 
 # --------------------------------------------------- rate-limited replay (T9)
+def test_streaming_session_windows_match_batch(spark, tmp_path_factory):
+    """Data-driven session windows on the LIVE stream: two bursts per
+    symbol separated by >gap silence must finalize as two sessions
+    each, byte-identical to the batch session_window over the same
+    records (the streaming plan adds only the watermark)."""
+    import json as _json
+
+    from bda_spark.streaming import file_replay_tick_stream, sessionize_ticks
+
+    src = tmp_path_factory.mktemp("session_src")
+    # burst 1: ticks at t+0..4 min; silence; burst 2 at t+20..22 min
+    rows = []
+    for sym, base_price in (("BP", 100.0), ("ETHEREUM", 2000.0)):
+        for i in list(range(5)) + [20, 21, 22]:
+            rows.append(
+                dict(
+                    _bp_tick(i),
+                    symbol=sym,
+                    price=base_price + i,
+                    source="YLIFE_FEED",
+                )
+            )
+    with open(src / "ticks.jsonl", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    out = str(tmp_path_factory.mktemp("session_out"))
+    stream = sessionize_ticks(
+        file_replay_tick_stream(spark, str(src)), gap="5 minutes"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("live_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    live = {tuple(r) for r in spark.sql("SELECT * FROM live_sessions").collect()}
+
+    # batch twin through the SAME decode path
+    from bda_spark.streaming import decode_ticks
+
+    batch = {
+        tuple(r)
+        for r in sessionize_ticks(
+            decode_ticks(spark.read.text(str(src))), gap="5 minutes"
+        ).collect()
+    }
+    assert live == batch and len(live) == 4, (live, batch)
+    # each symbol: one 5-tick burst, one 3-tick burst
+    per_symbol = sorted(
+        (r[0], r[3]) for r in live
+    )  # (symbol, n_ticks)
+    assert per_symbol == [
+        ("BP", 3),
+        ("BP", 5),
+        ("ETHEREUM", 3),
+        ("ETHEREUM", 5),
+    ], per_symbol
+
+
+def test_session_append_mode_emits_only_watermark_finalized(
+    spark, tmp_path_factory
+):
+    """Append mode is the production shape: a session row is emitted
+    exactly once, when the watermark passes its end (no tick can
+    extend it anymore). Replaying burst-1 and burst-2 as separate
+    micro-batches, the watermark driven by burst-2 (t+20 min, 2 min
+    delay) finalizes burst-1's session (ends t+4+5 gap = t+9); the
+    burst-2 session stays OPEN in the state store — nothing ever
+    advances the watermark past it — so it is not emitted."""
+    import json as _json
+
+    from bda_spark.streaming import file_replay_tick_stream, sessionize_ticks
+
+    src = tmp_path_factory.mktemp("session_append_src")
+    with open(src / "a_burst1.jsonl", "w") as f:
+        for i in range(5):
+            f.write(_json.dumps(_bp_tick(i)) + "\n")
+    with open(src / "b_burst2.jsonl", "w") as f:
+        for i in (20, 21, 22):
+            f.write(_json.dumps(_bp_tick(i)) + "\n")
+
+    stream = sessionize_ticks(
+        file_replay_tick_stream(spark, str(src), max_files_per_trigger=1),
+        gap="5 minutes",
+        watermark="2 minutes",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("append_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM append_sessions").collect()
+    assert [(r["symbol"], r["n_ticks"]) for r in rows] == [("BP", 5)], rows
+
+
 def test_rate_limited_replay(spark, tick_dir, tmp_path):
     """T9: maxFilesPerTrigger=1 paces the replay to one file per
     micro-batch (the file-source twin of Kafka maxOffsetsPerTrigger) —
