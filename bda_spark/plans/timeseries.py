@@ -581,6 +581,56 @@ def events_variant_extract(spark, sf_dir):
     )
 
 
+@query(
+    "events_expectations_metrics",
+    """
+    SELECT 'value_nonnegative' AS expectation,
+           CAST(sum(CASE WHEN NOT coalesce(value >= 0, FALSE)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           round(sum(CASE WHEN NOT coalesce(value >= 0, FALSE)
+                     THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS violation_rate
+    FROM events
+    UNION ALL
+    SELECT 'value_under_400',
+           CAST(sum(CASE WHEN NOT coalesce(value < 400, FALSE)
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN NOT coalesce(value < 400, FALSE)
+                     THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+    FROM events
+    UNION ALL
+    SELECT 'props_nonempty',
+           CAST(sum(CASE WHEN NOT coalesce(len(props) > 2, FALSE)
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN NOT coalesce(len(props) > 2, FALSE)
+                     THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+    FROM events
+    """,
+)
+def events_expectations_metrics(spark, sf_dir):
+    """The declarative expectations gate (functions.expectations) run
+    over events: three named rules evaluated in ONE projection, the
+    violation metrics table in ONE aggregation pass. The oracle
+    recomputes each rule's violation count independently in SQL — a
+    hash match proves both the per-rule evaluation (including the
+    NULL-counts-as-failure policy, via the coalesce on both sides) and
+    the metrics arithmetic.
+
+    Registered in the DEFERRED_TAIL (driver window frozen at 50 rows);
+    oracle-verified every pytest run by test_oracle_queries."""
+    from ..functions.expectations import apply_expectations
+
+    e = t(spark, sf_dir, "events")
+    _, _, metrics = apply_expectations(
+        e,
+        {
+            "value_nonnegative": F.col("value") >= 0,
+            "value_under_400": F.col("value") < 400,
+            "props_nonempty": F.length("props") > 2,
+        },
+    )
+    return metrics
+
+
 @query("events_distinct_sketch_rollup", None)
 def events_distinct_sketch_rollup(spark, sf_dir):
     """Incremental distinct counting through a persisted-sketch-table
