@@ -73,6 +73,43 @@ def test_gate_conserves_rows(spark):
     assert passed.count() + quarantined.count() == df.count()
 
 
+def test_gate_routes_a_live_stream(spark, tmp_path):
+    """The same gate on a STREAMING frame: annotation is a stateless
+    projection, so pass/quarantine routing drops into foreachBatch
+    unchanged — the production ingest shape (clean rows to the main
+    table, violations to a reasons-annotated quarantine table)."""
+    src = str(tmp_path / "src")
+    _frame(spark).write.parquet(src)
+    pass_dir = str(tmp_path / "passed")
+    quar_dir = str(tmp_path / "quarantine")
+
+    def route(batch_df, _batch_id):
+        annotated = annotate_expectations(batch_df, _rules())
+        annotated.filter(F.size("failed_expectations") == 0).drop(
+            "failed_expectations"
+        ).write.mode("append").parquet(pass_dir)
+        annotated.filter(F.size("failed_expectations") > 0).write.mode(
+            "append"
+        ).parquet(quar_dir)
+
+    q = (
+        spark.readStream.schema(_frame(spark).schema)
+        .parquet(src)
+        .writeStream.foreachBatch(route)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert [r["id"] for r in spark.read.parquet(pass_dir).collect()] == [1]
+    quarantined = {
+        r["id"]: sorted(r["failed_expectations"])
+        for r in spark.read.parquet(quar_dir).collect()
+    }
+    assert set(quarantined) == {2, 3, 4, 5}
+    assert quarantined[4] == ["price_positive", "volume_sane"]
+
+
 def test_metrics_are_one_aggregation_pass(spark):
     """N rules must not become N scans: the metrics plan holds exactly
     one aggregate (partial+final) over one scan of the input."""
