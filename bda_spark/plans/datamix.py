@@ -453,13 +453,51 @@ def quality_percentile_filter(
 
     percent_rank is a per-``by``-partition window: each domain sorts
     only its own rows, domains in parallel — same scale shape as the
-    sequence packer, same sub-bucketing escape hatch if one domain
-    dominates (at the cost of approximate cut points)."""
+    sequence packer. When exact rank boundaries aren't worth a full
+    per-domain sort, ``quality_threshold_filter_approx`` below is the
+    sort-free twin."""
     w = Window.partitionBy(by).orderBy(F.col(score_col).desc())
     return (
         scored.withColumn("_pr", F.percent_rank().over(w))
         .filter(F.col("_pr") <= keep_frac)
         .drop("_pr")
+    )
+
+
+def quality_threshold_filter_approx(
+    scored,
+    score_col: str,
+    keep_frac: float = 0.9,
+    by: str = "source",
+    accuracy: int = 10_000,
+):
+    """Sort-free scale twin of ``quality_percentile_filter``: keep each
+    domain's top ``keep_frac`` by computing the domain's cutoff score
+    with ``percentile_approx`` — a mergeable KLL-style sketch that
+    partial-aggregates map-side — then broadcasting the |domains|-row
+    threshold table back and filtering.
+
+    Where the exact gate shuffles and SORTS every domain's full row
+    set (percent_rank window), this plan's only shuffle carries one
+    sketch buffer per (partition, domain); the corpus itself is never
+    sorted and never moved. The trade is boundary fuzz: documents
+    whose score sits within the sketch's error of the cutoff may flip
+    sides, so the kept fraction is keep_frac +/- epsilon rather than
+    the exact rank count — the right trade at 100 TB, where the gate
+    feeds a statistical sampler anyway.
+
+    Ties note: every row EQUAL to the cutoff is kept (>=), so heavily
+    tied score distributions keep more than keep_frac — same behavior
+    as the exact gate at pr == keep_frac boundaries."""
+    cutoff = scored.groupBy(by).agg(
+        F.percentile_approx(
+            score_col, F.lit(1.0 - keep_frac), F.lit(int(accuracy))
+        ).alias("_cutoff")
+    )
+    return (
+        scored.join(F.broadcast(cutoff), by)
+        .filter(F.col(score_col) >= F.col("_cutoff"))
+        .drop("_cutoff")
     )
 
 

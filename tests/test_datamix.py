@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from bda_spark.plans import get_queries
 from bda_spark.plans.datamix import _H_MOD, _H_SAMPLE, _H_SPLIT
@@ -178,6 +179,59 @@ def test_quality_percentile_filter_is_per_source(spark):
         "strong": {5, 6, 7, 8, 9},
         "weak": {105, 106, 107, 108, 109},
     }
+
+
+def test_quality_threshold_approx_tracks_exact_gate(spark):
+    """The sort-free twin: per-source kept fraction within a few
+    percent of keep_frac on a 1000-doc-per-source spread, and NO Sort
+    node anywhere in its plan (the exact gate's plan has one)."""
+    from pyspark.sql import Row
+
+    from bda_spark.plans.datamix import (
+        quality_percentile_filter,
+        quality_threshold_filter_approx,
+    )
+
+    rows = [
+        Row(doc_id=s * 10_000 + i, source=src, score=float((i * 7919) % 1000))
+        for s, src in enumerate(["a", "b"])
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows)
+    approx = quality_threshold_filter_approx(df, "score", keep_frac=0.9)
+    kept = approx.groupBy("source").count().collect()
+    for r in kept:
+        assert abs(r["count"] - 900) <= 30, (r["source"], r["count"])
+    # the kept set is exactly "score >= cutoff": nothing kept may score
+    # below anything dropped within a source
+    dropped = df.join(approx.select("doc_id"), "doc_id", "left_anti")
+    lo_kept = {
+        r["source"]: r["m"]
+        for r in approx.groupBy("source").agg(F.min("score").alias("m")).collect()
+    }
+    hi_drop = {
+        r["source"]: r["m"]
+        for r in dropped.groupBy("source").agg(F.max("score").alias("m")).collect()
+    }
+    for src in lo_kept:
+        assert lo_kept[src] > hi_drop[src], (src, lo_kept[src], hi_drop[src])
+    # plan shape: no sort in the approx gate; the exact gate has one
+    import re
+
+    approx_plan = approx._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    exact_plan = (
+        quality_percentile_filter(df, "score", keep_frac=0.9)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert not re.findall(r"\bSort \(\d+\)", approx_plan), approx_plan
+    assert re.findall(r"\bSort \(\d+\)", exact_plan)
 
 
 def test_salted_packing_conserves_and_bounds_overhead(spark, sf_dir, docs_pd):
