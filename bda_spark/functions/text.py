@@ -42,6 +42,26 @@ def language_id_col(
     return F.when(mx > 0, F.element_at(lang_arr, idx)).otherwise(F.lit(unknown))
 
 
+def canonicalize_text_col(text_col: str | Column) -> Column:
+    """Dedup-grade text canonicalization, builtin-expressions only (no
+    UDF, stays in codegen): lowercase, strip everything that is not a
+    Unicode letter / digit / whitespace, collapse whitespace runs, and
+    trim. This is the normalization layer every near-dup family keys
+    on in production — without it, `Hello, World` and `hello world`
+    shingle apart and every fingerprint misses the match.
+
+    Deliberately NOT included: Unicode NFC/NFKC folding (Spark has no
+    builtin normalizer — doing it right needs an Arrow-batched pandas
+    UDF upstream of this, worth it only for corpora where composed vs
+    decomposed forms actually co-occur) and stemming (language-
+    dependent, changes semantics — a corpus policy, not an engine
+    default)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[^\p{L}\p{N}\s]", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
 def language_score_col(text_col: str | Column, words: list[str]) -> Column:
     """Occurrence count of ``words`` in the whitespace tokens — the raw
     score behind language_id_col, exposed for quality filters.

@@ -121,6 +121,34 @@ def keyword_counts_sketch(spark, sf_dir):
 
 
 @query(
+    "doc_canonical_fingerprints",
+    r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(
+             regexp_replace(lower(text), '[^\pL\pN\s]', ' ', 'g'),
+             '\s+', ' ', 'g'))) AS canonical_md5
+    FROM documents
+    """,
+)
+def doc_canonical_fingerprints(spark, sf_dir):
+    """Canonicalization layer for dedup
+    (functions.text.canonicalize_text_col): md5 over the lowercased,
+    punctuation-stripped, whitespace-collapsed text. The oracle
+    recomputes the same normalization in DuckDB's regex dialect — a
+    hash match proves the canonical BYTES agree engine-to-engine,
+    which is the property that matters when canonical fingerprints
+    from different systems are compared in one dedup index.
+
+    Registered in the DEFERRED_TAIL (driver window frozen at 50 rows);
+    oracle-verified every pytest run by test_oracle_queries."""
+    from ..functions.text import canonicalize_text_col
+
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(canonicalize_text_col("text")).alias("canonical_md5")
+    )
+
+
+@query(
     "docs_by_lang_source",
     """
     SELECT lang, source, count(*) AS n_docs,

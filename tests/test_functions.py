@@ -137,6 +137,31 @@ def test_language_id_discriminates_real_sentences(spark):
         assert r.got == r.expected, f"{r.expected}: got {r.got}"
 
 
+def test_canonicalize_text_col_equivalence_classes(spark):
+    """Dedup normalization: case / punctuation / whitespace variants
+    collapse to one canonical form; Unicode letters and digits
+    survive; distinct content stays distinct."""
+    from bda_spark.functions.text import canonicalize_text_col
+
+    rows = [
+        (1, "Hello,  World!"),
+        (2, "hello world"),
+        (3, "HELLO ... world\t\n"),
+        (4, "héllo wörld"),  # accented letters are LETTERS, kept
+        (5, "hello world 42"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", canonicalize_text_col("text").alias("c")
+        ).collect()
+    }
+    assert got[1] == got[2] == got[3] == "hello world"
+    assert got[4] == "héllo wörld"
+    assert got[5] == "hello world 42"
+
+
 def test_avg_ranks_and_spearman_match_scipy_convention(spark):
     """Tie-adjusted average ranks on a continuous column with planted
     ties, against hand-computed scipy-style rankdata expectations."""
