@@ -23,8 +23,10 @@ from typing import Any
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     DoubleType,
     LongType,
@@ -154,6 +156,98 @@ def running_feature_stats(
         update,
         RUNNING_STATS_SCHEMA,
         STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+MG_STATE_SCHEMA = StructType(
+    [
+        StructField("items", ArrayType(StringType())),
+        StructField("weights", ArrayType(LongType())),
+        StructField("subtracted", LongType()),
+        StructField("seq", LongType()),
+    ]
+)
+
+MG_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq", LongType()),
+        StructField("item", StringType()),
+        StructField("est_count", LongType()),
+        StructField("err_bound", LongType()),
+    ]
+)
+
+
+def streaming_frequent_items(
+    items: DataFrame,
+    col: str,
+    counters: int = 256,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Streaming heavy hitters: the Misra-Gries summary
+    (operators.sketch.frequent_items) as a STATEFUL streaming operator
+    — continuously-maintained approximate top-k ("trending keys") over
+    an unbounded stream, at fixed memory.
+
+    Sharding: items hash into ``n_shards`` groups, so the state store
+    holds n_shards summaries of ``counters`` slots each — bounded
+    forever, whatever the key cardinality — and every item lives in
+    EXACTLY one shard, so per-item estimates never need cross-shard
+    merging. Each micro-batch folds the shard's new arrivals into the
+    carried summary (vectorized value_counts, the same mergeable-
+    summaries compaction rule as the batch operator) and emits a
+    monotonically-sequenced snapshot of the shard; a consumer takes
+    each shard's latest seq and has, at all times,
+        est_count <= true_count <= est_count + err_bound
+    for every item, with any item heavier than err_bound guaranteed
+    present in its shard's snapshot."""
+    n_slots = int(counters)
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (shard,) = key
+        if state.exists:
+            s_items, s_weights, subtracted, seq = state.get
+            summary = dict(zip(list(s_items), [int(w) for w in s_weights]))
+            subtracted = int(subtracted)
+        else:
+            summary, subtracted, seq = {}, 0, 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        batch = pd.concat(chunks, ignore_index=True)
+        for item, c in batch["item"].value_counts().items():
+            summary[item] = summary.get(item, 0) + int(c)
+        if len(summary) > n_slots:
+            cut = sorted(summary.values(), reverse=True)[n_slots]
+            summary = {i: w - cut for i, w in summary.items() if w > cut}
+            subtracted += cut
+        seq = int(seq) + 1
+        state.update(
+            (list(summary.keys()), list(summary.values()), subtracted, seq)
+        )
+        yield pd.DataFrame(
+            {
+                "shard": int(shard),
+                "seq": seq,
+                "item": list(summary.keys()),
+                "est_count": list(summary.values()),
+                "err_bound": subtracted,
+            }
+        )
+
+    sharded = items.select(
+        F.pmod(F.xxhash64(F.col(col)), F.lit(int(n_shards))).alias("shard"),
+        F.col(col).cast("string").alias("item"),
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        update,
+        MG_OUTPUT_SCHEMA,
+        MG_STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,
     )

@@ -466,6 +466,75 @@ def test_rate_limited_replay(spark, tick_dir, tmp_path):
     assert len([s for s in sizes if s]) == 3
 
 
+def test_streaming_frequent_items_bounds_across_batches(
+    spark, tmp_path_factory
+):
+    """Stateful Misra-Gries over a two-batch replay with a 4-slot
+    budget: the carried summaries must fold batch 2 into batch 1's
+    state (not restart), and each shard's LATEST snapshot must satisfy
+    est <= true <= est + err for every item of the whole stream, with
+    every item heavier than the shard's err bound present."""
+    from collections import Counter
+
+    from bda_spark.streaming.stateful import streaming_frequent_items
+
+    d = tmp_path_factory.mktemp("mg_stream")
+    b1 = (["alpha"] * 30 + ["beta"] * 20 + [f"rare{i}" for i in range(10)])
+    b2 = (["alpha"] * 25 + ["gamma"] * 15 + [f"tail{i}" for i in range(10)])
+    with open(d / "a_batch1.txt", "w") as f:
+        f.write("\n".join(b1) + "\n")
+    with open(d / "b_batch2.txt", "w") as f:
+        f.write("\n".join(b2) + "\n")
+
+    stream = streaming_frequent_items(
+        spark.readStream.option("maxFilesPerTrigger", "1").text(str(d)),
+        "value",
+        counters=4,
+        n_shards=2,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("mg_snapshots")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM mg_snapshots").collect()
+    assert rows
+    # at least one shard saw both batches (seq reaches 2)
+    max_seq = {}
+    for r in rows:
+        max_seq[r["shard"]] = max(max_seq.get(r["shard"], 0), r["seq"])
+    assert max(max_seq.values()) == 2, max_seq
+    latest = [r for r in rows if r["seq"] == max_seq[r["shard"]]]
+
+    exact = Counter(b1 + b2)
+    # shard assignment must match the operator's (xxhash64 % n_shards)
+    from pyspark.sql import functions as SF
+
+    shard_of = {
+        r["w"]: r["s"]
+        for r in spark.createDataFrame(
+            [(w,) for w in exact], "w string"
+        ).select(
+            "w", SF.pmod(SF.xxhash64("w"), SF.lit(2)).alias("s")
+        ).collect()
+    }
+    est = {(r["shard"], r["item"]): r["est_count"] for r in latest}
+    err = {r["shard"]: r["err_bound"] for r in latest}
+    for word, true_n in exact.items():
+        shard = shard_of[word]
+        e = est.get((shard, word), 0)
+        bound = err.get(shard, 0)
+        assert e <= true_n <= e + bound, (word, e, true_n, bound)
+        if true_n > bound:
+            assert (shard, word) in est, (word, true_n, bound)
+    # the budget really is enforced: no snapshot exceeds counters items
+    per_snapshot = Counter((r["shard"], r["seq"]) for r in rows)
+    assert max(per_snapshot.values()) <= 4
+
+
 # ------------------------------------- custom stateful operator (T7 deep)
 def test_running_feature_stats_state_carries_across_batches(
     spark, tmp_path_factory
