@@ -62,6 +62,37 @@ def canonicalize_text_col(text_col: str | Column) -> Column:
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
+def nfc_normalize_udf() -> Column:
+    """Unicode NFC normalization as an Arrow-batched pandas UDF — the
+    one canonicalization step ``canonicalize_text_col`` cannot do with
+    builtins (Spark has no normalizer function). Composed vs
+    decomposed forms (é as U+00E9 vs e + U+0301) are byte-different
+    but render identically, so corpora mixing sources need this fold
+    BEFORE fingerprinting or the same visible text dedups apart.
+
+    pandas UDF (not row-at-a-time): the batch arrives as one Arrow
+    buffer and ``unicodedata.normalize`` runs per value inside a
+    single-column pandas map — the accepted cost profile for an op
+    with no JVM expression, isolated here so the rest of the
+    canonicalization pipeline stays in codegen. Returns a callable
+    column transformer: ``nfc_normalize_udf()(F.col("text"))``."""
+    import unicodedata
+
+    import pandas  # noqa: F401 — annotations below resolve against globals
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(s):
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    # explicit annotations (module has `from __future__ import
+    # annotations`, so inline hints stringify and pandas_udf could not
+    # resolve the local `pd` alias)
+    _nfc.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
+    return pandas_udf(_nfc, "string")
+
+
 def language_score_col(text_col: str | Column, words: list[str]) -> Column:
     """Occurrence count of ``words`` in the whitespace tokens — the raw
     score behind language_id_col, exposed for quality filters.

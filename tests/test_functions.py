@@ -162,6 +162,36 @@ def test_canonicalize_text_col_equivalence_classes(spark):
     assert got[5] == "hello world 42"
 
 
+def test_nfc_normalization_folds_decomposed_forms(spark):
+    """Composed (U+00E9) and decomposed (e + U+0301) spellings of the
+    same text must fingerprint identically after the NFC fold, and
+    differently without it."""
+    from pyspark.sql import functions as SF
+
+    from bda_spark.functions.text import canonicalize_text_col, nfc_normalize_udf
+
+    composed = "caf\u00e9 opening"  # \u00e9 as one codepoint
+    decomposed = "cafe\u0301 opening"  # e + combining acute
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed)], "id long, text string"
+    )
+    raw = {
+        r["id"]: r["m"]
+        for r in df.select(
+            "id", SF.md5(canonicalize_text_col("text")).alias("m")
+        ).collect()
+    }
+    assert raw[1] != raw[2]  # byte-different without the fold
+    nfc = nfc_normalize_udf()
+    folded = {
+        r["id"]: r["m"]
+        for r in df.select(
+            "id", SF.md5(canonicalize_text_col(nfc(SF.col("text")))).alias("m")
+        ).collect()
+    }
+    assert folded[1] == folded[2]
+
+
 def test_avg_ranks_and_spearman_match_scipy_convention(spark):
     """Tie-adjusted average ranks on a continuous column with planted
     ties, against hand-computed scipy-style rankdata expectations."""
