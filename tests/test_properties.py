@@ -83,6 +83,35 @@ words = st.text(alphabet="abcdef", min_size=1, max_size=5)
 
 @settings(**SETTINGS)
 @given(
+    stream=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+        min_size=1,
+        max_size=120,
+    ),
+    counters=st.integers(min_value=2, max_value=6),
+)
+def test_frequent_items_bounds_hold_for_any_stream(spark, stream, counters):
+    """Misra-Gries invariants under arbitrary streams and budgets:
+    est <= true <= est + err for EVERY item (reported or not), and any
+    item heavier than the error bound is guaranteed reported."""
+    from collections import Counter
+
+    from bda_spark.operators.sketch import frequent_items
+
+    df = spark.createDataFrame([(w,) for w in stream], "word string").repartition(3)
+    got = frequent_items(df, "word", k=100, counters=counters).collect()
+    exact = Counter(stream)
+    err = got[0]["max_count"] - got[0]["est_count"] if got else 0
+    by_item = {r["item"]: r["est_count"] for r in got}
+    for item, true_n in exact.items():
+        est = by_item.get(item, 0)
+        assert est <= true_n <= est + err, (item, est, true_n, err)
+        if true_n > err:
+            assert item in by_item, (item, true_n, err)
+
+
+@settings(**SETTINGS)
+@given(
     tokens=st.lists(words, min_size=1, max_size=30),
     vocab=st.lists(words, min_size=1, max_size=5, unique=True),
 )
