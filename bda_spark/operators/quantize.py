@@ -1,0 +1,169 @@
+"""Scalar (int8) embedding quantization — the memory/IO lever of a
+100 TB similarity deployment: a float32 embedding column stores 4
+bytes per dimension; SQ8 codes store 1. The candidate-generation scan
+(the part that touches EVERY vector) reads 4x fewer bytes and shuffles
+4x smaller rows; the small surviving candidate set is reranked against
+the exact float vectors, so the final top-k quality is bounded only by
+what the coarse scan missed — the same prefilter-then-verify shape as
+the blocked Bloom filter and the IVF probe.
+
+All quantize/dequantize arithmetic is JVM-side higher-order functions
+(``F.transform`` with the per-dimension scale/offset as broadcast
+array literals) — no UDFs, codegen end-to-end.
+
+Quantization grid: per-DIMENSION min/max (computed in one posexplode
+aggregation — dims x 2 scalars to the driver, a few hundred bytes),
+uniform 256 levels per dimension. Max per-dimension dequantization
+error is (hi-lo)/510 (round-to-nearest on a 255-step grid).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sq8_bounds(embeddings: DataFrame, col: str = "embedding") -> tuple[list, list]:
+    """Per-dimension (lo, hi) lists via one explode+aggregate pass.
+    |dims| rows reach the driver — the training-stats pass every
+    quantizer needs, same cost class as write_zorder's approxQuantile."""
+    rows = (
+        embeddings.select(F.posexplode(col).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .orderBy("dim")
+        .collect()
+    )
+    lo = [float(r["lo"]) for r in rows]
+    hi = [float(r["hi"]) for r in rows]
+    return lo, hi
+
+
+def _lit_array(vals: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def sq8_quantize(
+    embeddings: DataFrame,
+    lo: list[float],
+    hi: list[float],
+    col: str = "embedding",
+    out: str = "codes",
+) -> DataFrame:
+    """Encode the float vector column as array<int> codes in [0, 255]
+    (stored small; parquet dictionary/byte-packing drops them to ~1
+    byte per dim on disk). Degenerate dimensions (hi == lo) encode as
+    0 and decode exactly to lo."""
+    lo_a, hi_a = _lit_array(lo), _lit_array(hi)
+    codes = F.expr(
+        f"""
+        transform({col}, (x, i) ->
+          CASE WHEN element_at({{hi}}, i + 1) = element_at({{lo}}, i + 1)
+               THEN 0
+               ELSE CAST(round(
+                 (CAST(x AS DOUBLE) - element_at({{lo}}, i + 1)) * 255.0
+                 / (element_at({{hi}}, i + 1) - element_at({{lo}}, i + 1))
+               ) AS INT) END)
+        """.replace("{lo}", "__sq8_lo").replace("{hi}", "__sq8_hi")
+    )
+    return (
+        embeddings.withColumn("__sq8_lo", lo_a)
+        .withColumn("__sq8_hi", hi_a)
+        .withColumn(out, codes)
+        .drop("__sq8_lo", "__sq8_hi")
+    )
+
+
+def sq8_dequantize_col(
+    codes: str | Column, lo: list[float], hi: list[float]
+) -> Column:
+    """array<int> codes -> array<double> approximate vector."""
+    c = F.col(codes) if isinstance(codes, str) else codes
+    dims = len(lo)
+    scale = [(hi[i] - lo[i]) / 255.0 for i in range(dims)]
+    return F.zip_with(
+        F.zip_with(c.cast("array<double>"), _lit_array(scale), lambda x, s: x * s),
+        _lit_array(lo),
+        lambda xs, o: xs + o,
+    )
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    oversample: int = 4,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-phase cosine top-k: coarse rank on DEQUANTIZED int8 codes
+    (the 4x-cheaper scan), keep ``k * oversample`` candidates per
+    query, exact-rerank the survivors on the float vectors. Returns
+    (query_id, neighbor_id, cosine, rk) like the exact baseline.
+
+    Scale shape: identical joins to the brute-force plan (query side
+    broadcasts, corpus scanned once) — what changes at 100 TB is the
+    BYTES: the corpus-wide phase reads the int8 table; only
+    |queries| x k x oversample rows ever touch float vectors."""
+    lo, hi = sq8_bounds(embeddings, col)
+    coded = sq8_quantize(embeddings, lo, hi, col)
+
+    def cos(a: Column, b: Column) -> Column:
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        n1 = F.sqrt(
+            F.aggregate(
+                F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            )
+        )
+        n2 = F.sqrt(
+            F.aggregate(
+                F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            )
+        )
+        return dot / (n1 * n2)
+
+    deq = sq8_dequantize_col("codes", lo, hi)
+    corpus_q = coded.select(
+        F.col(id_col).alias("neighbor_id"), deq.alias("nv")
+    )
+    qside = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(col).cast("array<double>").alias("qv"),
+        )
+    )
+    coarse = (
+        corpus_q.join(qside, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos(F.col("qv"), F.col("nv")).alias("sim_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_q"), "neighbor_id"
+    )
+    candidates = (
+        coarse.withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") <= int(k) * int(oversample))
+        .select("query_id", "neighbor_id")
+    )
+    exact = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(col).cast("array<double>").alias("nv_exact"),
+    )
+    reranked = (
+        candidates.join(exact, "neighbor_id")
+        .join(qside, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cos(F.col("qv"), F.col("nv_exact")), 6).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        reranked.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= int(k))
+    )

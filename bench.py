@@ -111,6 +111,18 @@ def lineitem_quantiles_approx(spark, sf_dir):
     )
 
 
+def cosine_topk_sq8(spark, sf_dir):
+    """Bench-only scale twin of ``cosine_topk``: int8-quantized coarse
+    scan (4x fewer candidate-phase bytes) + exact rerank of the 4k
+    survivors — timed here, recall pinned vs brute force in
+    tests/test_quantize.py."""
+    from bda_spark.operators.quantize import sq8_topk
+    from pyspark.sql import functions as SF
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sq8_topk(emb, emb.filter(SF.col("vec_id") < 5), k=5, oversample=4)
+
+
 def events_approx_distinct(spark, sf_dir):
     """Bench-only scale twin of the exact count-distinct measures
     (count_distinct_custkeys, orders_cube_customers): at 100 TB exact
@@ -281,6 +293,13 @@ def main() -> None:
         events_approx_distinct(spark, sf_dir).collect()
         best = min(best, time.time() - t0)
     timings["events_approx_distinct"] = round(best, 3)
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        cosine_topk_sq8(spark, sf_dir).collect()
+        best = min(best, time.time() - t0)
+    timings["cosine_topk_sq8"] = round(best, 3)
 
     # Bench-only scale twin: sub-bucketed sequence packing (no single
     # mega-source serializes one partition's window sort).

@@ -1,0 +1,94 @@
+"""SQ8 embedding quantization (operators/quantize.py): grid error
+bound, code range, and end-to-end top-k recall vs the exact baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bda_spark.operators.quantize import (
+    sq8_bounds,
+    sq8_dequantize_col,
+    sq8_quantize,
+    sq8_topk,
+)
+from bda_spark.sources.batch import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_codes_in_range_and_dequantization_error_bounded(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    lo, hi = sq8_bounds(emb)
+    coded = sq8_quantize(emb, lo, hi)
+    stats = coded.select(
+        F.array_min("codes").alias("cmin"), F.array_max("codes").alias("cmax")
+    ).agg(
+        F.min("cmin").alias("lo"), F.max("cmax").alias("hi")
+    ).collect()[0]
+    assert stats["lo"] >= 0 and stats["hi"] <= 255
+    # max |x - dequant(quant(x))| over every vector and dimension must
+    # respect the per-dimension grid bound (hi-lo)/510
+    err = coded.select(
+        F.array_max(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                sq8_dequantize_col("codes", lo, hi),
+                lambda x, y: F.abs(x - y),
+            )
+        ).alias("e")
+    ).agg(F.max("e").alias("m")).collect()[0]["m"]
+    worst_grid = max((h - l) / 510.0 for l, h in zip(lo, hi))
+    assert err <= worst_grid * 1.0001, (err, worst_grid)
+
+
+def test_sq8_topk_recall_vs_exact(spark):
+    """Coarse int8 scan + exact rerank of 4k candidates: top-5 per
+    query must essentially match the float32 brute force — full recall
+    on the synthetic clustered embeddings, and rank-1 always."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = sq8_topk(emb, queries, k=5, oversample=4).collect()
+
+    def cos(a, b):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        )
+        n = lambda v: F.sqrt(
+            F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+        )
+        return dot / (n(a) * n(b))
+
+    from pyspark.sql.window import Window
+
+    v = F.col("embedding").cast("array<double>")
+    qs = F.broadcast(
+        queries.select(F.col("vec_id").alias("query_id"), v.alias("qv"))
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), v.alias("nv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    exact = (
+        corpus.join(qs, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cos(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .collect()
+    )
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got_sets = {}
+    top1 = {}
+    for r in got:
+        got_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        if r["rk"] == 1:
+            top1[r["query_id"]] = r["neighbor_id"]
+    assert set(got_sets) == set(exact_sets)
+    hits = sum(len(got_sets[q] & exact_sets[q]) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.95, (hits, total)
+    exact_top1 = {r["query_id"]: r["neighbor_id"] for r in exact if r["rk"] == 1}
+    assert top1 == exact_top1
