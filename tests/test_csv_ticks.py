@@ -64,7 +64,7 @@ def test_csv_replay_stream_matches_batch_read(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination()
     streamed = {tuple(r) for r in spark.read.parquet(out).collect()}
     batch = {tuple(r) for r in read_csv_ticks(spark, cap).collect()}
     assert streamed == batch

@@ -100,7 +100,7 @@ def test_gate_routes_a_live_stream(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination()
     assert [r["id"] for r in spark.read.parquet(pass_dir).collect()] == [1]
     quarantined = {
         r["id"]: sorted(r["failed_expectations"])

@@ -383,7 +383,7 @@ def test_streaming_session_windows_match_batch(spark, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination()
     live = {tuple(r) for r in spark.sql("SELECT * FROM live_sessions").collect()}
 
     # batch twin through the SAME decode path
@@ -442,7 +442,7 @@ def test_session_append_mode_emits_only_watermark_finalized(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination()
     rows = spark.sql("SELECT * FROM append_sessions").collect()
     assert [(r["symbol"], r["n_ticks"]) for r in rows] == [("BP", 5)], rows
 
@@ -499,7 +499,7 @@ def test_streaming_frequent_items_bounds_across_batches(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination()
     rows = spark.sql("SELECT * FROM mg_snapshots").collect()
     assert rows
     # at least one shard saw both batches (seq reaches 2)
