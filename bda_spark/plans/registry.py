@@ -83,6 +83,7 @@ DEFERRED_TAIL = [
     "events_distinct_sketch_rollup",  # HLL sketch-table rollup (exact regime)
     "events_expectations_metrics",  # declarative gate ⊃ validate_ticks (D8)
     "doc_canonical_fingerprints",  # normalization layer; md5 family twin
+    "events_interval_join_firstday",  # bucketed range-join; as-of family sibling
     "events_trailing_7d",       # RANGE-frame trailing window over the daily grid
     "events_variant_extract",   # Spark-4 VARIANT decode; oracle = JSON-text twin
     "customer_balance_ntiles",  # ntile(4) quartiles; window family w/ orders_rank_topk

@@ -631,6 +631,59 @@ def events_expectations_metrics(spark, sf_dir):
     return metrics
 
 
+@query(
+    "events_interval_join_firstday",
+    """
+    WITH iv AS (
+      SELECT user_id, min(ts) AS start_ts,
+             min(ts) + INTERVAL 24 HOURS AS end_ts
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, count(*) AS n_events,
+           round(sum(e.value), 6) AS sum_value
+    FROM events e JOIN iv ON e.user_id = iv.user_id
+                        AND e.ts >= iv.start_ts AND e.ts < iv.end_ts
+    GROUP BY e.user_id
+    """,
+)
+def events_interval_join_firstday(spark, sf_dir):
+    """Interval (range) join through the bucketed rewrite
+    (operators.intervals.interval_join): each user's events joined
+    into their first-24-hours interval, then aggregated. The oracle
+    computes the same containment with a direct range predicate — a
+    hash match proves the bucket-explode + equi-join + refine plan
+    implements exactly ``start <= ts < end`` semantics, boundary
+    microseconds included.
+
+    The naive Spark formulation of the same join is a nested-loop
+    (non-equi predicate); the bucketed form here shuffles once on
+    (user_id, hour-bucket). sum rounds at 6 digits per the float
+    policy (per-user sums are small; the round absorbs order noise).
+
+    Registered in the DEFERRED_TAIL (driver window frozen at 50 rows);
+    oracle-verified every pytest run by test_oracle_queries."""
+    from ..operators.intervals import interval_join
+
+    e = t(spark, sf_dir, "events")
+    iv = e.groupBy("user_id").agg(
+        F.min("ts").alias("start_ts"),
+        (F.min("ts") + F.expr("INTERVAL 24 HOURS")).alias("end_ts"),
+    )
+    joined = interval_join(
+        e.select("user_id", "ts", "value"),
+        iv,
+        point_ts="ts",
+        start="start_ts",
+        end="end_ts",
+        keys=["user_id"],
+        bucket_seconds=3600,
+    )
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
 @query("events_distinct_sketch_rollup", None)
 def events_distinct_sketch_rollup(spark, sf_dir):
     """Incremental distinct counting through a persisted-sketch-table
