@@ -30,29 +30,46 @@ def bucketed_feed(
     bucket: str = "1 minute",
     watermark: str = "10 minutes",
 ) -> DataFrame:
-    """Project one feed to (timestamp, value), add event_time + 1-min
-    bucket column + watermark (reference: joined_streams.py:46-83).
-    Column names are tag-suffixed so the self-join is unambiguous."""
+    """Project one feed to (timestamp, value), add event_time +
+    watermark + 1-min bucket column (reference: joined_streams.py:46-83).
+    Column names are tag-suffixed so the self-join is unambiguous.
+
+    Order matters: the watermark is applied BEFORE the window column
+    is derived, so the bucket carries the watermark — which is what
+    lets bucket-equality serve as the join key for stream-stream
+    OUTER joins ("watermark in the join keys"); with the window
+    derived first, outer modes are rejected at analysis. The raw
+    event-time column is then DROPPED: it carries the same watermark
+    tag as the bucket, and a stream may expose at most one event-time
+    column (consumers rebuild wall-clock times from the epoch-millis
+    ``ts_{tag}``, which stays)."""
     return (
         ticks.select(
             F.col("timestamp").alias(f"ts_{tag}"),
             F.col(value_col).cast("double").alias(f"val_{tag}"),
         )
         .withColumn(f"event_time_{tag}", F.timestamp_millis(F.col(f"ts_{tag}")))
-        .withColumn(f"bucket_{tag}", F.window(F.col(f"event_time_{tag}"), bucket))
         .withWatermark(f"event_time_{tag}", watermark)
+        .withColumn(f"bucket_{tag}", F.window(F.col(f"event_time_{tag}"), bucket))
+        .drop(f"event_time_{tag}")
     )
 
 
-def bucket_join(a: DataFrame, b: DataFrame) -> DataFrame:
-    """J1: inner join on 1-minute bucket equality; with both sides
+def bucket_join(a: DataFrame, b: DataFrame, how: str = "inner") -> DataFrame:
+    """J1: join on 1-minute bucket equality; with both sides
     watermarked, Spark evicts join state past the watermark
-    (reference: joined_streams.py:86-92)."""
-    return a.join(
-        b,
-        F.expr("bucket_a.start = bucket_b.start AND bucket_a.end = bucket_b.end"),
-        "inner",
-    )
+    (reference: joined_streams.py:86-92).
+
+    The condition is equality on the WINDOW STRUCT itself (not its
+    unpacked fields): that is the form Spark's state-watermark
+    derivation recognizes, which is what legalizes ``how="left_outer"``
+    / ``"right_outer"`` — the outer modes the reference's inner-only
+    app cannot express. Outer semantics under watermarks: an unmatched
+    row is held in state and emitted null-padded only once the
+    watermark passes its bucket (before that, a match could still
+    arrive), so outer results trail the data by the watermark delay —
+    the correct price of a correct answer on an infinite stream."""
+    return a.join(b, F.col("bucket_a") == F.col("bucket_b"), how)
 
 
 class CorrelationPipeline:
@@ -93,7 +110,7 @@ class CorrelationPipeline:
         stats_row = batch_df.agg(
             F.min("ts_a").alias("window_start_ts"),
             F.max("ts_a").alias("window_end_ts"),
-            F.min("event_time_a").alias("event_time"),
+            F.timestamp_millis(F.min("ts_a")).alias("event_time"),
             F.avg("val_a").alias("bp_price"),
             F.avg("val_b").alias("eth_ask"),
         )

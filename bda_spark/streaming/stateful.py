@@ -203,7 +203,13 @@ def streaming_frequent_items(
     each shard's latest seq and has, at all times,
         est_count <= true_count <= est_count + err_bound
     for every item, with any item heavier than err_bound guaranteed
-    present in its shard's snapshot."""
+    present in its shard's snapshot.
+
+    Every snapshot carries one null-item row holding the shard's
+    err_bound, so the bound survives even when compaction empties the
+    summary (a uniform batch can subtract every counter away — the
+    items are gone, and the bound row is what proves their counts
+    were below it)."""
     n_slots = int(counters)
 
     def update(
@@ -234,8 +240,8 @@ def streaming_frequent_items(
             {
                 "shard": int(shard),
                 "seq": seq,
-                "item": list(summary.keys()),
-                "est_count": list(summary.values()),
+                "item": list(summary.keys()) + [None],
+                "est_count": list(summary.values()) + [0],
                 "err_bound": subtracted,
             }
         )

@@ -429,6 +429,9 @@ def test_session_append_mode_emits_only_watermark_finalized(
     with open(src / "b_burst2.jsonl", "w") as f:
         for i in (20, 21, 22):
             f.write(_json.dumps(_bp_tick(i)) + "\n")
+    # deterministic replay order (mtime ties are broken arbitrarily)
+    for sec, name in enumerate(["a_burst1.jsonl", "b_burst2.jsonl"]):
+        os.utime(src / name, (1700000000 + sec * 10, 1700000000 + sec * 10))
 
     stream = sessionize_ticks(
         file_replay_tick_stream(spark, str(src), max_files_per_trigger=1),
@@ -466,6 +469,73 @@ def test_rate_limited_replay(spark, tick_dir, tmp_path):
     assert len([s for s in sizes if s]) == 3
 
 
+def test_stream_stream_left_outer_join_pads_after_watermark(
+    spark, tmp_path_factory
+):
+    """T5/J1 outer mode: bucket minute-2 exists only on the A feed; the
+    unmatched row must be HELD while a match is still possible and
+    emitted null-padded once a later batch advances the watermark past
+    its bucket. Matched buckets 0/1 join normally."""
+    import json as _json
+
+    from bda_spark.streaming import decode_ticks
+    from bda_spark.streaming.correlation import bucket_join, bucketed_feed
+
+    src = tmp_path_factory.mktemp("outer_src")
+    # batch 1: A ticks minutes 0,1,2 / B ticks minutes 0,1 only
+    with open(src / "a_batch1.jsonl", "w") as f:
+        for i in (0, 1, 2):
+            f.write(_json.dumps(_bp_tick(i)) + "\n")
+        for i in (0, 1):
+            f.write(_json.dumps(_eth_tick(i)) + "\n")
+    # batch 2: far-ahead ticks on BOTH feeds — the join's effective
+    # watermark is min(watermark_a, watermark_b), so a late tick on one
+    # side alone advances nothing. Watermark becomes 30 - 10 = 20 at
+    # the NEXT batch boundary (watermarks advance between batches).
+    with open(src / "b_batch2.jsonl", "w") as f:
+        f.write(_json.dumps(_bp_tick(30)) + "\n")
+        f.write(_json.dumps(_eth_tick(30)) + "\n")
+    # batch 3: any further tick — the batch that runs WITH watermark 20
+    # and therefore evicts + null-pads the expired minute-2 state
+    with open(src / "c_batch3.jsonl", "w") as f:
+        f.write(_json.dumps(_bp_tick(31)) + "\n")
+    # the file source orders batches by modification time and ties are
+    # arbitrary (same-millisecond writes) — pin distinct mtimes so the
+    # three micro-batches replay in authoring order deterministically
+    for sec, name in enumerate(
+        ["a_batch1.jsonl", "b_batch2.jsonl", "c_batch3.jsonl"]
+    ):
+        os.utime(src / name, (1700000000 + sec * 10, 1700000000 + sec * 10))
+
+    ticks = file_replay_tick_stream(spark, str(src), max_files_per_trigger=1)
+    a = bucketed_feed(ticks.filter("symbol = 'BP'"), "price", "a")
+    b = bucketed_feed(ticks.filter("symbol = 'ETHEREUM'"), "ask", "b")
+    q = (
+        bucket_join(a, b, how="left_outer")
+        .writeStream.format("memory")
+        .queryName("outer_join_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM outer_join_out").collect()
+    by_minute = {}
+    for r in rows:
+        minute = (r["ts_a"] - BASE_MS) // 60_000
+        by_minute[minute] = r
+    # minutes 0 and 1 matched: B side present
+    assert by_minute[0]["val_b"] is not None
+    assert by_minute[1]["val_b"] is not None
+    # minute 2 unmatched: emitted null-padded AFTER the watermark passed
+    assert by_minute[2]["val_b"] is None and by_minute[2]["ts_b"] is None
+    # minute 30 matched on both feeds (inner matches emit immediately);
+    # minute 31 is A-only and its bucket never expired -> held in state
+    if 30 in by_minute:  # emission batch may precede/equal termination
+        assert by_minute[30]["val_b"] is not None
+    assert 31 not in by_minute
+
+
 def test_streaming_frequent_items_bounds_across_batches(
     spark, tmp_path_factory
 ):
@@ -485,6 +555,9 @@ def test_streaming_frequent_items_bounds_across_batches(
         f.write("\n".join(b1) + "\n")
     with open(d / "b_batch2.txt", "w") as f:
         f.write("\n".join(b2) + "\n")
+    # deterministic replay order (mtime ties are broken arbitrarily)
+    for sec, name in enumerate(["a_batch1.txt", "b_batch2.txt"]):
+        os.utime(d / name, (1700000000 + sec * 10, 1700000000 + sec * 10))
 
     stream = streaming_frequent_items(
         spark.readStream.option("maxFilesPerTrigger", "1").text(str(d)),
@@ -521,18 +594,25 @@ def test_streaming_frequent_items_bounds_across_batches(
             "w", SF.pmod(SF.xxhash64("w"), SF.lit(2)).alias("s")
         ).collect()
     }
-    est = {(r["shard"], r["item"]): r["est_count"] for r in latest}
-    err = {r["shard"]: r["err_bound"] for r in latest}
+    est = {
+        (r["shard"], r["item"]): r["est_count"]
+        for r in latest
+        if r["item"] is not None
+    }
+    # the bound rides on the null-item row of EVERY snapshot, so it is
+    # present even if a shard's summary compacted to empty
+    err = {r["shard"]: r["err_bound"] for r in latest if r["item"] is None}
+    assert set(err) == set(max_seq), "every shard must carry a bound row"
     for word, true_n in exact.items():
         shard = shard_of[word]
         e = est.get((shard, word), 0)
-        bound = err.get(shard, 0)
+        bound = err[shard]
         assert e <= true_n <= e + bound, (word, e, true_n, bound)
         if true_n > bound:
             assert (shard, word) in est, (word, true_n, bound)
-    # the budget really is enforced: no snapshot exceeds counters items
+    # the budget really is enforced: <= counters items + the bound row
     per_snapshot = Counter((r["shard"], r["seq"]) for r in rows)
-    assert max(per_snapshot.values()) <= 4
+    assert max(per_snapshot.values()) <= 4 + 1
 
 
 # ------------------------------------- custom stateful operator (T7 deep)
