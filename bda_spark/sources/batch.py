@@ -77,6 +77,54 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
 
 
+def footer_stats_aggregate(
+    spark: SparkSession,
+    path: str,
+    min_max_cols: list[str] | None = None,
+):
+    """COUNT/MIN/MAX over a parquet table answered from FOOTER
+    metadata — zero row groups decompressed. At 100 TB, "how many rows
+    does this table have / what's its key range" is a monitoring query
+    that should not cost a full scan; parquet footers already hold the
+    answer per row group and Spark's DSv2 parquet source pushes the
+    whole aggregation down (``PushedAggregation`` in the scan node)
+    when no filter forces row inspection.
+
+    The pushdown needs two session confs (V2 source + aggregate
+    pushdown), which are flipped only around this read and restored —
+    the rest of the engine stays on its default source path. Returns a
+    one-row DataFrame already COLLECTED to a Row (the result is a
+    handful of scalars; keeping it lazy would let the confs revert
+    before execution)."""
+    cols = min_max_cols or []
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    prev_push = spark.conf.get("spark.sql.parquet.aggregatePushdown", None)
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try:
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in cols:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        df = spark.read.parquet(path).agg(*aggs)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        row = df.collect()[0]
+        return row, ("PushedAggregation" in plan)
+    finally:
+        if prev_v1 is not None:
+            spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+        else:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        if prev_push is not None:
+            spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_push)
+        else:
+            spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+
+
 def read_json_articles(spark: SparkSession, path: str) -> DataFrame:
     """News-article JSON ingestion with the explicit scraper schema
     (replaces the reference's bespoke WebHDFS writer + inferred read).

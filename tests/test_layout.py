@@ -192,6 +192,29 @@ def test_zorder_prunes_on_every_participating_dimension(spark, tmp_path):
     assert len(rv) >= 14, "secondary column should not prune in 1-D"
 
 
+def test_footer_stats_aggregate_is_pushed_and_exact(spark):
+    """count/min/max answered from parquet footers: the plan must carry
+    PushedAggregation (no row-group scan) and the numbers must equal a
+    full-scan recomputation; the flipped source confs must be restored."""
+    from bda_spark.sources.batch import footer_stats_aggregate
+
+    path = os.path.join(SF_DIR, "orders.parquet")
+    before_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", "default")
+    row, pushed = footer_stats_aggregate(spark, path, ["o_orderkey"])
+    assert pushed, "aggregation did not push down to the parquet footer"
+    full = spark.read.parquet(path)
+    assert row["n_rows"] == full.count()
+    lo_hi = full.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]
+    assert row["min_o_orderkey"] == lo_hi["lo"]
+    assert row["max_o_orderkey"] == lo_hi["hi"]
+    assert (
+        spark.conf.get("spark.sql.sources.useV1SourceList", "default")
+        == before_v1
+    ), "session source confs leaked"
+
+
 def test_compaction_of_missing_table_raises_cleanly(spark, tmp_path):
     import pytest as _pytest
 
