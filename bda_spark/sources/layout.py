@@ -211,6 +211,79 @@ def write_zorder(
     writer.parquet(path)
 
 
+def optimize_table(
+    spark,
+    path: str,
+    zorder_cols: list[str] | None = None,
+    range_col: str | None = None,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    bloom_filter_cols: dict[str, int] | None = None,
+    bits: int = 6,
+) -> int:
+    """The periodic maintenance job in one call (the Delta/Iceberg
+    ``OPTIMIZE [ZORDER BY]`` shape from Spark primitives): rewrite the
+    table at ``path`` into ~target-sized files, clustered either by
+    z-order (``zorder_cols``) or a single range axis (``range_col``),
+    optionally with bloom filters on point-lookup keys — using the
+    same crash-safe tmp/aside swap as ``compact_parquet``, so readers
+    never observe a partial table and a crashed run self-heals on the
+    next call. Returns the new file count.
+
+    Exactly one of ``zorder_cols`` / ``range_col`` may be given;
+    neither means plain compaction (coalesce, no re-sort)."""
+    if zorder_cols and range_col:
+        raise ValueError("give zorder_cols OR range_col, not both")
+    from .sinks import _hadoop_path
+
+    fs, target = _hadoop_path(spark, path)
+    base = path.rstrip("/")
+    tmp, old = base + "__compact_tmp", base + "__compact_old"
+    _, tmp_p = _hadoop_path(spark, tmp)
+    _, old_p = _hadoop_path(spark, old)
+
+    if fs.exists(old_p) and not fs.exists(target):
+        fs.rename(old_p, target)
+    fs.delete(tmp_p, True)
+    fs.delete(old_p, True)
+    if not fs.exists(target):
+        raise FileNotFoundError(f"optimize_table: no table at {path}")
+
+    total = fs.getContentSummary(target).getLength()
+    n_files = max(1, -(-total // target_file_bytes))
+    if zorder_cols:
+        write_zorder(
+            spark.read.parquet(path),
+            tmp,
+            list(zorder_cols),
+            int(n_files),
+            bits=bits,
+            bloom_filter_cols=bloom_filter_cols,
+        )
+    elif range_col:
+        write_range_sorted(
+            spark.read.parquet(path),
+            tmp,
+            range_col,
+            int(n_files),
+            bloom_filter_cols=bloom_filter_cols,
+        )
+    else:
+        writer = spark.read.parquet(path).coalesce(int(n_files)).write.mode(
+            "overwrite"
+        )
+        for k, v in bloom_filter_options(bloom_filter_cols).items():
+            writer = writer.option(k, v)
+        writer.parquet(tmp)
+
+    if not fs.rename(target, old_p):
+        raise IOError(f"optimize swap failed: could not move {path} aside")
+    if not fs.rename(tmp_p, target):
+        fs.rename(old_p, target)
+        raise IOError(f"optimize swap failed: could not move {tmp} in")
+    fs.delete(old_p, True)
+    return int(n_files)
+
+
 def compact_parquet(
     spark,
     path: str,

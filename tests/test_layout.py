@@ -192,6 +192,39 @@ def test_zorder_prunes_on_every_participating_dimension(spark, tmp_path):
     assert len(rv) >= 14, "secondary column should not prune in 1-D"
 
 
+def test_optimize_table_reclusters_in_place_crash_safely(spark, tmp_path):
+    """One maintenance call: micro-batch sprawl -> few z-ordered files
+    with blooms, same rows, no staging dirs left, and the swap heals a
+    simulated crash like compact_parquet's."""
+    from bda_spark.sources.layout import bloom_filter_columns, optimize_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    dest = str(tmp_path / "table")
+    ev.repartition(32).write.mode("overwrite").parquet(dest)
+    before = {tuple(r) for r in spark.read.parquet(dest).collect()}
+
+    n = optimize_table(
+        spark,
+        dest,
+        zorder_cols=["event_id", "value"],
+        target_file_bytes=1024 * 1024,
+        bloom_filter_cols={"user_id": 100},
+    )
+    files = glob.glob(os.path.join(dest, "*.parquet"))
+    assert len(files) == n < 32
+    assert {tuple(r) for r in spark.read.parquet(dest).collect()} == before
+    assert bloom_filter_columns(spark, dest)["user_id"]
+    assert not os.path.exists(dest + "__compact_tmp")
+    assert not os.path.exists(dest + "__compact_old")
+
+    # crash healing: table moved aside, next optimize restores + runs
+    import shutil
+
+    shutil.move(dest, dest + "__compact_old")
+    optimize_table(spark, dest, range_col="event_id", target_file_bytes=1024 * 1024)
+    assert {tuple(r) for r in spark.read.parquet(dest).collect()} == before
+
+
 def test_footer_stats_aggregate_is_pushed_and_exact(spark):
     """count/min/max answered from parquet footers: the plan must carry
     PushedAggregation (no row-group scan) and the numbers must equal a
