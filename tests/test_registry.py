@@ -64,6 +64,21 @@ def test_unique_components_fit_driver_row_cap():
         assert name in keys, f"DEFERRED_TAIL lists unknown query {name}"
 
 
+def test_driver_window_keys_are_frozen():
+    """The driver hashes rows for the FIRST 50 queries only, and the
+    judge tracks those 50 cells round-over-round — any reorder (a new
+    module import order, a forgotten DEFERRED_TAIL entry) silently
+    swaps which operators get driver verification. Pin the exact keys
+    as recorded in CORRECTNESS_r05; changing the window is allowed
+    only by editing this list deliberately."""
+    import json
+    import os
+
+    r5 = os.path.join(os.path.dirname(os.path.dirname(__file__)), "CORRECTNESS_r05.json")
+    expected = list(json.load(open(r5)))
+    assert list(get_queries())[:DRIVER_ROW_CAP] == expected
+
+
 def test_queries_and_oracles_share_order_and_keys():
     qs, os_ = list(get_queries()), get_oracles()
     # oracles is a subset (rows-only checks may omit), in the same order
