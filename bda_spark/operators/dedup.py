@@ -268,6 +268,85 @@ def minhash_neardup_pairs(
     )
 
 
+def dedup_corpus(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    canonicalize: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **minhash_kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """The whole dedup flow as ONE call — what a user actually runs on
+    a corpus: canonicalize text (case/punctuation/whitespace variants
+    collapse, functions.text.canonicalize_text_col) -> exact dedup on
+    the canonical fingerprint (cheap, removes the bulk) -> MinHash-LSH
+    near-dup pairs over the survivors -> connected components ->
+    keep the minimum ``id_col`` of every duplicate cluster.
+
+    Returns ``(kept, removed)``: ``kept`` is ``docs`` filtered to the
+    surviving rows (original columns untouched); ``removed`` maps each
+    dropped document to the row that replaced it —
+    (doc_id, kept_id, reason in {'exact', 'neardup'}) — the audit
+    trail a production pipeline lands next to the cleaned corpus so
+    every removal is attributable and reversible.
+
+    Ordering matters for cost: the exact stage is a hash groupBy
+    (one shuffle, no candidate explosion) and shrinks the input to the
+    LSH stage, whose banding/verify work is super-linear in duplicate
+    density. Deterministic: min-id keep rule everywhere, no rand()."""
+    from ..functions.text import canonicalize_text_col
+
+    canon = (
+        canonicalize_text_col(text_col)
+        if canonicalize
+        else F.col(text_col)
+    )
+    keyed = docs.withColumn("_dc_fp", F.md5(canon))
+    first = keyed.groupBy("_dc_fp").agg(F.min(id_col).alias("_dc_keep"))
+    tagged = keyed.join(first, "_dc_fp")
+    exact_removed = (
+        tagged.filter(F.col(id_col) != F.col("_dc_keep"))
+        .select(
+            F.col(id_col),
+            F.col("_dc_keep").alias("kept_id"),
+            F.lit("exact").alias("reason"),
+        )
+    )
+    survivors = tagged.filter(F.col(id_col) == F.col("_dc_keep")).drop(
+        "_dc_fp", "_dc_keep"
+    )
+
+    # near-dup over canonical text so 'Hello, World' ~ 'hello world!'
+    near_input = (
+        survivors.withColumn("_dc_canon", canon).select(
+            F.col(id_col), F.col("_dc_canon").alias("_dc_text")
+        )
+        if canonicalize
+        else survivors.select(id_col, F.col(text_col).alias("_dc_text"))
+    )
+    pairs = minhash_neardup_pairs(
+        near_input,
+        threshold=threshold,
+        id_col=id_col,
+        text_col="_dc_text",
+        **minhash_kwargs,
+    )
+    clusters = neardup_clusters(pairs.select("doc_a", "doc_b"))
+    near_removed = (
+        clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.col("cluster_id").alias("kept_id"),
+            F.lit("neardup").alias("reason"),
+        )
+    )
+    removed = exact_removed.unionByName(near_removed)
+    kept = survivors.join(
+        near_removed.select(id_col), id_col, "left_anti"
+    )
+    return kept, removed
+
+
 def minhash_index(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -87,6 +87,43 @@ def test_simhash_topk_ranks_planted_neighbor_first(spark, emb):
 
 
 # ----------------------------------------------------- clustering (CC)
+def test_dedup_corpus_end_to_end(spark):
+    """The one-call pipeline: case/punctuation variants die in the
+    exact stage, small edits die in the near-dup stage, unique docs
+    survive, and the removed-mapping attributes every drop to its
+    keeper with the right reason."""
+    from pyspark.sql import Row
+
+    from bda_spark.operators.dedup import dedup_corpus
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    edited = " ".join(
+        f"tok{i}" if i != 20 else "EDITED" for i in range(40)
+    )
+    unique = " ".join(f"other{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base.upper() + "!!"),   # exact after canon
+            Row(doc_id=3, text=edited),                # near-dup of 1
+            Row(doc_id=4, text=unique),
+            Row(doc_id=5, text=base + " !? "),         # exact after canon
+        ]
+    )
+    kept, removed = dedup_corpus(docs, threshold=0.5)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 4}
+    got = {
+        r["doc_id"]: (r["kept_id"], r["reason"]) for r in removed.collect()
+    }
+    assert got == {
+        2: (1, "exact"),
+        5: (1, "exact"),
+        3: (1, "neardup"),
+    }
+    # original columns untouched on the survivors
+    assert set(kept.columns) == {"doc_id", "text"}
+
+
 def test_neardup_clusters_components(spark):
     """Transitive chains collapse to one cluster labeled by the min id;
     disjoint pairs stay separate components."""
