@@ -25,9 +25,17 @@ Probability a true pair at similarity j survives: 1 - (1 - j^r)^b.
 Defaults (r=2, b=32) give miss < 1e-20 at j = 0.9 and < 4e-2 at the
 j = 0.5 threshold boundary; the driver's corpus has no pairs between
 0.5 and 0.88 (checked at sf0.001/sf0.01), so recall is 100% there with
-enormous margin. Massive duplicate clusters make hot band-buckets; at
-100 TB those are capped by per-bucket limits or pre-clustered by the
-exact fingerprint pass (plans.textops.doc_fingerprints) first.
+enormous margin. Massive duplicate clusters make hot band-buckets; a
+k-member near-identical cluster (same band keys but NOT exact dups, so
+the fingerprint pre-pass in dedup_corpus cannot collapse it) would make
+an O(k^2) pairwise blow-up in one bucket — quadratic state AQE cannot
+split. ``max_bucket_size`` caps that: buckets over the cap switch from
+all-pairs to STAR expansion (every member pairs with the bucket's min
+doc_id only — the same hub-edge trick SlimPajama/BigCode-style corpus
+dedup uses), O(k) candidates, and the exact-Jaccard verify still runs
+on every emitted pair so no false positive survives. Connected
+components then merges hub edges transitively, so a genuinely
+near-identical cluster yields the identical kept/removed outcome.
 """
 
 from __future__ import annotations
@@ -204,6 +212,40 @@ def band_keys(
     return signatures.select("doc_id", F.explode(keys).alias("band_key"))
 
 
+def _banded_candidates(bands: DataFrame, max_bucket_size: int) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from band-bucket collisions, with
+    the hot-bucket cap: buckets up to ``max_bucket_size`` expand
+    all-pairs (the high-recall regime for ordinary buckets); larger
+    buckets expand as a STAR around the bucket's min doc_id — O(k)
+    edges instead of O(k^2). Both regimes are computed from ONE extra
+    aggregation over the band frame (bucket size + bucket min), no
+    window function, no second shuffle key."""
+    stats = bands.groupBy("band_key").agg(
+        F.count("*").alias("_bsz"), F.min("doc_id").alias("_bmin")
+    )
+    sized = bands.join(stats, "band_key")
+    small = sized.filter(F.col("_bsz") <= max_bucket_size)
+    all_pairs = (
+        small.alias("x")
+        .join(
+            small.alias("y"),
+            (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+    )
+    star_pairs = (
+        sized.filter(
+            (F.col("_bsz") > max_bucket_size)
+            & (F.col("doc_id") != F.col("_bmin"))
+        )
+        .select(F.col("_bmin").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return all_pairs.unionByName(star_pairs).distinct()
+
+
 def minhash_neardup_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -213,12 +255,18 @@ def minhash_neardup_pairs(
     num_hashes: int = 64,
     band_rows: int = 2,
     seed: int = 42,
+    max_bucket_size: int = 256,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates from band-bucket
     collisions, exact Jaccard verify via inverted-index intersection
     counts, pairs >= threshold. Output matches the all-pairs exact
     computation wherever banding recall holds (see module docstring for
-    the probability bound).
+    the probability bound) AND no band bucket exceeds
+    ``max_bucket_size``; a hotter bucket emits hub (star) edges only —
+    still exact-verified, so downstream clustering (connected
+    components over the pair graph) reaches the same kept/removed
+    outcome for near-identical mega-clusters while candidate count
+    stays O(bucket) instead of O(bucket^2).
 
     The shingle frame is deliberately NOT cached even though three
     plan branches consume it: shingling is cheap JVM expression work
@@ -230,18 +278,7 @@ def minhash_neardup_pairs(
     sh = shingles(docs, id_col, text_col, ngram)
     sigs = minhash_signatures(sh, num_hashes, seed)
     bands = band_keys(sigs, num_hashes, band_rows)
-    candidates = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    candidates = _banded_candidates(bands, max_bucket_size)
     # Exact verify, posting-list style: fan each candidate pair out by
     # doc_a's shingles (bounded by one document's shingle count), then a
     # co-keyed join on (doc_b, shingle) keeps exactly the common
@@ -288,7 +325,10 @@ def dedup_corpus(
     dropped document to the row that replaced it —
     (doc_id, kept_id, reason in {'exact', 'neardup'}) — the audit
     trail a production pipeline lands next to the cleaned corpus so
-    every removal is attributable and reversible.
+    every removal is attributable and reversible. Every ``kept_id`` is
+    guaranteed to be a row present in ``kept``: exact-stage keepers
+    that the near-dup stage later removes are chain-remapped to their
+    cluster's final root before the union.
 
     Ordering matters for cost: the exact stage is a hash groupBy
     (one shuffle, no candidate explosion) and shrinks the input to the
@@ -340,7 +380,25 @@ def dedup_corpus(
             F.lit("neardup").alias("reason"),
         )
     )
-    removed = exact_removed.unionByName(near_removed)
+    # An exact-stage kept_id may point at a fingerprint survivor that the
+    # near-dup stage itself then removes; remap one hop through
+    # near_removed so EVERY kept_id references a row present in `kept`.
+    # One hop suffices: near_removed's kept_id is always a cluster root
+    # (min reachable id), and roots survive by construction.
+    chain = near_removed.select(
+        F.col(id_col).alias("_ch_from"), F.col("kept_id").alias("_ch_to")
+    )
+    exact_final = (
+        exact_removed.join(
+            chain, exact_removed["kept_id"] == chain["_ch_from"], "left"
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce("_ch_to", "kept_id").alias("kept_id"),
+            "reason",
+        )
+    )
+    removed = exact_final.unionByName(near_removed)
     kept = survivors.join(
         near_removed.select(id_col), id_col, "left_anti"
     )
@@ -374,6 +432,7 @@ def minhash_match_new(
     num_hashes: int = 64,
     band_rows: int = 2,
     seed: int = 42,
+    max_bucket_size: int = 256,
 ) -> DataFrame:
     """Incremental near-dup detection: match a NEW batch against a
     prebuilt ``minhash_index`` (same ngram/num_hashes/seed — the hash
@@ -388,13 +447,28 @@ def minhash_match_new(
     the point. Batch-exact verification, if wanted, is a follow-up
     join of the candidate pairs against corpus text via
     ``ngram_jaccard``-style intersection counting.
+
+    Hot-bucket cap: a band bucket backed by a huge corpus duplicate
+    cluster would fan every colliding new doc out to the whole cluster;
+    since ONE hit suffices to flag a new doc as a near-dup, the corpus
+    posting list per band key is truncated to its ``max_bucket_size``
+    lowest corpus_ids (deterministic row_number over the same band_key
+    partitioning the join shuffles on anyway), bounding join fan-out to
+    O(new x cap) while keeping detection for near-identical clusters.
     """
+    from pyspark.sql import Window
+
     new_sigs = minhash_index(new_docs, id_col, text_col, ngram, num_hashes, seed)
     nb = band_keys(new_sigs, num_hashes, band_rows).withColumnRenamed(
         "doc_id", "new_id"
     )
-    cb = band_keys(index, num_hashes, band_rows).withColumnRenamed(
-        "doc_id", "corpus_id"
+    w = Window.partitionBy("band_key").orderBy("corpus_id")
+    cb = (
+        band_keys(index, num_hashes, band_rows)
+        .withColumnRenamed("doc_id", "corpus_id")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_bucket_size)
+        .drop("_rk")
     )
     cands = nb.join(cb, "band_key").select("new_id", "corpus_id").distinct()
     mh_new = new_sigs.select(

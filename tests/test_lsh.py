@@ -241,3 +241,66 @@ def test_ivf_partial_probe_recalls_planted_neighbor(spark, emb):
     assert got, "probed cells produced no candidates"
     best = min(got, key=lambda r: r.rk)
     assert best.neighbor_id == 1 and best.cosine > 0.99
+
+
+# ------------------------------------------------- hot-bucket cap (LSH)
+@pytest.fixture(scope="module")
+def mega_cluster_docs(spark):
+    """20 near-identical docs (NOT exact dups — each appends a unique
+    token, pairwise jaccard ~0.9) plus background uniques: the planted
+    hot band-bucket a 100 TB run would hit."""
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(500)]
+    base = _doc(list(rng.choice(vocab, size=60)))
+    rows = [Row(doc_id=i, text=base + f" uniq{i}") for i in range(20)]
+    for i in range(20, 30):
+        rows.append(Row(doc_id=i, text=_doc(list(rng.choice(vocab, size=60)))))
+    return spark.createDataFrame(rows)
+
+
+def test_hot_bucket_cap_bounds_candidates(spark, mega_cluster_docs):
+    """A k-member near-identical cluster yields O(k^2) candidates
+    uncapped; with the cap the hot buckets switch to star expansion and
+    candidate count collapses to O(k)."""
+    from bda_spark.operators.dedup import (
+        _banded_candidates,
+        band_keys,
+        minhash_signatures,
+    )
+
+    bands = band_keys(
+        minhash_signatures(shingles(mega_cluster_docs))
+    ).localCheckpoint(eager=True)
+    uncapped = _banded_candidates(bands, max_bucket_size=1 << 40).count()
+    capped = _banded_candidates(bands, max_bucket_size=4).count()
+    assert uncapped == 20 * 19 // 2  # every pair collides somewhere
+    # star edges: 19 per hot bucket, deduped across buckets; small
+    # residual buckets (<=4 members) may add a handful of pairs
+    assert capped < uncapped / 3
+    assert capped >= 19  # the hub edges needed for full connectivity
+
+
+def test_hot_bucket_cap_preserves_dedup_outcome(spark, mega_cluster_docs):
+    """Done-condition from the design note: capped vs uncapped runs
+    reach the IDENTICAL kept/removed (cluster) outcome on the planted
+    mega-cluster, and every emitted pair is still exact-verified."""
+    capped_pairs = minhash_neardup_pairs(
+        mega_cluster_docs, threshold=0.5, max_bucket_size=4
+    )
+    assert capped_pairs.filter("jaccard < 0.5").count() == 0
+    uncapped_pairs = minhash_neardup_pairs(
+        mega_cluster_docs, threshold=0.5, max_bucket_size=1 << 40
+    )
+    got_capped = {
+        r.doc_id: r.cluster_id
+        for r in neardup_clusters(
+            capped_pairs.select("doc_a", "doc_b")
+        ).collect()
+    }
+    got_uncapped = {
+        r.doc_id: r.cluster_id
+        for r in neardup_clusters(
+            uncapped_pairs.select("doc_a", "doc_b")
+        ).collect()
+    }
+    assert got_capped == got_uncapped == {i: 0 for i in range(20)}
