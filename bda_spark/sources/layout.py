@@ -224,16 +224,57 @@ def optimize_table(
     ``OPTIMIZE [ZORDER BY]`` shape from Spark primitives): rewrite the
     table at ``path`` into ~target-sized files, clustered either by
     z-order (``zorder_cols``) or a single range axis (``range_col``),
-    optionally with bloom filters on point-lookup keys — using the
-    same crash-safe tmp/aside swap as ``compact_parquet``, so readers
-    never observe a partial table and a crashed run self-heals on the
-    next call. Returns the new file count.
+    optionally with bloom filters on point-lookup keys. Returns the new
+    file count.
+
+    Atomicity: for a VERSIONED root (see ``sources.versioned`` /
+    ``to_versioned``) the rewrite commits as a new generation — readers
+    resolving through ``resolve_table``/``read_versioned`` never
+    observe a missing or partial table, with no crash-heal step at all.
+    For a legacy plain dir the crash-safe tmp/aside swap is kept: a
+    crashed run self-heals on the next call, but a reader listing the
+    path in the instant between the two renames can see no table —
+    migrate hot tables with ``to_versioned`` to close that window.
 
     Exactly one of ``zorder_cols`` / ``range_col`` may be given;
     neither means plain compaction (coalesce, no re-sort)."""
     if zorder_cols and range_col:
         raise ValueError("give zorder_cols OR range_col, not both")
     from .sinks import _hadoop_path
+    from .versioned import (
+        commit_generation,
+        is_versioned,
+        resolve_table,
+        vacuum_versions,
+    )
+
+    if is_versioned(spark, path):
+        src = resolve_table(spark, path)
+        fs, src_p = _hadoop_path(spark, src)
+        total = fs.getContentSummary(src_p).getLength()
+        n_files = max(1, -(-total // target_file_bytes))
+        df = spark.read.parquet(src)
+
+        def _write(data_path: str) -> None:
+            if zorder_cols:
+                write_zorder(
+                    df, data_path, list(zorder_cols), int(n_files),
+                    bits=bits, bloom_filter_cols=bloom_filter_cols,
+                )
+            elif range_col:
+                write_range_sorted(
+                    df, data_path, range_col, int(n_files),
+                    bloom_filter_cols=bloom_filter_cols,
+                )
+            else:
+                writer = df.coalesce(int(n_files)).write.mode("overwrite")
+                for k, v in bloom_filter_options(bloom_filter_cols).items():
+                    writer = writer.option(k, v)
+                writer.parquet(data_path)
+
+        commit_generation(spark, path, _write)
+        vacuum_versions(spark, path, keep=2)
+        return int(n_files)
 
     fs, target = _hadoop_path(spark, path)
     base = path.rstrip("/")
@@ -300,13 +341,31 @@ def compact_parquet(
     shuffle-free union of input splits — compaction moves bytes once,
     from source files to compacted files, never through an exchange.
 
-    Crash-safe by the same swap discipline as the idempotent merge
-    sink: the compacted table is FULLY written to a sibling temp dir,
-    the live dir is moved aside, the temp moved in, and the aside copy
-    deleted only last; a crash between the renames is healed by the
-    recovery scan at the next call (the aside dir IS the table if the
-    live dir is missing). Readers never observe a partial table."""
+    Atomicity: a VERSIONED root (``sources.versioned.to_versioned``)
+    compacts as a new committed generation — fully reader-atomic, no
+    heal path needed. A legacy plain dir keeps the swap discipline of
+    the idempotent merge sink: the compacted table is FULLY written to
+    a sibling temp dir, the live dir is moved aside, the temp moved in,
+    and the aside copy deleted only last; a crash between the renames
+    is healed by the recovery scan at the next call. Readers of a plain
+    dir never observe a PARTIAL table, but can observe a briefly ABSENT
+    one between the renames — versioned layout closes that window."""
     from .sinks import _hadoop_path
+    from .versioned import commit_generation, is_versioned, resolve_table, vacuum_versions
+
+    if is_versioned(spark, path):
+        src = resolve_table(spark, path)
+        fs, src_p = _hadoop_path(spark, src)
+        total = fs.getContentSummary(src_p).getLength()
+        n_files = max(1, -(-total // target_file_bytes))
+        df = spark.read.parquet(src)
+        commit_generation(
+            spark,
+            path,
+            lambda p: df.coalesce(int(n_files)).write.mode("overwrite").parquet(p),
+        )
+        vacuum_versions(spark, path, keep=2)
+        return int(n_files)
 
     fs, target = _hadoop_path(spark, path)
     base = path.rstrip("/")
