@@ -89,6 +89,108 @@ def sq8_dequantize_col(
     )
 
 
+def _cos(a: Column, b: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n1 = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    n2 = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return dot / (n1 * n2)
+
+
+def ivf_sq8_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    oversample: int = 4,
+    seed: int = 42,
+    max_iter: int = 10,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The composed 100 TB ANN shape: IVF cell-probing makes the
+    candidate set SUBLINEAR (only probed cells' members are touched),
+    SQ8 codes make the coarse scan of those candidates 4x CHEAPER in
+    bytes, and the exact float rerank touches only k x oversample rows
+    per query. ``similarity.ivf_topk`` alone scans probed cells at
+    float width; ``sq8_topk`` alone compares every corpus vector; this
+    is both levers at once — the FAISS ``IVF+SQ8`` index expressed as
+    DataFrame joins.
+
+    Contract matches ``ivf_topk``: ``queries`` is a subset of
+    ``embeddings`` rows; returns (query_id, neighbor_id, cosine, rk).
+    With ``n_probe = n_centroids`` and a large ``oversample`` the
+    result is exactly brute force (the pinned-correctness regime);
+    partial probing trades recall for probe fan-out, bounded in pytest.
+    """
+    from .similarity import ivf_index, probe_cells
+
+    assigned, centroids = ivf_index(embeddings, n_centroids, seed, max_iter)
+    lo, hi = sq8_bounds(embeddings, col)
+    # the persistable index: (vec_id, centroid_id, codes) — 1 byte/dim
+    coded = sq8_quantize(embeddings, lo, hi, col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    index = assigned.select(
+        F.col(id_col).alias("neighbor_id"), "centroid_id"
+    ).join(coded, "neighbor_id")
+
+    probes = probe_cells(queries, centroids, n_probe)
+    qside = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(col).cast("array<double>").alias("qv"),
+        )
+    )
+    deq = sq8_dequantize_col("codes", lo, hi)
+    coarse = (
+        probes.join(index, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(qside, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cos(F.col("qv"), deq).alias("sim_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_q"), "neighbor_id")
+    candidates = (
+        coarse.withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") <= int(k) * int(oversample))
+        .select("query_id", "neighbor_id")
+    )
+    exact = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(col).cast("array<double>").alias("nv_exact"),
+    )
+    reranked = (
+        candidates.join(exact, "neighbor_id")
+        .join(qside, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cos(F.col("qv"), F.col("nv_exact")), 6).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        reranked.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= int(k))
+    )
+
+
 def sq8_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -108,25 +210,7 @@ def sq8_topk(
     |queries| x k x oversample rows ever touch float vectors."""
     lo, hi = sq8_bounds(embeddings, col)
     coded = sq8_quantize(embeddings, lo, hi, col)
-
-    def cos(a: Column, b: Column) -> Column:
-        dot = F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        n1 = F.sqrt(
-            F.aggregate(
-                F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-            )
-        )
-        n2 = F.sqrt(
-            F.aggregate(
-                F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-            )
-        )
-        return dot / (n1 * n2)
-
+    cos = _cos
     deq = sq8_dequantize_col("codes", lo, hi)
     corpus_q = coded.select(
         F.col(id_col).alias("neighbor_id"), deq.alias("nv")

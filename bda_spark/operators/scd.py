@@ -29,6 +29,8 @@ def scd2_init(
     updates: DataFrame, key: str, tracked: list[str], effective_col: str
 ) -> DataFrame:
     """Bootstrap a versioned dimension from a first snapshot."""
+    if not tracked:
+        raise ValueError("scd2_init: tracked must name >= 1 attribute")
     return updates.select(
         key,
         *tracked,
@@ -54,7 +56,16 @@ def scd2_apply(
     snapshot-diff CDC feeds behave. Unchanged updates are no-ops
     (idempotent re-delivery is safe). New keys open their first
     version; changed keys close the current version at the update's
-    effective time and open a new one."""
+    effective time and open a new one.
+
+    Out-of-order protection: an update STRICTLY OLDER than the open
+    version's ``valid_from`` is dropped as a no-op — applying it would
+    close the version with ``valid_to < valid_from``, an inverted
+    interval every [from, to) consumer (``interval_join``) treats as
+    degenerate. Late data that must land in history belongs in a
+    backfill/rebuild, not an incremental fold."""
+    if not tracked:
+        raise ValueError("scd2_apply: tracked must name >= 1 attribute")
     latest = Window.partitionBy(key).orderBy(
         F.desc(effective_col), *[F.desc(c) for c in tracked]
     )
@@ -81,15 +92,24 @@ def scd2_apply(
     )
     j = open_rows.join(u, open_rows[key] == u["u_key"], "full_outer")
 
-    # 1) open rows with no update, or an update carrying equal values:
-    #    pass through unchanged (no-op / idempotent redelivery)
+    # an update older than the open version cannot close it (inverted
+    # interval) — treated as a no-op everywhere below
+    stale = (
+        F.col(key).isNotNull()
+        & F.col("u_key").isNotNull()
+        & (F.col("u_eff") < F.col("valid_from"))
+    )
+
+    # 1) open rows with no update, an update carrying equal values, or
+    #    a stale update: pass through unchanged
     untouched = j.filter(
-        F.col(key).isNotNull() & (F.col("u_key").isNull() | ~change_pred)
+        F.col(key).isNotNull()
+        & (F.col("u_key").isNull() | ~change_pred | stale)
     ).select(key, *tracked, "valid_from", "valid_to", "is_current")
 
     # 2) open rows whose update changes a tracked value: close them
     closed = j.filter(
-        F.col(key).isNotNull() & F.col("u_key").isNotNull() & change_pred
+        F.col(key).isNotNull() & F.col("u_key").isNotNull() & change_pred & ~stale
     ).select(
         key,
         *tracked,
@@ -100,7 +120,8 @@ def scd2_apply(
 
     # 3) new versions: changed keys + brand-new keys
     opened = j.filter(
-        F.col("u_key").isNotNull() & (F.col(key).isNull() | change_pred)
+        F.col("u_key").isNotNull()
+        & (F.col(key).isNull() | (change_pred & ~stale))
     ).select(
         F.col("u_key").alias(key),
         *[F.col(f"u_{c}").alias(c) for c in tracked],

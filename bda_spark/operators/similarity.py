@@ -166,6 +166,34 @@ def ivf_index(
     return assigned, centroids
 
 
+def probe_cells(
+    queries: DataFrame, centroids: list[list[float]], n_probe: int
+) -> DataFrame:
+    """(query_id, centroid_id) for each query's ``n_probe`` nearest IVF
+    cells by L2 (the quantizer's own metric). Tiny frame — queries x
+    n_centroids rows, centroid list rides as a plan literal."""
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    v = F.col("embedding").cast("array<double>")
+    qcent = queries.select(
+        F.col("vec_id").alias("query_id"), v.alias("qv")
+    ).select(
+        "query_id", "qv", F.posexplode(cent_lit).alias("centroid_id", "cvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(d2.asc(), F.col("centroid_id"))
+    return (
+        qcent.withColumn("_pr", F.row_number().over(wprobe))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "centroid_id")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -194,28 +222,8 @@ def ivf_topk(
     is EXACTLY brute force (the correctness row runs that regime; the
     recall/speed trade of partial probing is pinned in pytest)."""
     assigned, centroids = ivf_index(embeddings, n_centroids, seed, max_iter)
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    probes = probe_cells(queries, centroids, n_probe)
     v = F.col("embedding").cast("array<double>")
-    # tiny frame: queries x n_centroids rows, ranked per query by L2
-    # distance to the centroid (the quantizer's own metric)
-    qcent = queries.select(
-        F.col("vec_id").alias("query_id"), v.alias("qv")
-    ).select(
-        "query_id", "qv", F.posexplode(cent_lit).alias("centroid_id", "cvec")
-    )
-    d2 = F.aggregate(
-        F.zip_with("qv", "cvec", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    wprobe = Window.partitionBy("query_id").orderBy(d2.asc(), F.col("centroid_id"))
-    probes = (
-        qcent.withColumn("_pr", F.row_number().over(wprobe))
-        .filter(F.col("_pr") <= n_probe)
-        .select("query_id", "centroid_id")
-    )
     cands = (
         probes.join(assigned, "centroid_id")
         .filter(F.col("query_id") != F.col("vec_id"))

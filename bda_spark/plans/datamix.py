@@ -557,3 +557,50 @@ def doc_chunks_overlap(spark, sf_dir):
             F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
         )
     )
+
+
+def corpus_build_pipeline(
+    docs,
+    benchmark,
+    threshold: float = 0.5,
+    keep_frac: float = 0.9,
+    seq_len: int = 128,
+    n_buckets: int = 8,
+    decontam_ngram: int = DECONTAM_NGRAM,
+    **minhash_kwargs,
+):
+    """The whole corpus build as ONE composed plan — the LLM-data twin
+    of the medallion pipeline, proving the flagship operators chain:
+
+        dedup_corpus (exact + MinHash-LSH near-dup, attributed removals)
+          -> per-domain quality gate (sort-free percentile_approx twin)
+          -> benchmark decontamination (13-gram overlap, GPT-3 rule)
+          -> salted sequence packing (the dataloader manifest)
+
+    ``docs`` needs (doc_id, text, source); ``benchmark`` is the held-out
+    evaluation corpus (doc_id, text). Returns ``(clean, removed,
+    manifest)``: the surviving documents, the attributed removal map
+    from dedup, and the packing manifest over the cleaned corpus.
+
+    Every stage is the SCALE variant: hot LSH buckets are star-capped,
+    the quality cutoff is a mergeable sketch (the corpus is never
+    sorted), the benchmark's gram set broadcasts (the corpus is never
+    shuffled for the join), and packing is salted so no mega-source
+    serializes one partition. Conservation (every doc exactly one of
+    clean / dedup-removed / quality-gated / contaminated; every clean
+    token packed exactly once) is pinned in tests/test_datamix.py."""
+    from ..operators.dedup import dedup_corpus
+
+    kept, removed = dedup_corpus(docs, threshold=threshold, **minhash_kwargs)
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    score = (
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.greatest(F.size(toks), F.lit(1))
+    )
+    gated = quality_threshold_filter_approx(
+        kept.withColumn("_q", score), "_q", keep_frac
+    ).drop("_q")
+    hits = contamination_hits(gated, benchmark, n=decontam_ngram)
+    clean = gated.join(hits.select("doc_id"), "doc_id", "left_anti")
+    manifest = pack_sequences_salted(clean, seq_len=seq_len, n_buckets=n_buckets)
+    return clean, removed, manifest

@@ -14,6 +14,7 @@ contract (reference: tests_pub_sub_schema.py:53-112).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import functions as F
@@ -128,17 +129,24 @@ def csv_tick_ingest(spark, sf_dir):
         F.lit(0.5).alias("market_sentiment"),
         F.lit(50.0).alias("trading_activity"),
     ]
-    capture = os.path.join(
-        tempfile.mkdtemp(prefix="bda_csv_ticks_"), "capture"
-    )
-    events.select(tick_cols).write.option("header", "true").mode(
-        "overwrite"
-    ).csv(capture)
-    ticks = validate_ticks(read_csv_ticks(spark, capture))
-    return ticks.groupBy("symbol").agg(
-        F.count("*").alias("n_ticks"),
-        F.min("timestamp").alias("min_ts"),
-        F.max("timestamp").alias("max_ts"),
-        F.min("price").alias("min_price"),
-        F.max("price").alias("max_price"),
-    )
+    # The capture dir must outlive the lazy scan, so the 1-row-per-symbol
+    # profile is materialized INSIDE the cleanup scope and handed back as
+    # a local frame — no temp dir leaks per verification/bench run.
+    tmp = tempfile.mkdtemp(prefix="bda_csv_ticks_")
+    try:
+        capture = os.path.join(tmp, "capture")
+        events.select(tick_cols).write.option("header", "true").mode(
+            "overwrite"
+        ).csv(capture)
+        ticks = validate_ticks(read_csv_ticks(spark, capture))
+        profile = ticks.groupBy("symbol").agg(
+            F.count("*").alias("n_ticks"),
+            F.min("timestamp").alias("min_ts"),
+            F.max("timestamp").alias("max_ts"),
+            F.min("price").alias("min_price"),
+            F.max("price").alias("max_price"),
+        )
+        rows = profile.collect()
+        return spark.createDataFrame(rows, profile.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

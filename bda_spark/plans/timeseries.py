@@ -640,7 +640,8 @@ def events_expectations_metrics(spark, sf_dir):
       FROM events GROUP BY user_id
     )
     SELECT e.user_id, count(*) AS n_events,
-           round(sum(e.value), 6) AS sum_value
+           CAST(sum(CAST(floor(e.value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_micros
     FROM events e JOIN iv ON e.user_id = iv.user_id
                         AND e.ts >= iv.start_ts AND e.ts < iv.end_ts
     GROUP BY e.user_id
@@ -657,8 +658,11 @@ def events_interval_join_firstday(spark, sf_dir):
 
     The naive Spark formulation of the same join is a nested-loop
     (non-equi predicate); the bucketed form here shuffles once on
-    (user_id, hour-bucket). sum rounds at 6 digits per the float
-    policy (per-user sums are small; the round absorbs order noise).
+    (user_id, hour-bucket). The value sum is quantized to integer
+    micro-units PER ROW before summing (round-half-up at 1e-6), so the
+    aggregate is exact BIGINT arithmetic — immune to summation-order
+    FP drift between engines and partition layouts, the same
+    discipline as report_weekly_rollup's integer cents.
 
     Registered in the DEFERRED_TAIL (driver window frozen at 50 rows);
     oracle-verified every pytest run by test_oracle_queries."""
@@ -678,9 +682,10 @@ def events_interval_join_firstday(spark, sf_dir):
         keys=["user_id"],
         bucket_seconds=3600,
     )
+    micros = F.floor(F.col("value") * 1e6 + 0.5).cast("bigint")
     return joined.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.sum(micros).cast("bigint").alias("sum_value_micros"),
     )
 
 

@@ -111,6 +111,37 @@ def lineitem_quantiles_approx(spark, sf_dir):
     )
 
 
+def ivf_sq8_topk_bench(spark, sf_dir):
+    """Bench-only: the composed FAISS-style IVF+SQ8 ANN shape — probe a
+    fraction of cells, coarse-rank probed candidates on int8 codes,
+    exact-rerank the survivors. Timed here; recall pinned vs brute
+    force in tests/test_quantize.py."""
+    from bda_spark.operators.quantize import ivf_sq8_topk
+    from pyspark.sql import functions as SF
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_sq8_topk(
+        emb, emb.filter(SF.col("vec_id") < 5),
+        k=5, n_centroids=16, n_probe=4, oversample=4,
+    )
+
+
+def corpus_build_bench(spark, sf_dir):
+    """Bench-only: the end-to-end corpus build (dedup -> quality gate ->
+    decontaminate -> pack) as one composed plan over the documents
+    table — the LLM-data twin of medallion_pipeline. Conservation laws
+    pinned in tests/test_datamix.py."""
+    from bda_spark.plans.datamix import corpus_build_pipeline
+    from pyspark.sql import functions as SF
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, _, manifest = corpus_build_pipeline(
+        docs.filter(SF.col("doc_id") % 7 != 0),
+        docs.filter(SF.col("doc_id") % 7 == 0),
+    )
+    return manifest
+
+
 def cosine_topk_sq8(spark, sf_dir):
     """Bench-only scale twin of ``cosine_topk``: int8-quantized coarse
     scan (4x fewer candidate-phase bytes) + exact rerank of the 4k
@@ -300,6 +331,20 @@ def main() -> None:
         cosine_topk_sq8(spark, sf_dir).collect()
         best = min(best, time.time() - t0)
     timings["cosine_topk_sq8"] = round(best, 3)
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        ivf_sq8_topk_bench(spark, sf_dir).collect()
+        best = min(best, time.time() - t0)
+    timings["ivf_sq8_topk"] = round(best, 3)
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        corpus_build_bench(spark, sf_dir).collect()
+        best = min(best, time.time() - t0)
+    timings["corpus_build_pipeline"] = round(best, 3)
 
     # Bench-only scale twin: sub-bucketed sequence packing (no single
     # mega-source serializes one partition's window sort).

@@ -322,3 +322,65 @@ def test_pack_sequences_conserves_docs_and_tokens(spark, sf_dir, docs_pd):
         offset += nt
     got_src = {r.seq_id: r.n_docs for r in rows if r.source == src}
     assert got_src == expected
+
+
+def test_corpus_build_pipeline_conservation(spark):
+    """End-to-end composition: every input doc lands in exactly one
+    fate (clean / dedup-removed / quality-gated / contaminated), every
+    removal's kept_id survives in clean-or-gated space, and the packing
+    manifest accounts every clean token exactly once."""
+    from pyspark.sql import Row
+
+    from bda_spark.plans.datamix import corpus_build_pipeline
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    low_quality = " ".join(["dup"] * 40)  # diversity 1/40 -> gated
+    contaminated = " ".join(f"bench{i}" for i in range(20))
+    rows = [
+        Row(doc_id=1, text=base, source="a"),
+        Row(doc_id=2, text=base.upper() + "!", source="a"),     # exact dup
+        Row(
+            doc_id=3,
+            text=" ".join(
+                f"tok{i}" if i != 20 else "EDIT" for i in range(40)
+            ),
+            source="a",
+        ),                                                      # near dup
+        Row(doc_id=4, text=low_quality, source="b"),
+        Row(doc_id=5, text=contaminated + " trailing words here", source="b"),
+    ]
+    for i in range(6, 26):  # bulk unique corpus so the gate has mass
+        rows.append(
+            Row(
+                doc_id=i,
+                text=" ".join(f"u{i}w{j}" for j in range(40)),
+                source="b",
+            )
+        )
+    docs = spark.createDataFrame(rows)
+    benchmark = spark.createDataFrame([Row(doc_id=900, text=contaminated)])
+    clean, removed, manifest = corpus_build_pipeline(
+        docs, benchmark, keep_frac=0.9, decontam_ngram=13
+    )
+    clean_ids = {r.doc_id for r in clean.collect()}
+    removed_rows = {r.doc_id: (r.kept_id, r.reason) for r in removed.collect()}
+    # dedup fates
+    assert removed_rows[2] == (1, "exact") and removed_rows[3] == (1, "neardup")
+    assert set(removed_rows) & clean_ids == set()
+    # quality gate dropped the degenerate doc, decontamination doc 5
+    assert 4 not in clean_ids and 5 not in clean_ids
+    assert 1 in clean_ids and {6, 7, 8} <= clean_ids
+    # every doc has exactly one fate
+    all_ids = {r.doc_id for r in docs.collect()}
+    gated_or_contaminated = all_ids - clean_ids - set(removed_rows)
+    assert gated_or_contaminated == {4, 5}
+    # manifest conservation: docs and tokens packed exactly once
+    m = manifest.collect()
+    assert sum(r.n_docs for r in m) == len(clean_ids)
+    tok_count = {
+        r.doc_id: len([w for w in r.text.split(" ") if w])
+        for r in docs.collect()
+    }
+    assert sum(r.seq_tokens for r in m) == sum(
+        tok_count[d] for d in clean_ids
+    )

@@ -92,3 +92,81 @@ def test_sq8_topk_recall_vs_exact(spark):
     assert hits / total >= 0.95, (hits, total)
     exact_top1 = {r["query_id"]: r["neighbor_id"] for r in exact if r["rk"] == 1}
     assert top1 == exact_top1
+
+
+def _exact_topk(spark, emb, queries, k=5):
+    from pyspark.sql.window import Window
+
+    def cos(a, b):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        )
+        n = lambda v: F.sqrt(
+            F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+        )
+        return dot / (n(a) * n(b))
+
+    v = F.col("embedding").cast("array<double>")
+    qs = F.broadcast(
+        queries.select(F.col("vec_id").alias("query_id"), v.alias("qv"))
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), v.alias("nv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        corpus.join(qs, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cos(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .collect()
+    )
+
+
+def test_ivf_sq8_full_probe_equals_brute_force(spark):
+    """The pinned-correctness regime: probe EVERY cell with generous
+    oversampling — the composed index must reproduce the exact float
+    brute force ranking identically."""
+    from bda_spark.operators.quantize import ivf_sq8_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = sorted(
+        (r["query_id"], r["rk"], r["neighbor_id"])
+        for r in ivf_sq8_topk(
+            emb, queries, k=5, n_centroids=8, n_probe=8, oversample=8
+        ).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rk"], r["neighbor_id"])
+        for r in _exact_topk(spark, emb, queries, k=5)
+    )
+    assert got == want
+
+
+def test_ivf_sq8_partial_probe_recall(spark):
+    """The realistic regime: probe half the cells, 4x oversample —
+    recall@5 vs exact must stay >= 0.95 on the clustered synthetic
+    embeddings, and rank-1 must survive."""
+    from bda_spark.operators.quantize import ivf_sq8_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = ivf_sq8_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=4, oversample=4
+    ).collect()
+    exact = _exact_topk(spark, emb, queries, k=5)
+    exact_sets, got_sets, top1 = {}, {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in got:
+        got_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        if r["rk"] == 1:
+            top1[r["query_id"]] = r["neighbor_id"]
+    hits = sum(len(got_sets.get(q, set()) & exact_sets[q]) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.95, (hits, total)
+    exact_top1 = {r["query_id"]: r["neighbor_id"] for r in exact if r["rk"] == 1}
+    assert top1 == exact_top1

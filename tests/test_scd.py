@@ -108,3 +108,30 @@ def test_asof_join_over_maintained_intervals(spark):
         ).collect()
     }
     assert got == {("f1", "gold"), ("f2", "plat"), ("f3", "plat")}
+
+
+def test_stale_update_is_dropped_not_inverted(spark):
+    """An update strictly older than the open version must not close it
+    with valid_to < valid_from — it is a no-op."""
+    d0 = scd2_init(
+        _updates(spark, [("a", "gold", "eu", _t(10))]), KEY, TRACKED, EFF
+    )
+    d1 = scd2_apply(
+        d0,
+        _updates(spark, [("a", "plat", "eu", _t(3))]),  # older than valid_from
+        KEY, TRACKED, EFF,
+    )
+    assert _state(d1) == {("a", "gold", "eu", _t(10), None, True)}
+    # no inverted interval anywhere, ever
+    assert d1.filter("valid_to < valid_from").count() == 0
+
+
+def test_empty_tracked_raises(spark):
+    import pytest
+
+    up = _updates(spark, [("a", "gold", "eu", _t(1))])
+    with pytest.raises(ValueError, match="tracked"):
+        scd2_init(up, KEY, [], EFF)
+    d0 = scd2_init(up, KEY, TRACKED, EFF)
+    with pytest.raises(ValueError, match="tracked"):
+        scd2_apply(d0, up, KEY, [], EFF)

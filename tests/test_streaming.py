@@ -87,8 +87,14 @@ def bp_pipeline(spark, tick_dir, work_dir) -> TickPipeline:
     return TickPipeline(spark, ticks, "BP", work_dir)
 
 
-def _drain(query) -> None:
-    query.awaitTermination()
+def _drain(query, timeout: float = 300.0) -> None:
+    """Bounded drain: a wedged AvailableNow stream (state-store or
+    source regression) must FAIL the test, not hang the whole suite."""
+    assert query.awaitTermination(timeout), (
+        f"stream {query.name or query.id} did not terminate within "
+        f"{timeout}s"
+    )
+    assert query.exception() is None, query.exception()
 
 
 # ------------------------------------------------------------- decode path
@@ -336,7 +342,7 @@ def test_start_all_concurrent_growing_source(spark, tmp_path_factory):
         for q in queries:
             q.stop()
         for q in queries:
-            q.awaitTermination()
+            assert q.awaitTermination(120), f"query {q.name} stuck after stop()"
     rows = pipe.predictions().collect()
     assert len(rows) == N_TICKS  # nothing lost, nothing duplicated
     expected = {0: 104.5, 1: 114.5, 2: 124.5}
@@ -383,7 +389,7 @@ def test_streaming_session_windows_match_batch(spark, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    _drain(q)
     live = {tuple(r) for r in spark.sql("SELECT * FROM live_sessions").collect()}
 
     # batch twin through the SAME decode path
@@ -445,7 +451,7 @@ def test_session_append_mode_emits_only_watermark_finalized(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    _drain(q)
     rows = spark.sql("SELECT * FROM append_sessions").collect()
     assert [(r["symbol"], r["n_ticks"]) for r in rows] == [("BP", 5)], rows
 
@@ -518,7 +524,7 @@ def test_stream_stream_left_outer_join_pads_after_watermark(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    _drain(q)
     rows = spark.sql("SELECT * FROM outer_join_out").collect()
     by_minute = {}
     for r in rows:
@@ -572,7 +578,7 @@ def test_streaming_frequent_items_bounds_across_batches(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    _drain(q)
     rows = spark.sql("SELECT * FROM mg_snapshots").collect()
     assert rows
     # at least one shard saw both batches (seq reaches 2)
