@@ -137,6 +137,85 @@ def spearman(df: DataFrame, x: str, y: str) -> DataFrame:
     return ranked.agg(F.corr("rx", "ry").alias("spearman"))
 
 
+def spearman_approx(
+    df: DataFrame,
+    x: str,
+    y: str,
+    num_bins: int = 256,
+    rel_err: float = 1e-4,
+) -> DataFrame:
+    """Approximate Spearman — the 100 TB fallback SURVEY §7 (risk 4)
+    names: bin both columns on ``percentile_approx`` quantile
+    boundaries (a mergeable sketch pass), treat every value inside a
+    bin as one tie group at the bin's average rank, and compute the
+    weighted Pearson over the ``num_bins x num_bins`` contingency
+    table.
+
+    Error is the within-bin rank distortion, O(1/num_bins) on a
+    continuous column; when a column has FEWER distinct values than
+    bins, each value gets its own bin and the binned tie-rank IS the
+    exact average rank, so the estimate degrades only where binning
+    actually coarsens. |approx - exact| is pinned in
+    tests/test_functions.py on both regimes.
+
+    Scale shape vs the exact ``spearman``: no per-distinct-value
+    histogram is ever built and nothing joins back to full rows — the
+    full-width data path is ONE narrow projection to (bin_x, bin_y)
+    and ONE count aggregation; every ordered window downstream runs on
+    <= num_bins-row marginal frames (same bounded-frame pattern as
+    ``avg_ranks``' offsets). No Sort node ever touches the raw
+    columns, which the plan audit asserts."""
+    probs = [i / num_bins for i in range(1, num_bins)]
+    bx_bounds, by_bounds = df.stat.approxQuantile([x, y], probs, rel_err)
+    df = df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
+
+    def bucket(col: str, bounds: list[float]):
+        b = F.lit(0)
+        for v in sorted(set(bounds)):
+            b = b + (F.col(col) > F.lit(v)).cast("int")
+        return b
+
+    d = df.select(
+        bucket(x, bx_bounds).alias("_bx"), bucket(y, by_bounds).alias("_by")
+    )
+    cells = d.groupBy("_bx", "_by").agg(F.count("*").alias("_w"))
+
+    def rank_table(key: str) -> DataFrame:
+        m = cells.groupBy(key).agg(F.sum("_w").alias("_cnt"))
+        w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, -1)
+        return m.select(
+            key,
+            (
+                F.coalesce(F.sum("_cnt").over(w), F.lit(0))
+                + (F.col("_cnt") + 1) / 2.0
+            ).alias(f"_r{key}"),
+        )
+
+    j = (
+        cells.join(F.broadcast(rank_table("_bx")), "_bx")
+        .join(F.broadcast(rank_table("_by")), "_by")
+        .select(
+            F.col("_w").cast("double").alias("w"),
+            F.col("_r_bx").alias("rx"),
+            F.col("_r_by").alias("ry"),
+        )
+    )
+    agg = j.agg(
+        F.sum("w").alias("n"),
+        F.sum(F.col("w") * F.col("rx")).alias("sx"),
+        F.sum(F.col("w") * F.col("ry")).alias("sy"),
+        F.sum(F.col("w") * F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("w") * F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("w") * F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select((num / den).alias("spearman"))
+
+
 def rmse(df: DataFrame, pred: str = "prediction", label: str = "label") -> DataFrame:
     """sqrt(mean((pred-label)^2)) (reference: app_2 NEW with joined.py:233-236)."""
     return df.agg(

@@ -88,6 +88,7 @@ DEFERRED_TAIL = [
     "events_variant_extract",   # Spark-4 VARIANT decode; oracle = JSON-text twin
     "customer_balance_ntiles",  # ntile(4) quartiles; window family w/ orders_rank_topk
     "docs_listagg_sources",     # Spark-4 listagg WITHIN GROUP; deterministic ordered concat
+    "events_spearman_approx",   # binned-rank sketch twin of events_spearman (rows-only)
 ]
 
 

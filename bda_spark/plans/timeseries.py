@@ -286,6 +286,31 @@ def events_spearman(spark, sf_dir):
     )
 
 
+@query("events_spearman_approx", None)
+def events_spearman_approx(spark, sf_dir):
+    """Approximate Spearman via percentile_approx binning
+    (functions.stats.spearman_approx) — the 100 TB fallback SURVEY §7
+    risk 4 reserves: no per-distinct-value histogram, no join back to
+    full rows; the full-width path is one narrow (bin, bin) projection
+    plus one count aggregation.
+
+    Deliberately NO SQL oracle: the bin boundaries come from Spark's
+    Greenwald-Khanna approxQuantile sketch, which another engine
+    cannot reproduce bit-for-bit (same class of check as the HLL
+    sketch rollup). The contract — |approx - exact| <= tolerance on
+    continuous data and EXACT equality when distinct values fit the
+    bins — is pinned in tests/test_functions.py, and the exact
+    ``events_spearman`` carries the in-window DuckDB oracle.
+
+    Registered in the DEFERRED_TAIL (driver window frozen at 50 rows)."""
+    from ..functions.stats import spearman_approx
+
+    e = t(spark, sf_dir, "events")
+    return spearman_approx(e, "value", "user_id").select(
+        r6(F.col("spearman")).alias("spearman")
+    )
+
+
 @query(
     "events_interpolate_1h",
     """

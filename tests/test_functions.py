@@ -234,3 +234,50 @@ def test_avg_ranks_and_spearman_match_scipy_convention(spark):
     assert spearman(df, "x", "y").collect()[0].spearman == pytest.approx(
         expected, abs=1e-9
     )
+
+
+def test_spearman_approx_tolerance_and_exact_regimes(spark):
+    """The binned-rank sketch twin: within 0.02 of exact Spearman on a
+    continuous column, EXACTLY equal when both columns' distinct
+    values fit inside the bins (each value gets its own tie group),
+    and the plan never sorts the raw columns (only <= num_bins-row
+    marginal frames)."""
+    import re
+
+    import numpy as np
+
+    from bda_spark.functions.stats import spearman, spearman_approx
+
+    rng = np.random.default_rng(11)
+    xs = rng.standard_normal(3000)
+    ys = 0.7 * xs + rng.standard_normal(3000) * 0.8  # mid-strength corr
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(xs, ys)], "x double, y double"
+    )
+    exact = spearman(df, "x", "y").collect()[0]["spearman"]
+    approx = spearman_approx(df, "x", "y", num_bins=256).collect()[0]["spearman"]
+    assert abs(approx - exact) <= 0.02, (approx, exact)
+
+    # discrete regime: 20 distinct values << 256 bins -> identical
+    dx = [float(i % 20) for i in range(1000)]
+    dy = [float((i * 7) % 20) for i in range(1000)]
+    dd = spark.createDataFrame(list(zip(dx, dy)), "x double, y double")
+    e2 = spearman(dd, "x", "y").collect()[0]["spearman"]
+    a2 = spearman_approx(dd, "x", "y", num_bins=256).collect()[0]["spearman"]
+    assert a2 == pytest.approx(e2, abs=1e-12)
+
+    # plan audit: no Sort node over the raw x/y columns anywhere — the
+    # only sorts run on the bounded _bx/_by marginal frames
+    plan = (
+        spearman_approx(df, "x", "y", num_bins=64)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "extended"
+            )
+        )
+    )
+    for m in re.finditer(r"Sort \[([^\]]*)\]", plan):
+        keys = m.group(1)
+        cols = re.findall(r"([A-Za-z_][A-Za-z_0-9]*)#\d+", keys)
+        assert "x" not in cols and "y" not in cols, keys
