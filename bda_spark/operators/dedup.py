@@ -29,13 +29,14 @@ enormous margin. Massive duplicate clusters make hot band-buckets; a
 k-member near-identical cluster (same band keys but NOT exact dups, so
 the fingerprint pre-pass in dedup_corpus cannot collapse it) would make
 an O(k^2) pairwise blow-up in one bucket — quadratic state AQE cannot
-split. ``max_bucket_size`` caps that: buckets over the cap switch from
-all-pairs to STAR expansion (every member pairs with the bucket's min
-doc_id only — the same hub-edge trick SlimPajama/BigCode-style corpus
-dedup uses), O(k) candidates, and the exact-Jaccard verify still runs
-on every emitted pair so no false positive survives. Connected
-components then merges hub edges transitively, so a genuinely
-near-identical cluster yields the identical kept/removed outcome.
+split. ``max_bucket_size`` caps that with a RANK-GAP predicate: bucket
+members are ranked by doc_id and only pairs within ``cap`` ranks of
+each other expand, so ordinary buckets (k <= cap + 1) still get exact
+all-pairs while a hot bucket emits O(k * cap) chain edges — linear in
+k, connected by construction, every edge still exact-Jaccard-verified
+so no false positive survives. Connected components then merges chain
+edges transitively, so a genuinely near-identical cluster yields the
+identical kept/removed outcome.
 """
 
 from __future__ import annotations
@@ -214,21 +215,39 @@ def band_keys(
 
 def _banded_candidates(bands: DataFrame, max_bucket_size: int) -> DataFrame:
     """(doc_a, doc_b) candidate pairs from band-bucket collisions, with
-    the hot-bucket cap: buckets up to ``max_bucket_size`` expand
-    all-pairs (the high-recall regime for ordinary buckets); larger
-    buckets expand as a STAR around the bucket's min doc_id — O(k)
-    edges instead of O(k^2). Both regimes are computed from ONE extra
-    aggregation over the band frame (bucket size + bucket min), no
-    window function, no second shuffle key."""
-    stats = bands.groupBy("band_key").agg(
-        F.count("*").alias("_bsz"), F.min("doc_id").alias("_bmin")
+    the hot-bucket cap built into the join predicate: members are
+    ranked within their bucket (row_number over band_key, ordered by
+    doc_id) and only pairs whose RANK GAP is at most
+    ``max_bucket_size`` are emitted. A bucket of k <= cap + 1 members
+    therefore expands to exactly its all-pairs set (the high-recall
+    regime for ordinary buckets, bit-identical to the uncapped join),
+    while a hot bucket emits O(k * cap) chain edges instead of O(k^2)
+    — and because consecutive-rank members always pair, the bucket's
+    candidate graph stays CONNECTED, so connected components over the
+    exact-verified pairs reaches the same kept/removed outcome for
+    near-identical mega-clusters.
+
+    Cost shape: hot buckets are DETECTED with one count aggregation
+    whose exchange Catalyst reuses from the self-join's own band_key
+    shuffle; the hot key set is tiny (one row per mega-cluster bucket)
+    and broadcasts into an anti-join on the all-pairs path and a
+    semi-join feeding the chain expansion — so when no bucket is hot
+    (the common case) the plan does the same work as the uncapped
+    join plus one cheap aggregation, and quadratic expansion is
+    structurally impossible either way."""
+    from pyspark.sql import Window
+
+    hot = (
+        bands.groupBy("band_key")
+        .agg(F.count("*").alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket_size)
+        .select("band_key")
     )
-    sized = bands.join(stats, "band_key")
-    small = sized.filter(F.col("_bsz") <= max_bucket_size)
+    ok = bands.join(F.broadcast(hot), "band_key", "left_anti")
     all_pairs = (
-        small.alias("x")
+        ok.alias("x")
         .join(
-            small.alias("y"),
+            ok.alias("y"),
             (F.col("x.band_key") == F.col("y.band_key"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
@@ -236,14 +255,23 @@ def _banded_candidates(bands: DataFrame, max_bucket_size: int) -> DataFrame:
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
     )
-    star_pairs = (
-        sized.filter(
-            (F.col("_bsz") > max_bucket_size)
-            & (F.col("doc_id") != F.col("_bmin"))
+    # hot members only: rank-gap chain expansion, O(k * cap) per bucket
+    hot_members = bands.join(F.broadcast(hot), "band_key", "left_semi")
+    w = Window.partitionBy("band_key").orderBy("doc_id")
+    ranked = hot_members.withColumn("_rk", F.row_number().over(w))
+    chain_pairs = (
+        ranked.alias("x")
+        .join(
+            ranked.alias("y"),
+            (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("y._rk") > F.col("x._rk"))
+            & (F.col("y._rk") - F.col("x._rk") <= max_bucket_size),
         )
-        .select(F.col("_bmin").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
     )
-    return all_pairs.unionByName(star_pairs).distinct()
+    return all_pairs.unionByName(chain_pairs).distinct()
 
 
 def minhash_neardup_pairs(
@@ -262,11 +290,11 @@ def minhash_neardup_pairs(
     counts, pairs >= threshold. Output matches the all-pairs exact
     computation wherever banding recall holds (see module docstring for
     the probability bound) AND no band bucket exceeds
-    ``max_bucket_size``; a hotter bucket emits hub (star) edges only —
-    still exact-verified, so downstream clustering (connected
-    components over the pair graph) reaches the same kept/removed
-    outcome for near-identical mega-clusters while candidate count
-    stays O(bucket) instead of O(bucket^2).
+    ``max_bucket_size + 1`` members; a hotter bucket emits rank-gap
+    chain edges only — still exact-verified, so downstream clustering
+    (connected components over the pair graph) reaches the same
+    kept/removed outcome for near-identical mega-clusters while
+    candidate count stays O(bucket * cap) instead of O(bucket^2).
 
     The shingle frame is deliberately NOT cached even though three
     plan branches consume it: shingling is cheap JVM expression work
@@ -276,7 +304,15 @@ def minhash_neardup_pairs(
     similarity.py's signature UDF; also avoids the leak of a cache
     no caller can unpersist under lazy evaluation)."""
     sh = shingles(docs, id_col, text_col, ngram)
-    sigs = minhash_signatures(sh, num_hashes, seed)
+    # The signature frame is consumed by several branches (band keys —
+    # themselves read by the bucket sizing, the all-pairs join and the
+    # hot-chain expansion — plus the set-size join in the verify
+    # stage); materialize it ONCE. Unlike the exploded shingle frame
+    # (deliberately recomputed, see above) the signature frame is
+    # bounded at ~0.5 KB per document regardless of document length,
+    # so the materialization is strictly cheaper than even one rerun
+    # of the shingle->minhash aggregation it truncates.
+    sigs = minhash_signatures(sh, num_hashes, seed).localCheckpoint(eager=True)
     bands = band_keys(sigs, num_hashes, band_rows)
     candidates = _banded_candidates(bands, max_bucket_size)
     # Exact verify, posting-list style: fan each candidate pair out by

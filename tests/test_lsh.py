@@ -260,8 +260,8 @@ def mega_cluster_docs(spark):
 
 def test_hot_bucket_cap_bounds_candidates(spark, mega_cluster_docs):
     """A k-member near-identical cluster yields O(k^2) candidates
-    uncapped; with the cap the hot buckets switch to star expansion and
-    candidate count collapses to O(k)."""
+    uncapped; the rank-gap cap bounds it to O(k * cap) chain edges
+    while keeping every bucket's candidate graph connected."""
     from bda_spark.operators.dedup import (
         _banded_candidates,
         band_keys,
@@ -274,10 +274,12 @@ def test_hot_bucket_cap_bounds_candidates(spark, mega_cluster_docs):
     uncapped = _banded_candidates(bands, max_bucket_size=1 << 40).count()
     capped = _banded_candidates(bands, max_bucket_size=4).count()
     assert uncapped == 20 * 19 // 2  # every pair collides somewhere
-    # star edges: 19 per hot bucket, deduped across buckets; small
-    # residual buckets (<=4 members) may add a handful of pairs
-    assert capped < uncapped / 3
-    assert capped >= 19  # the hub edges needed for full connectivity
+    # chain edges in a 20-member hot bucket at cap 4 are sum(min(4,
+    # 20-i)) = 70; residual small buckets (members whose unique suffix
+    # shifted a band hash) may add a few all-pairs edges on top, but
+    # the quadratic regime is gone
+    assert capped < uncapped / 2
+    assert capped >= 19  # consecutive-rank edges keep it connected
 
 
 def test_hot_bucket_cap_preserves_dedup_outcome(spark, mega_cluster_docs):
