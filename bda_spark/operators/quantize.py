@@ -137,21 +137,28 @@ def ivf_sq8_topk(
     """
     from .similarity import ivf_index, probe_cells
 
+    # normalize to the (vec_id, embedding) contract ivf_index/probe_cells use
+    embeddings = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(col).alias("embedding")
+    )
+    queries = queries.select(
+        F.col(id_col).alias("vec_id"), F.col(col).alias("embedding")
+    )
     assigned, centroids = ivf_index(embeddings, n_centroids, seed, max_iter)
-    lo, hi = sq8_bounds(embeddings, col)
+    lo, hi = sq8_bounds(embeddings, "embedding")
     # the persistable index: (vec_id, centroid_id, codes) — 1 byte/dim
-    coded = sq8_quantize(embeddings, lo, hi, col).select(
-        F.col(id_col).alias("neighbor_id"), "codes"
+    coded = sq8_quantize(embeddings, lo, hi, "embedding").select(
+        F.col("vec_id").alias("neighbor_id"), "codes"
     )
     index = assigned.select(
-        F.col(id_col).alias("neighbor_id"), "centroid_id"
+        F.col("vec_id").alias("neighbor_id"), "centroid_id"
     ).join(coded, "neighbor_id")
 
     probes = probe_cells(queries, centroids, n_probe)
     qside = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(col).cast("array<double>").alias("qv"),
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
         )
     )
     deq = sq8_dequantize_col("codes", lo, hi)
@@ -163,6 +170,121 @@ def ivf_sq8_topk(
             "query_id",
             "neighbor_id",
             _cos(F.col("qv"), deq).alias("sim_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_q"), "neighbor_id")
+    candidates = (
+        coarse.withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") <= int(k) * int(oversample))
+        .select("query_id", "neighbor_id")
+    )
+    exact = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("nv_exact"),
+    )
+    reranked = (
+        candidates.join(exact, "neighbor_id")
+        .join(qside, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cos(F.col("qv"), F.col("nv_exact")), 6).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        reranked.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= int(k))
+    )
+
+
+def ivf_sq8_index_build(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the IVF+SQ8 index as parquet — the build-once /
+    query-many production shape (the ANN twin of ``minhash_index``):
+    a 100 TB corpus is KMeans-fit, assigned and quantized ONCE; every
+    later query batch loads the artifact and probes it without
+    touching the float corpus or refitting anything.
+
+    Layout under ``path``:
+      ``codes/``  — (vec_id, centroid_id, codes array<int>) ~1 B/dim
+      ``meta/``   — single row: centroids, per-dimension lo/hi grid
+
+    ``ivf_sq8_search`` is the read side; the pair is equivalent to
+    ``ivf_sq8_topk`` run live (pinned in tests/test_quantize.py)."""
+    from .similarity import ivf_index
+
+    embeddings = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(col).alias("embedding")
+    )
+    assigned, centroids = ivf_index(embeddings, n_centroids, seed, max_iter)
+    lo, hi = sq8_bounds(embeddings, "embedding")
+    coded = sq8_quantize(embeddings, lo, hi, "embedding").select(
+        "vec_id", "codes"
+    )
+    index = assigned.select("vec_id", "centroid_id").join(coded, "vec_id")
+    index.write.mode("overwrite").parquet(f"{path.rstrip('/')}/codes")
+    spark = embeddings.sparkSession
+    meta = spark.createDataFrame(
+        [(centroids, lo, hi)],
+        "centroids array<array<double>>, lo array<double>, hi array<double>",
+    )
+    meta.write.mode("overwrite").parquet(f"{path.rstrip('/')}/meta")
+
+
+def ivf_sq8_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    embeddings: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    oversample: int = 4,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query a persisted ``ivf_sq8_index_build`` artifact: probe cells,
+    coarse-rank on the stored int8 codes, exact-rerank against
+    ``embeddings`` (the float corpus, touched only for the k x
+    oversample survivors per query). Same contract and output schema
+    as ``ivf_sq8_topk`` — (query_id, neighbor_id, cosine, rk)."""
+    from .similarity import probe_cells
+
+    base = path.rstrip("/")
+    index = spark.read.parquet(f"{base}/codes")
+    meta = spark.read.parquet(f"{base}/meta").collect()[0]
+    centroids = [list(c) for c in meta["centroids"]]
+    lo, hi = list(meta["lo"]), list(meta["hi"])
+
+    probes = probe_cells(
+        queries.select(
+            F.col(id_col).alias("vec_id"), F.col(col).alias("embedding")
+        ),
+        centroids,
+        n_probe,
+    )
+    qside = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(col).cast("array<double>").alias("qv"),
+        )
+    )
+    deq = sq8_dequantize_col("codes", lo, hi)
+    coarse = (
+        probes.join(
+            index.withColumnRenamed("vec_id", "neighbor_id"), "centroid_id"
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(qside, "query_id")
+        .select(
+            "query_id", "neighbor_id", _cos(F.col("qv"), deq).alias("sim_q")
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_q"), "neighbor_id")

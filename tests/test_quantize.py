@@ -170,3 +170,37 @@ def test_ivf_sq8_partial_probe_recall(spark):
     assert hits / total >= 0.95, (hits, total)
     exact_top1 = {r["query_id"]: r["neighbor_id"] for r in exact if r["rk"] == 1}
     assert top1 == exact_top1
+
+
+def test_ivf_sq8_persisted_index_round_trip(spark, tmp_path):
+    """The build-once / query-many shape: persist the IVF+SQ8 index,
+    search from the artifact, and get exactly what the live composed
+    pipeline produces (same seeds, same grid, same probes)."""
+    from bda_spark.operators.quantize import (
+        ivf_sq8_index_build,
+        ivf_sq8_search,
+        ivf_sq8_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ann_index")
+    ivf_sq8_index_build(emb, path, n_centroids=8)
+    got = sorted(
+        (r["query_id"], r["rk"], r["neighbor_id"], r["cosine"])
+        for r in ivf_sq8_search(
+            spark, path, queries, emb, k=5, n_probe=4, oversample=4
+        ).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rk"], r["neighbor_id"], r["cosine"])
+        for r in ivf_sq8_topk(
+            emb, queries, k=5, n_centroids=8, n_probe=4, oversample=4
+        ).collect()
+    )
+    assert got == want
+    # the artifact is self-contained: codes + meta parquet on disk
+    import os
+
+    assert os.path.isdir(os.path.join(path, "codes"))
+    assert os.path.isdir(os.path.join(path, "meta"))
