@@ -599,3 +599,66 @@ def docs_listagg_sources(spark, sf_dir):
         FROM v_docs_listagg GROUP BY lang
         """
     )
+
+
+def strip_frequent_lines(
+    docs,
+    min_df: int = 3,
+    delimiter: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_boilerplate: bool = True,
+):
+    """C4-style boilerplate removal: delete every line that occurs in
+    at least ``min_df`` DISTINCT documents (nav menus, cookie banners,
+    "subscribe" footers — the lines whose document frequency betrays
+    them as template, not content). Returns ``docs`` with ``text_col``
+    rewritten; line order inside each document is preserved, documents
+    reduced to nothing become empty strings (drop them with the
+    quality gate, which is the pipeline stage that owns that policy).
+
+    Scale shape: one explode -> one df-count aggregation (partial
+    map-side combine on the line hash) -> the frequent-line set, which
+    is SMALL by construction (template lines are few; unique content
+    never passes min_df), broadcast into an anti-join — the corpus is
+    shuffled once for reassembly (groupBy doc, sort_array over
+    (position, line) structs restores order), never sorted globally.
+    Pass ``broadcast_boilerplate=False`` for pathological corpora
+    where the frequent set itself is huge and AQE should pick sides.
+
+    The synthetic driver corpus has no newlines/boilerplate, so the
+    semantics are pinned by the planted-fixture pytest
+    (tests/test_plans.py::test_strip_frequent_lines_*) rather than a
+    vacuous registry row."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(delimiter), -1)).alias(
+            "_pos", "_line"
+        ),
+    )
+    freq = (
+        lines.filter(F.trim("_line") != "")
+        .groupBy("_line")
+        .agg(F.count_distinct(id_col).alias("_df"))
+        .filter(F.col("_df") >= int(min_df))
+        .select("_line")
+    )
+    if broadcast_boilerplate:
+        freq = F.broadcast(freq)
+    kept = lines.join(freq, "_line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            delimiter,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_pos", "_line"))
+                ),
+                lambda s: s["_line"],
+            ),
+        ).alias("_new_text")
+    )
+    return (
+        docs.join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce("_new_text", F.lit("")))
+        .drop("_new_text")
+    )

@@ -19,11 +19,17 @@ from ..schemas import NEWS_SCHEMA, TESTDATA_TABLES
 
 
 def read_parquet(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
-    """Parquet scan. Explicit schema skips footer-inference on huge dirs."""
+    """Parquet scan. Explicit schema skips footer-inference on huge dirs.
+    Versioned roots (sources.versioned — tables maintained by
+    optimize_table/compact_parquet with reader-atomic generations)
+    resolve transparently to their current committed generation; plain
+    dirs and files pass through untouched."""
+    from .versioned import resolve_table
+
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.parquet(path)
+    return reader.parquet(resolve_table(spark, path))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -307,3 +307,35 @@ def test_variant_extract_stays_in_single_aggregate(spark):
 def test_no_cartesian_products_round4(spark, name):
     """Round-4 additions join the no-cartesian audit."""
     assert "CartesianProduct" not in _plan(spark, name)
+
+
+def test_strip_frequent_lines_removes_template_keeps_content(spark):
+    """C4-style boilerplate strip: lines in >= min_df distinct docs
+    vanish, unique content survives in original order, repeated lines
+    WITHIN one doc don't count toward df, and fully-template docs
+    collapse to empty text."""
+    from pyspark.sql import Row
+
+    from bda_spark.plans.textops import strip_frequent_lines
+
+    banner = "subscribe to our newsletter"
+    cookie = "we use cookies"
+    rows = [
+        Row(doc_id=1, text=f"{banner}\nreal article one\n{cookie}"),
+        Row(doc_id=2, text=f"{banner}\nanother real story\n{cookie}"),
+        Row(doc_id=3, text=f"{banner}\nthird unique body\n{cookie}\nextra line"),
+        # repeated within ONE doc only -> df = 1, must survive
+        Row(doc_id=4, text="chorus line\nchorus line\nverse"),
+        Row(doc_id=5, text=f"{banner}\n{cookie}"),  # pure template
+    ]
+    out = {
+        r["doc_id"]: r["text"]
+        for r in strip_frequent_lines(
+            spark.createDataFrame(rows), min_df=3
+        ).collect()
+    }
+    assert out[1] == "real article one"
+    assert out[2] == "another real story"
+    assert out[3] == "third unique body\nextra line"
+    assert out[4] == "chorus line\nchorus line\nverse"
+    assert out[5] == ""

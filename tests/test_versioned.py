@@ -137,3 +137,18 @@ def test_optimize_table_versioned_is_reader_atomic(spark, tmp_path):
     # vacuum(keep=2) inside optimize bounded storage
     assert len(os.listdir(os.path.join(root, "_versions"))) == 2
     assert read_versioned(spark, root).count() == n
+
+
+def test_read_parquet_resolves_versioned_roots(spark, tmp_path):
+    """The standard batch entry point reads a versioned table through
+    its current generation transparently; plain paths pass through."""
+    from bda_spark.sources.batch import read_parquet
+
+    root = str(tmp_path / "through_batch")
+    df = _rows(spark, 120)
+    commit_generation(spark, root, lambda p: df.write.parquet(p))
+    commit_generation(spark, root, lambda p: df.limit(40).write.parquet(p))
+    assert read_parquet(spark, root).count() == 40
+    plain = str(tmp_path / "plain_batch")
+    df.write.parquet(plain)
+    assert read_parquet(spark, plain).count() == 120
