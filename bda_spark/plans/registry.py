@@ -48,6 +48,66 @@ def query(name: str, sql: str | None = None):
 # oracle-verified every run by tests/test_oracle_queries.py (which runs
 # ALL registered queries against DuckDB, not just the first 50).
 DRIVER_ROW_CAP = 50
+
+# The EXPLICIT driver window, in the exact order the driver has recorded
+# since CORRECTNESS_r05. Pinning the order here (rather than relying on
+# registration order) makes the window immune to import-order effects: a
+# test or caller importing one plans module directly before the first
+# get_queries() call would otherwise re-seat every window cell silently.
+# tests/test_registry.py asserts this list matches CORRECTNESS_r05's keys.
+DRIVER_WINDOW = [
+    "doc_decontaminate",
+    "docs_stratified_sample",
+    "docs_train_val_split",
+    "doc_unigram_logprob",
+    "docs_mixture_weights",
+    "docs_pack_sequences",
+    "generated_ticks_profile",
+    "minhash_neardup_pairs",
+    "neardup_clusters",
+    "simhash_neardup_strict",
+    "cosine_topk_bucketed",
+    "ivf_topk",
+    "media_image_features",
+    "media_video_frame_sample",
+    "orders_rollup_totals",
+    "orders_cube_customers",
+    "events_pivot_daily",
+    "docs_unpivot_stats",
+    "events_argmax_daily",
+    "lineitem_quantity_quantiles",
+    "orders_rank_topk",
+    "pricing_summary",
+    "gold_daily_orders",
+    "regional_order_stats",
+    "orders_without_lineitems",
+    "suppliers_with_orders",
+    "customer_order_coalesce",
+    "conditional_repair",
+    "orders_recent_window",
+    "report_weekly_rollup",
+    "report_corr_matrix",
+    "doc_langid",
+    "keyword_counts",
+    "doc_quality_scores",
+    "regex_token_stats",
+    "doc_rolling_fingerprints",
+    "exact_dedup_keyset",
+    "ngram_jaccard_pairs",
+    "doc_repetition_scores",
+    "doc_pii_scan",
+    "events_windowed_10min",
+    "events_bucket_join_corr",
+    "events_lead_label",
+    "features_json_roundtrip",
+    "events_daily_kpis",
+    "events_spearman",
+    "events_interpolate_1h",
+    "events_asof_join",
+    "events_sessionize",
+    "scraped_articles",
+]
+
 DEFERRED_TAIL = [
     "count_distinct_custkeys",  # ungrouped special case of orders_cube_customers
     "doc_stopword_quality",     # quality-score family row: doc_quality_scores
@@ -89,13 +149,21 @@ DEFERRED_TAIL = [
     "customer_balance_ntiles",  # ntile(4) quartiles; window family w/ orders_rank_topk
     "docs_listagg_sources",     # Spark-4 listagg WITHIN GROUP; deterministic ordered concat
     "events_spearman_approx",   # binned-rank sketch twin of events_spearman (rows-only)
+    "doc_tfidf_terms",          # corpus-aware keyword weights; token-count family
 ]
 
 
 def _ordered(d: dict) -> dict:
-    head = {k: v for k, v in d.items() if k not in DEFERRED_TAIL}
+    """Window order first (pinned), then any non-window non-tail extras
+    (registration order), then the deferred tail."""
+    window = {k: d[k] for k in DRIVER_WINDOW if k in d}
+    mid = {
+        k: v
+        for k, v in d.items()
+        if k not in window and k not in DEFERRED_TAIL
+    }
     tail = {k: d[k] for k in DEFERRED_TAIL if k in d}
-    return {**head, **tail}
+    return {**window, **mid, **tail}
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

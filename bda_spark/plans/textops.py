@@ -662,3 +662,101 @@ def strip_frequent_lines(
         .withColumn(text_col, F.coalesce("_new_text", F.lit("")))
         .drop("_new_text")
     )
+
+
+@query(
+    "doc_tfidf_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT t.doc_id, t.token, CAST(t.tf AS BIGINT) AS tf,
+           CAST(d.df AS BIGINT) AS df,
+           round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
+    FROM tf t JOIN df d USING (token) CROSS JOIN n
+    WHERE t.doc_id < 20
+    """,
+)
+def doc_tfidf_terms(spark, sf_dir):
+    """TF-IDF term weighting — the keyword-extraction primitive of a
+    text pipeline (the reference's dashboard surfaces raw keyword
+    counts, `load_to_gold_layer.py:40-43`; TF-IDF is the corpus-aware
+    upgrade). tf per (doc, token), df per token over the WHOLE corpus,
+    weight = tf * ln(N / df).
+
+    Scale shape: two hash aggregations (both map-side partial) and one
+    equi-join on the token — no window, no sort, no all-pairs; the
+    1-row corpus count broadcasts. Output is the raw weighted terms of
+    20 docs (ranking-free: cross-engine `ln` can differ in the last
+    ulp, so a top-k rank could flip on near-ties — the top-k form is
+    the in-engine `tfidf_topk_terms` below, pinned by pytest).
+
+    Registered in the DEFERRED_TAIL (driver window frozen at 50 rows);
+    oracle-verified every pytest run by test_oracle_queries."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+            "token"
+        ),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.filter(F.col("doc_id") < 20)
+        .join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            r6(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+
+
+def tfidf_topk_terms(
+    docs,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Top-k characteristic terms per document by TF-IDF — the form a
+    keyword extractor actually serves. Deterministic tie-break
+    (weight desc, token asc); one partitioned window per doc, no
+    global sort. In-engine only: see doc_tfidf_terms for why the
+    ranked form carries no cross-engine oracle."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(k))
+        .select("doc_id", "rk", "token", "tf", "df", r6(F.col("tfidf")).alias("tfidf"))
+    )

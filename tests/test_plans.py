@@ -339,3 +339,28 @@ def test_strip_frequent_lines_removes_template_keeps_content(spark):
     assert out[3] == "third unique body\nextra line"
     assert out[4] == "chorus line\nchorus line\nverse"
     assert out[5] == ""
+
+
+def test_tfidf_topk_ranks_characteristic_terms(spark):
+    """TF-IDF top-k: a term unique to one doc outranks corpus-wide
+    ubiquitous terms; ubiquitous terms (df == N) weigh exactly 0;
+    ranking is deterministic under ties."""
+    from pyspark.sql import Row
+
+    from bda_spark.plans.textops import tfidf_topk_terms
+
+    rows = [
+        Row(doc_id=1, text="common common zebra common"),
+        Row(doc_id=2, text="common yak common"),
+        Row(doc_id=3, text="common wolf wolf"),
+    ]
+    out = tfidf_topk_terms(spark.createDataFrame(rows), k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rk"], r["token"], r["tfidf"]))
+    assert by_doc[1][0][1] == "zebra" and by_doc[1][0][2] > 0
+    assert by_doc[2][0][1] == "yak"
+    assert by_doc[3][0][1] == "wolf"
+    # 'common' appears in every doc -> ln(3/3) = 0 exactly
+    commons = [r for r in out if r["token"] == "common"]
+    assert commons and all(r["tfidf"] == 0.0 for r in commons)
