@@ -469,10 +469,14 @@ def minhash_match_new(
     band_rows: int = 2,
     seed: int = 42,
     max_bucket_size: int = 256,
+    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection: match a NEW batch against a
     prebuilt ``minhash_index`` (same ngram/num_hashes/seed — the hash
-    family must be identical or signatures are incomparable). Returns
+    family must be identical or signatures are incomparable). Pass
+    ``new_sigs`` (a ``minhash_index`` frame of the SAME batch) when the
+    caller has already computed/persisted the batch signatures — the
+    streaming loop does — so the batch isn't re-shingled here. Returns
     (new_id, corpus_id, est_jaccard) for pairs whose ESTIMATED Jaccard
     (fraction of agreeing minhashes — the standard unbiased estimator,
     stderr ~ 1/sqrt(k) ~ 0.125 at k=64) clears the threshold.
@@ -494,7 +498,10 @@ def minhash_match_new(
     """
     from pyspark.sql import Window
 
-    new_sigs = minhash_index(new_docs, id_col, text_col, ngram, num_hashes, seed)
+    if new_sigs is None:
+        new_sigs = minhash_index(
+            new_docs, id_col, text_col, ngram, num_hashes, seed
+        )
     nb = band_keys(new_sigs, num_hashes, band_rows).withColumnRenamed(
         "doc_id", "new_id"
     )

@@ -1,0 +1,95 @@
+"""Streaming incremental dedup: match a LIVE document stream against a
+persisted MinHash signature index, and grow the index with each
+micro-batch — the production loop a corpus ingest runs (the batch twin
+is ``operators.dedup.minhash_index`` / ``minhash_match_new``; this
+wires it into Structured Streaming's foreachBatch).
+
+Per micro-batch:
+  1. signatures of the batch are computed once (one shingle pass over
+     the batch only — the corpus is NEVER re-shingled),
+  2. the batch is banded against the CURRENT index (hot corpus posting
+     lists capped, see minhash_match_new) and flagged matches land in
+     ``flags_path``,
+  3. the batch's signatures merge into ``index_path`` so LATER batches
+     dedup against everything seen so far.
+
+Both writes go through ``idempotent_merge_parquet`` keyed by document
+id, so a replayed micro-batch (foreachBatch is at-least-once after a
+failure) upserts instead of duplicating — the restart-safety contract
+the rest of the streaming layer follows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..operators.dedup import minhash_index, minhash_match_new
+from ..sources.sinks import _hadoop_path, idempotent_merge_parquet
+
+
+def stream_dedup_against_index(
+    stream_docs: DataFrame,
+    index_path: str,
+    flags_path: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 64,
+    band_rows: int = 2,
+    seed: int = 42,
+    available_now: bool = False,
+):
+    """Start the incremental-dedup stream over ``stream_docs`` (a
+    streaming DataFrame carrying ``id_col`` + ``text_col``). Returns
+    the StreamingQuery. ``index_path`` may start empty (first batch
+    bootstraps it) or point at a corpus-built ``minhash_index``.
+
+    Ordering note: batches are processed serially by the engine, so
+    "earlier batch" is well-defined; duplicates WITHIN one micro-batch
+    are not flagged against each other (they all match the pre-batch
+    index only) — run the batch ``dedup_corpus`` on the landed corpus
+    for intra-batch collapse, or keep micro-batches small enough that
+    intra-batch dups are rare."""
+    spark = stream_docs.sparkSession
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.select(id_col, text_col)
+        sigs = minhash_index(
+            batch, id_col, text_col, ngram, num_hashes, seed
+        ).localCheckpoint(eager=True)
+        fs, index_p = _hadoop_path(spark, index_path)
+        if fs.exists(index_p):
+            index = spark.read.parquet(index_path)
+            # redelivery guard: a doc whose id is ALREADY indexed was
+            # processed by an earlier (possibly crashed) attempt — it
+            # must not be re-flagged against itself or against
+            # near-dups that arrived after it. Only genuinely-new ids
+            # are matched; the signature merge below is a keyed upsert
+            # either way.
+            fresh = sigs.join(index.select("doc_id"), "doc_id", "left_anti")
+            flags = minhash_match_new(
+                batch,
+                index,
+                threshold=threshold,
+                id_col=id_col,
+                text_col=text_col,
+                ngram=ngram,
+                num_hashes=num_hashes,
+                band_rows=band_rows,
+                seed=seed,
+                new_sigs=fresh,
+            )
+            idempotent_merge_parquet(
+                spark, flags, flags_path, keys=["new_id", "corpus_id"]
+            )
+        idempotent_merge_parquet(spark, sigs, index_path, keys=["doc_id"])
+
+    writer = (
+        stream_docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
