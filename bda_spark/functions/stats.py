@@ -142,7 +142,7 @@ def spearman_approx(
     x: str,
     y: str,
     num_bins: int = 256,
-    rel_err: float = 1e-4,
+    rel_err: float = 1e-3,
 ) -> DataFrame:
     """Approximate Spearman — the 100 TB fallback SURVEY §7 (risk 4)
     names: bin both columns on ``percentile_approx`` quantile
@@ -170,15 +170,29 @@ def spearman_approx(
     df = df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
 
     def bucket(col: str, bounds: list[float]):
-        b = F.lit(0)
-        for v in sorted(set(bounds)):
-            b = b + (F.col(col) > F.lit(v)).cast("int")
-        return b
+        # one F.aggregate over a literal boundary array (the zorder_key
+        # pattern) — a 255-term chained `+` expression here measured 4x
+        # slower than the HOF loop (codegen depth blow-up)
+        arr = F.array(*[F.lit(float(v)) for v in sorted(set(bounds))])
+        return F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, v: acc + F.when(F.col(col) > v, 1).otherwise(0),
+        )
 
     d = df.select(
         bucket(x, bx_bounds).alias("_bx"), bucket(y, by_bounds).alias("_by")
     )
-    cells = d.groupBy("_bx", "_by").agg(F.count("*").alias("_w"))
+    # The contingency table is consumed by three branches (two marginal
+    # rank tables + the weighted join); it is at most num_bins^2 tiny
+    # rows, so materialize it once — the corpus-wide binning pass runs
+    # exactly once, and no downstream plan transform can push the
+    # higher-order bucket lambdas past the aggregation boundary.
+    cells = (
+        d.groupBy("_bx", "_by")
+        .agg(F.count("*").alias("_w"))
+        .localCheckpoint(eager=True)
+    )
 
     def rank_table(key: str) -> DataFrame:
         m = cells.groupBy(key).agg(F.sum("_w").alias("_cnt"))

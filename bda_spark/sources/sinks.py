@@ -77,7 +77,34 @@ def idempotent_merge_parquet(
     Table existence is checked via the filesystem — a transient read
     error on an existing table propagates instead of being misread as
     "table absent" and destroying it.
+
+    VERSIONED targets (sources.versioned): the unpartitioned merge
+    commits as a new reader-atomic generation instead of the rename
+    swap — no reader can observe the between-renames window, and no
+    heal path is needed. (The partitioned branch keeps per-partition
+    swaps; hive layout and generation dirs don't compose — pick one.)
     """
+    from .versioned import commit_generation, is_versioned, resolve_table, vacuum_versions
+
+    if is_versioned(spark, path):
+        if partition_col is not None:
+            raise ValueError(
+                "idempotent_merge_parquet: partition-scoped merge is not "
+                "supported on a versioned root (hive partition swaps and "
+                "generation commits don't compose); use a plain dir for "
+                "partitioned tables or merge whole-table"
+            )
+        existing = spark.read.parquet(resolve_table(spark, path))
+        kept = existing.join(
+            updates.select(*keys).distinct(), on=keys, how="left_anti"
+        )
+        merged = kept.unionByName(updates)
+        commit_generation(
+            spark, path, lambda p: merged.write.mode("overwrite").parquet(p)
+        )
+        vacuum_versions(spark, path, keep=2)
+        return
+
     fs, target = _hadoop_path(spark, path)
     base = path.rstrip("/")
     tmp, old = base + "__merge_tmp", base + "__merge_old"

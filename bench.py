@@ -95,6 +95,9 @@ HEADLINE = [
     "docs_listagg_sources",
     # round-6 surface: Misra-Gries frequent-items beside the exact top-k
     "keyword_counts_sketch",
+    # round-7 surface: the sort-free binned-rank Spearman beside the exact
+    # rank path (same registry family as the other approx scale twins)
+    "events_spearman_approx",
 ]
 
 

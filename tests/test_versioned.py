@@ -152,3 +152,32 @@ def test_read_parquet_resolves_versioned_roots(spark, tmp_path):
     plain = str(tmp_path / "plain_batch")
     df.write.parquet(plain)
     assert read_parquet(spark, plain).count() == 120
+
+
+def test_idempotent_merge_on_versioned_root(spark, tmp_path):
+    """Upserts into a versioned table commit as new generations:
+    readers never see the between-renames window, keys merge exactly
+    as on plain dirs, and replaying the same merge is a no-op."""
+    from pyspark.sql import Row
+
+    from bda_spark.sources.sinks import idempotent_merge_parquet
+
+    root = str(tmp_path / "merge_vt")
+    base = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    commit_generation(spark, root, lambda p: base.write.parquet(p))
+    upd = spark.createDataFrame([Row(k=2, v="B2"), Row(k=4, v="d")])
+    idempotent_merge_parquet(spark, upd, root, keys=["k"])
+    got = {r["k"]: r["v"] for r in read_versioned(spark, root).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
+    assert current_generation(spark, root) == 2
+    # replay: idempotent, one more generation, same content
+    idempotent_merge_parquet(spark, upd, root, keys=["k"])
+    assert {r["k"]: r["v"] for r in read_versioned(spark, root).collect()} == got
+    # partitioned merge on a versioned root is an explicit error
+    with pytest.raises(ValueError, match="versioned"):
+        idempotent_merge_parquet(
+            spark, upd.withColumn("p", upd["k"] % 2), root,
+            keys=["k"], partition_col="p",
+        )
