@@ -241,3 +241,147 @@ def blocked_bloom_probe(
         )
         .drop("_bf_word", "_bf_mask", "bits")
     )
+
+
+def histogram_bounds(df: DataFrame, col: str, num_bins: int = 128,
+                     rel_err: float = 1e-3) -> list[float]:
+    """Global bin boundaries for a histogram sketch table: num_bins - 1
+    quantile split points from one mergeable approxQuantile pass.
+    Computed ONCE per metric at table-build time and reused for every
+    later day's sketch — all sketches sharing one boundary list is what
+    makes them additive."""
+    probs = [i / num_bins for i in range(1, num_bins)]
+    return sorted(set(df.stat.approxQuantile(col, probs, rel_err)))
+
+
+def histogram_sketch_table(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    bounds: list[float],
+) -> DataFrame:
+    """Per-key quantile-bin histograms — the INCREMENTAL percentile
+    pattern, symmetric to ``distinct_sketch_table``: one compact
+    (keys..., bin_counts array<long>) row per group, landable as a
+    parquet gold table. A new day appends its rows; any date range /
+    key rollup answers quantile questions by SUMMING the selected
+    rows' bins (histograms are exactly additive) — seconds over a few
+    hundred sketch rows instead of rescanning months of raw data.
+
+    Unlike HLL's idempotent register-max union, histogram addition
+    double-counts overlapping selections — the selected rows must
+    PARTITION the data (which date/key-partitioned sketch tables do by
+    construction).
+
+    Scale shape: the bin id is one F.aggregate over the literal
+    boundary array (O(num_bins) JVM-side comparisons, no lambda-free
+    alternative needed at 128 bins); the first aggregation shrinks the
+    corpus to (keys x bins) rows, the second assembles each group's
+    ordered bin array. Nothing ever sorts the corpus."""
+    bnd = sorted(set(bounds))
+    arr = F.array(*[F.lit(float(v)) for v in bnd])
+    bin_id = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, v: acc + F.when(F.col(col) > v, 1).otherwise(0),
+    )
+    n_bins = len(bnd) + 1
+    per_bin = (
+        df.where(F.col(col).isNotNull())
+        .withColumn("_bin", bin_id)
+        .groupBy(*keys, "_bin")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    # assemble the dense ordered array: missing bins -> 0
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bins - 1)),
+        lambda i: F.coalesce(
+            F.element_at(
+                F.map_from_entries(
+                    F.collect_list(F.struct(F.col("_bin"), F.col("_cnt")))
+                ),
+                i,
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+    return per_bin.groupBy(*keys).agg(dense.alias("bin_counts"))
+
+
+def quantile_estimate(
+    sketches: DataFrame,
+    bounds: list[float],
+    probs: list[float],
+    group: list[str] | None = None,
+    sketch_col: str = "bin_counts",
+) -> DataFrame:
+    """Re-aggregate a histogram sketch table: element-wise-sum the
+    selected rows' bins per ``group`` (or globally) and read each
+    requested quantile off the merged histogram — the answer is the
+    UPPER boundary of the bin where the cumulative count crosses
+    p * total (max error: one bin width, i.e. ~1/num_bins of the data
+    by construction of quantile bounds). Output: group cols +
+    ``q_<prob>`` columns.
+
+    The merge is a posexplode + sum keyed by (group, bin) — the only
+    shuffle carries |rows| x |bins| tiny (long, long) pairs; the
+    per-group cumulative walk runs in one F.aggregate over the merged
+    ≤ num_bins array, no window, no sort."""
+    bnd = sorted(set(bounds))
+    exploded = sketches.select(
+        *(group or []),
+        F.posexplode(sketch_col).alias("_bin", "_cnt"),
+    )
+    merged_long = exploded.groupBy(*(group or []), "_bin").agg(
+        F.sum("_cnt").alias("_cnt")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(len(bnd))),
+        lambda i: F.coalesce(
+            F.element_at(
+                F.map_from_entries(
+                    F.collect_list(F.struct(F.col("_bin"), F.col("_cnt")))
+                ),
+                i,
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+    if group:
+        merged = merged_long.groupBy(*group).agg(dense.alias("_bins"))
+    else:
+        merged = merged_long.agg(dense.alias("_bins"))
+    total = F.aggregate(
+        "_bins", F.lit(0).cast("long"), lambda acc, c: acc + c
+    )
+    # boundary list with +inf sentinel so the last bin has an upper edge
+    edge = F.array(*[F.lit(float(v)) for v in bnd], F.lit(float("inf")))
+    cols = []
+    for p in probs:
+        # index of the first bin whose cumulative count reaches p*total:
+        # fold over bins carrying (cum, chosen_index)
+        picked = F.aggregate(
+            F.sequence(F.lit(0), F.lit(len(bnd))),
+            F.struct(
+                F.lit(0).cast("long").alias("cum"),
+                F.lit(-1).alias("idx"),
+            ),
+            lambda acc, i: F.struct(
+                (acc["cum"] + F.element_at("_bins", i + 1)).alias("cum"),
+                F.when(
+                    (acc["idx"] == -1)
+                    & (
+                        (acc["cum"] + F.element_at("_bins", i + 1))
+                        >= F.lit(float(p)) * total
+                    ),
+                    i,
+                )
+                .otherwise(acc["idx"])
+                .alias("idx"),
+            ),
+            lambda acc: acc["idx"],
+        )
+        cols.append(
+            F.element_at(edge, picked + 1).alias(f"q_{str(p).replace('.', '_')}")
+        )
+    return merged.select(*(group or []), *cols)

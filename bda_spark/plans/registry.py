@@ -150,6 +150,7 @@ DEFERRED_TAIL = [
     "docs_listagg_sources",     # Spark-4 listagg WITHIN GROUP; deterministic ordered concat
     "events_spearman_approx",   # binned-rank sketch twin of events_spearman (rows-only)
     "doc_tfidf_terms",          # corpus-aware keyword weights; token-count family
+    "events_quantile_sketch_rollup",  # histogram sketch-table twin of the HLL rollup
 ]
 
 

@@ -738,3 +738,60 @@ def events_distinct_sketch_rollup(spark, sf_dir):
     e = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     daily = distinct_sketch_table(e, ["day", "event_type"], "user_id")
     return distinct_estimate(daily, ["event_type"], out_col="n_users")
+
+
+_QSKETCH_BOUNDS = [float(b) for b in range(5, 645, 5)]  # covers value's range
+
+
+@query(
+    "events_quantile_sketch_rollup",
+    f"""
+    WITH binned AS (
+      SELECT event_type,
+             len(list_filter({_QSKETCH_BOUNDS!r}::DOUBLE[], b -> value > b))
+               AS bin
+      FROM events WHERE value IS NOT NULL
+    ), counts AS (
+      SELECT event_type, bin, count(*) AS cnt FROM binned GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS total
+      FROM counts
+    )
+    SELECT event_type,
+           min(CASE WHEN cum >= 0.5 * total
+                    THEN ({_QSKETCH_BOUNDS!r}::DOUBLE[] || ['infinity'::DOUBLE])[bin + 1]
+               END) AS q_0_5,
+           min(CASE WHEN cum >= 0.9 * total
+                    THEN ({_QSKETCH_BOUNDS!r}::DOUBLE[] || ['infinity'::DOUBLE])[bin + 1]
+               END) AS q_0_9
+    FROM cum GROUP BY event_type
+    """,
+)
+def events_quantile_sketch_rollup(spark, sf_dir):
+    """Incremental percentiles through a persisted-histogram-table
+    shape (operators.sketch.histogram_sketch_table /
+    quantile_estimate) — the quantile twin of the HLL distinct-sketch
+    rollup: per-(day, event_type) bin-count rows are the table a
+    deployment lands once per day; per-type medians/p90s come from
+    SUMMING the selected rows' bins, never rescanning raw data.
+
+    FIXED literal bounds (uniform, covering value's range) rather than
+    data-derived approxQuantile boundaries — which is exactly how a
+    production sketch table works (bounds frozen at table creation so
+    every day's rows stay additive) and what makes the DuckDB oracle
+    EXACT: both engines bucket by the same literal list and read the
+    same bin edge, no sketch nondeterminism anywhere.
+
+    Registered in the DEFERRED_TAIL (driver window frozen at 50 rows);
+    oracle-verified every pytest run by test_oracle_queries."""
+    from ..operators.sketch import histogram_sketch_table, quantile_estimate
+
+    e = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = histogram_sketch_table(
+        e, ["day", "event_type"], "value", _QSKETCH_BOUNDS
+    )
+    return quantile_estimate(
+        daily, _QSKETCH_BOUNDS, [0.5, 0.9], group=["event_type"]
+    )

@@ -255,3 +255,57 @@ def test_probe_broadcasts_bitmap_never_shuffles_probes(spark):
     # the only shuffle Exchange is the bitmap's own bit_or aggregation
     exchanges = re.findall(r"\n\(\d+\) (\w*Exchange)\b", plan)
     assert len([e for e in exchanges if e == "Exchange"]) == 1, plan
+
+
+def test_histogram_sketch_table_incremental_quantiles(spark, tmp_path):
+    """The incremental-percentile pattern: per-day histogram rows on
+    shared global bounds, merged to answer quantiles over any range
+    without rescanning raw data. Pinned: (a) merged-estimate rank
+    accuracy within bin resolution, (b) exact additivity — two halves
+    merged == whole, (c) parquet round trip."""
+    from bda_spark.operators.sketch import (
+        histogram_bounds,
+        histogram_sketch_table,
+        quantile_estimate,
+    )
+    from bda_spark.sources.batch import load_table
+
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    bounds = histogram_bounds(events, "value", num_bins=128)
+    daily = histogram_sketch_table(events, ["day"], "value", bounds)
+    path = str(tmp_path / "hist_sketches")
+    daily.write.parquet(path)
+    sketches = spark.read.parquet(path)
+    assert sketches.count() == events.select("day").distinct().count()
+
+    probs = [0.25, 0.5, 0.75]
+    est = quantile_estimate(sketches, bounds, probs).collect()[0]
+    n = events.count()
+    for p in probs:
+        q = est[f"q_{str(p).replace('.', '_')}"]
+        rank = events.filter(F.col("value") <= q).count() / n
+        assert p - 0.001 <= rank <= p + 2.5 / 128, (p, q, rank)
+
+    # additivity: merging the two halves == merging everything
+    days = sorted(r["day"] for r in sketches.select("day").collect())
+    cut = days[len(days) // 2]
+    first = sketches.filter(F.col("day") <= F.lit(cut))
+    second = sketches.filter(F.col("day") > F.lit(cut))
+    whole = quantile_estimate(sketches, bounds, [0.5]).collect()[0]["q_0_5"]
+    merged_halves = quantile_estimate(
+        first.unionByName(second), bounds, [0.5]
+    ).collect()[0]["q_0_5"]
+    assert merged_halves == whole
+
+    # grouped rollup: one estimate per event_type from the same table
+    typed = histogram_sketch_table(
+        events, ["day", "event_type"], "value", bounds
+    )
+    per_type = quantile_estimate(
+        typed, bounds, [0.5], group=["event_type"]
+    )
+    rows = per_type.collect()
+    assert len(rows) == events.select("event_type").distinct().count()
+    assert all(r["q_0_5"] is not None for r in rows)
