@@ -25,12 +25,33 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _collapse_to_latest(
+    updates: DataFrame, key: str, tracked: list[str], effective_col: str
+) -> DataFrame:
+    """Keep each key's single latest row (max effective time, tracked
+    values as deterministic tie-break) — the snapshot-diff CDC batch
+    semantics shared by init and apply."""
+    latest = Window.partitionBy(key).orderBy(
+        F.desc(effective_col), *[F.desc(c) for c in tracked]
+    )
+    return (
+        updates.withColumn("_rn", F.row_number().over(latest))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def scd2_init(
     updates: DataFrame, key: str, tracked: list[str], effective_col: str
 ) -> DataFrame:
-    """Bootstrap a versioned dimension from a first snapshot."""
+    """Bootstrap a versioned dimension from a first snapshot. A key
+    appearing several times (duplicate delivery, intra-snapshot
+    states) collapses to its latest row — the same batch semantics as
+    ``scd2_apply``, so the bootstrap can never seed two open versions
+    of one key."""
     if not tracked:
         raise ValueError("scd2_init: tracked must name >= 1 attribute")
+    updates = _collapse_to_latest(updates, key, tracked, effective_col)
     return updates.select(
         key,
         *tracked,
@@ -66,14 +87,7 @@ def scd2_apply(
     backfill/rebuild, not an incremental fold."""
     if not tracked:
         raise ValueError("scd2_apply: tracked must name >= 1 attribute")
-    latest = Window.partitionBy(key).orderBy(
-        F.desc(effective_col), *[F.desc(c) for c in tracked]
-    )
-    up = (
-        updates.withColumn("_rn", F.row_number().over(latest))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    up = _collapse_to_latest(updates, key, tracked, effective_col)
 
     history = dim.filter(~F.col("is_current"))
     open_rows = dim.filter(F.col("is_current"))

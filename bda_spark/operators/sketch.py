@@ -95,6 +95,7 @@ def frequent_items(
     col: str,
     k: int = 20,
     counters: int = 1024,
+    include_bound_row: bool = True,
 ) -> DataFrame:
     """Approximate top-k heavy hitters via mergeable Misra-Gries
     summaries — the sketch twin of the exact explode->groupBy->top-k
@@ -126,6 +127,17 @@ def frequent_items(
 
     ``mapInPandas`` (not a Python UDF per row): arrow-batch transfer,
     pandas ``value_counts`` does the per-batch counting vectorized.
+
+    ``include_bound_row`` (default on, matching the streaming twin's
+    always-emit-the-bound contract): one extra row
+    (item NULL, est_count 0, max_count = global error bound) rides
+    along so the bound stays recoverable even when heavy compaction
+    drains EVERY item out of the summaries (an all-equal-weights
+    stream under a tiny budget legitimately compacts to nothing — a
+    property-test-found case where a bare empty report would hide the
+    fact that every count may be as large as the bound). Pass False
+    where the consumer wants items only (the registry query does: its
+    oracle pins the exact no-compaction regime, where the bound is 0).
     """
     n_slots = int(counters)
 
@@ -156,7 +168,7 @@ def frequent_items(
     err = summaries.filter(F.col("item").isNull()).agg(
         F.coalesce(F.sum("weight"), F.lit(0)).alias("_err")
     )
-    return (
+    report = (
         summaries.filter(F.col("item").isNotNull())
         .groupBy("item")
         .agg(F.sum("weight").alias("est_count"))
@@ -169,6 +181,14 @@ def frequent_items(
         .orderBy(F.desc("est_count"), "item")
         .limit(int(k))
     )
+    if not include_bound_row:
+        return report
+    bound = err.select(
+        F.lit(None).cast("string").alias("item"),
+        F.lit(0).cast("long").alias("est_count"),
+        F.col("_err").cast("long").alias("max_count"),
+    )
+    return report.unionByName(bound)
 
 
 def distinct_sketch_table(

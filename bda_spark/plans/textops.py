@@ -117,7 +117,9 @@ def keyword_counts_sketch(spark, sf_dir):
     words = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
         F.col("word") != ""
     )
-    return frequent_items(words, "word", k=20, counters=1024)
+    return frequent_items(
+        words, "word", k=20, counters=1024, include_bound_row=False
+    )
 
 
 @query(
