@@ -66,16 +66,34 @@ def is_versioned(spark: SparkSession, root: str) -> bool:
     return current_generation(spark, root) is not None
 
 
-def resolve_table(spark: SparkSession, root: str) -> str:
+def resolve_table(
+    spark: SparkSession, root: str, generation: int | None = None
+) -> str:
     """The path a reader should scan: the current generation dir for a
     versioned root, the root itself for a plain parquet dir (so callers
-    can resolve unconditionally)."""
+    can resolve unconditionally). Pass ``generation`` for TIME TRAVEL —
+    reading a specific committed generation that vacuum hasn't swept
+    yet (the same as-of contract as Delta's VERSION AS OF, bounded by
+    the vacuum retention)."""
+    if generation is not None:
+        fs, marker = _hadoop_path(
+            spark, f"{root.rstrip('/')}/{COMMITS_DIR}/{int(generation):08d}"
+        )
+        _, data_p = _hadoop_path(spark, _gen_dir(root, int(generation)))
+        if not fs.exists(marker) or not fs.exists(data_p):
+            raise FileNotFoundError(
+                f"generation {generation} of {root} is not available "
+                f"(never committed, or swept by vacuum_versions)"
+            )
+        return _gen_dir(root, int(generation))
     gen = current_generation(spark, root)
     return root if gen is None else _gen_dir(root, gen)
 
 
-def read_versioned(spark: SparkSession, root: str) -> DataFrame:
-    return spark.read.parquet(resolve_table(spark, root))
+def read_versioned(
+    spark: SparkSession, root: str, generation: int | None = None
+) -> DataFrame:
+    return spark.read.parquet(resolve_table(spark, root, generation))
 
 
 def commit_generation(

@@ -181,3 +181,23 @@ def test_idempotent_merge_on_versioned_root(spark, tmp_path):
             spark, upd.withColumn("p", upd["k"] % 2), root,
             keys=["k"], partition_col="p",
         )
+
+
+def test_time_travel_reads_within_vacuum_retention(spark, tmp_path):
+    """Reading a specific committed generation (Delta VERSION AS OF
+    analog), bounded by vacuum retention: swept generations raise
+    instead of silently reading debris."""
+    root = str(tmp_path / "tt")
+    df = _rows(spark, 90)
+    commit_generation(spark, root, lambda p: df.write.parquet(p))
+    commit_generation(spark, root, lambda p: df.limit(60).write.parquet(p))
+    commit_generation(spark, root, lambda p: df.limit(30).write.parquet(p))
+    assert read_versioned(spark, root).count() == 30
+    assert read_versioned(spark, root, generation=1).count() == 90
+    assert read_versioned(spark, root, generation=2).count() == 60
+    with pytest.raises(FileNotFoundError, match="not available"):
+        read_versioned(spark, root, generation=7)
+    vacuum_versions(spark, root, keep=2)
+    with pytest.raises(FileNotFoundError, match="not available"):
+        read_versioned(spark, root, generation=1)
+    assert read_versioned(spark, root, generation=2).count() == 60
