@@ -151,6 +151,7 @@ DEFERRED_TAIL = [
     "events_spearman_approx",   # binned-rank sketch twin of events_spearman (rows-only)
     "doc_tfidf_terms",          # corpus-aware keyword weights; token-count family
     "events_quantile_sketch_rollup",  # histogram sketch-table twin of the HLL rollup
+    "doc_compression_ratio",    # zlib quality signal (rows-only: no zlib in DuckDB)
 ]
 
 

@@ -762,3 +762,61 @@ def tfidf_topk_terms(
         .filter(F.col("rk") <= int(k))
         .select("doc_id", "rk", "token", "tf", "df", r6(F.col("tfidf")).alias("tfidf"))
     )
+
+
+def compression_ratios(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+):
+    """Per-document zlib compression ratio — the RefinedWeb/Gopher-family
+    quality signal the token-level heuristics miss: heavily repetitive
+    boilerplate compresses far below normal prose (ratio -> 0), while
+    random/obfuscated junk barely compresses (ratio -> 1); both tails
+    are removal candidates. Returns (id, n_bytes, n_compressed, ratio).
+
+    Arrow-batched ``mapInPandas`` (the documented exception class: zlib
+    is not expressible as Catalyst expressions); DEFLATE with a fixed
+    level is fully deterministic, so the output is reproducible across
+    runs and partitionings. Empty documents get ratio 1.0 (nothing to
+    compress, nothing saved)."""
+    import pandas as pd  # noqa: F401 (signature clarity)
+
+    def score(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            n_bytes = raw.str.len().astype("int64")
+            n_comp = raw.map(lambda b: len(zlib.compress(b, level))).astype(
+                "int64"
+            )
+            ratio = (n_comp / n_bytes.where(n_bytes > 0)).fillna(1.0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": n_bytes,
+                    "n_compressed": n_comp,
+                    "ratio": ratio.round(6),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        score, f"{id_col} long, n_bytes long, n_compressed long, ratio double"
+    )
+
+
+@query("doc_compression_ratio", None)
+def doc_compression_ratio(spark, sf_dir):
+    """Compression-ratio quality scan over the documents table (see
+    ``compression_ratios``). Deliberately NO SQL oracle: DuckDB has no
+    zlib surface, so cross-engine value equality is impossible — the
+    semantics (monotone separation of repetitive vs diverse text,
+    determinism, byte accounting) are pinned by
+    tests/test_plans.py::test_compression_ratio_separates_quality.
+
+    Registered in the DEFERRED_TAIL (driver window frozen at 50 rows)."""
+    return compression_ratios(t(spark, sf_dir, "documents"))

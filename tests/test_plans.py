@@ -364,3 +364,37 @@ def test_tfidf_topk_ranks_characteristic_terms(spark):
     # 'common' appears in every doc -> ln(3/3) = 0 exactly
     commons = [r for r in out if r["token"] == "common"]
     assert commons and all(r["tfidf"] == 0.0 for r in commons)
+
+
+def test_compression_ratio_separates_quality(spark):
+    """The zlib quality signal: repetitive boilerplate compresses hard
+    (low ratio), diverse prose sits in the middle, random bytes barely
+    compress — and the measure is deterministic and byte-accounted."""
+    import random
+
+    from pyspark.sql import Row
+
+    from bda_spark.plans.textops import compression_ratios
+
+    rng = random.Random(3)
+    repetitive = "buy now click here " * 60
+    prose = " ".join(
+        rng.choice(["the", "model", "data", "spark", "join", "scan",
+                    "filter", "window", "stream", "batch"])
+        for _ in range(240)
+    )
+    noise = "".join(chr(rng.randrange(33, 127)) for _ in range(1200))
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=repetitive), Row(doc_id=2, text=prose),
+         Row(doc_id=3, text=noise), Row(doc_id=4, text="")]
+    )
+    got = {r["doc_id"]: r for r in compression_ratios(docs).collect()}
+    assert got[1]["ratio"] < got[2]["ratio"] < got[3]["ratio"]
+    assert got[1]["ratio"] < 0.1        # boilerplate collapses
+    assert got[3]["ratio"] > 0.75       # noise barely compresses
+    assert got[4]["ratio"] == 1.0       # empty-doc convention
+    assert got[1]["n_bytes"] == len(repetitive.encode())
+    assert got[3]["n_bytes"] == len(noise.encode())
+    # determinism across a rerun
+    again = {r["doc_id"]: r["ratio"] for r in compression_ratios(docs).collect()}
+    assert again == {k: v["ratio"] for k, v in got.items()}
