@@ -255,15 +255,28 @@ def _banded_candidates(bands: DataFrame, max_bucket_size: int) -> DataFrame:
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
     )
-    # hot members only: rank-gap chain expansion, O(k * cap) per bucket
+    # hot members only: rank-gap chain expansion, O(k * cap) per bucket.
+    # The join key includes the cap-sized rank BLOCK (pairs within cap
+    # ranks always sit in the same or adjacent blocks), so each join
+    # key group holds at most ~2*cap rows — bounding the COMPARISONS,
+    # not just the output: on (band_key) alone a 10^6-member bucket
+    # would still buffer and cross-check the whole group.
     hot_members = bands.join(F.broadcast(hot), "band_key", "left_semi")
     w = Window.partitionBy("band_key").orderBy("doc_id")
-    ranked = hot_members.withColumn("_rk", F.row_number().over(w))
+    ranked = hot_members.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_blk", F.floor((F.col("_rk") - 1) / max_bucket_size)
+    )
+    # y-side rows also register under the preceding block so adjacent-
+    # block pairs meet on one equi-key
+    y = ranked.withColumn(
+        "_jblk", F.explode(F.array(F.col("_blk"), F.col("_blk") - 1))
+    )
     chain_pairs = (
         ranked.alias("x")
         .join(
-            ranked.alias("y"),
+            y.alias("y"),
             (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x._blk") == F.col("y._jblk"))
             & (F.col("y._rk") > F.col("x._rk"))
             & (F.col("y._rk") - F.col("x._rk") <= max_bucket_size),
         )

@@ -108,6 +108,52 @@ def _cos(a: Column, b: Column) -> Column:
     return dot / (n1 * n2)
 
 
+def _coarse_then_rerank(
+    probes: DataFrame,
+    index: DataFrame,
+    qside: DataFrame,
+    exact: DataFrame,
+    lo: list[float],
+    hi: list[float],
+    k: int,
+    oversample: int,
+) -> DataFrame:
+    """Shared second half of the IVF+SQ8 pipelines (live and
+    persisted-artifact — one body so tie-breaks, the self-match
+    filter, and the rounding policy cannot diverge): coarse-rank
+    probed candidates on dequantized int8 codes, keep k x oversample
+    per query, exact-rerank against the float vectors."""
+    deq = sq8_dequantize_col("codes", lo, hi)
+    coarse = (
+        probes.join(index, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(qside, "query_id")
+        .select(
+            "query_id", "neighbor_id", _cos(F.col("qv"), deq).alias("sim_q")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_q"), "neighbor_id")
+    candidates = (
+        coarse.withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") <= int(k) * int(oversample))
+        .select("query_id", "neighbor_id")
+    )
+    reranked = (
+        candidates.join(exact, "neighbor_id")
+        .join(qside, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cos(F.col("qv"), F.col("nv_exact")), 6).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        reranked.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= int(k))
+    )
+
+
 def ivf_sq8_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -161,40 +207,12 @@ def ivf_sq8_topk(
             F.col("embedding").cast("array<double>").alias("qv"),
         )
     )
-    deq = sq8_dequantize_col("codes", lo, hi)
-    coarse = (
-        probes.join(index, "centroid_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .join(qside, "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            _cos(F.col("qv"), deq).alias("sim_q"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim_q"), "neighbor_id")
-    candidates = (
-        coarse.withColumn("crk", F.row_number().over(w))
-        .filter(F.col("crk") <= int(k) * int(oversample))
-        .select("query_id", "neighbor_id")
-    )
     exact = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").cast("array<double>").alias("nv_exact"),
     )
-    reranked = (
-        candidates.join(exact, "neighbor_id")
-        .join(qside, "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(_cos(F.col("qv"), F.col("nv_exact")), 6).alias("cosine"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        reranked.withColumn("rk", F.row_number().over(w2))
-        .filter(F.col("rk") <= int(k))
+    return _coarse_then_rerank(
+        probes, index, qside, exact, lo, hi, k, oversample
     )
 
 
@@ -276,40 +294,19 @@ def ivf_sq8_search(
             F.col(col).cast("array<double>").alias("qv"),
         )
     )
-    deq = sq8_dequantize_col("codes", lo, hi)
-    coarse = (
-        probes.join(
-            index.withColumnRenamed("vec_id", "neighbor_id"), "centroid_id"
-        )
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .join(qside, "query_id")
-        .select(
-            "query_id", "neighbor_id", _cos(F.col("qv"), deq).alias("sim_q")
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim_q"), "neighbor_id")
-    candidates = (
-        coarse.withColumn("crk", F.row_number().over(w))
-        .filter(F.col("crk") <= int(k) * int(oversample))
-        .select("query_id", "neighbor_id")
-    )
     exact = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(col).cast("array<double>").alias("nv_exact"),
     )
-    reranked = (
-        candidates.join(exact, "neighbor_id")
-        .join(qside, "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(_cos(F.col("qv"), F.col("nv_exact")), 6).alias("cosine"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        reranked.withColumn("rk", F.row_number().over(w2))
-        .filter(F.col("rk") <= int(k))
+    return _coarse_then_rerank(
+        probes,
+        index.withColumnRenamed("vec_id", "neighbor_id"),
+        qside,
+        exact,
+        lo,
+        hi,
+        k,
+        oversample,
     )
 
 
@@ -332,7 +329,6 @@ def sq8_topk(
     |queries| x k x oversample rows ever touch float vectors."""
     lo, hi = sq8_bounds(embeddings, col)
     coded = sq8_quantize(embeddings, lo, hi, col)
-    cos = _cos
     deq = sq8_dequantize_col("codes", lo, hi)
     corpus_q = coded.select(
         F.col(id_col).alias("neighbor_id"), deq.alias("nv")
@@ -345,7 +341,7 @@ def sq8_topk(
     )
     coarse = (
         corpus_q.join(qside, F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cos(F.col("qv"), F.col("nv")).alias("sim_q"))
+        .select("query_id", "neighbor_id", _cos(F.col("qv"), F.col("nv")).alias("sim_q"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim_q"), "neighbor_id"
@@ -365,7 +361,7 @@ def sq8_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cos(F.col("qv"), F.col("nv_exact")), 6).alias("cosine"),
+            F.round(_cos(F.col("qv"), F.col("nv_exact")), 6).alias("cosine"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")

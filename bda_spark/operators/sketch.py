@@ -263,6 +263,25 @@ def blocked_bloom_probe(
     )
 
 
+def _dense_bins(n_bins: int) -> "Column":
+    """Aggregate expression shared by table build and re-aggregation
+    (one body so the fill convention cannot diverge between them): the
+    group's ordered dense bin array from its (_bin, _cnt) rows, missing
+    bins filled with 0."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bins - 1)),
+        lambda i: F.coalesce(
+            F.element_at(
+                F.map_from_entries(
+                    F.collect_list(F.struct(F.col("_bin"), F.col("_cnt")))
+                ),
+                i,
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+
+
 def histogram_bounds(df: DataFrame, col: str, num_bins: int = 128,
                      rel_err: float = 1e-3) -> list[float]:
     """Global bin boundaries for a histogram sketch table: num_bins - 1
@@ -312,20 +331,9 @@ def histogram_sketch_table(
         .groupBy(*keys, "_bin")
         .agg(F.count("*").alias("_cnt"))
     )
-    # assemble the dense ordered array: missing bins -> 0
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bins - 1)),
-        lambda i: F.coalesce(
-            F.element_at(
-                F.map_from_entries(
-                    F.collect_list(F.struct(F.col("_bin"), F.col("_cnt")))
-                ),
-                i,
-            ),
-            F.lit(0).cast("long"),
-        ),
+    return per_bin.groupBy(*keys).agg(
+        _dense_bins(n_bins).alias("bin_counts")
     )
-    return per_bin.groupBy(*keys).agg(dense.alias("bin_counts"))
 
 
 def quantile_estimate(
@@ -355,18 +363,7 @@ def quantile_estimate(
     merged_long = exploded.groupBy(*(group or []), "_bin").agg(
         F.sum("_cnt").alias("_cnt")
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(len(bnd))),
-        lambda i: F.coalesce(
-            F.element_at(
-                F.map_from_entries(
-                    F.collect_list(F.struct(F.col("_bin"), F.col("_cnt")))
-                ),
-                i,
-            ),
-            F.lit(0).cast("long"),
-        ),
-    )
+    dense = _dense_bins(len(bnd) + 1)
     if group:
         merged = merged_long.groupBy(*group).agg(dense.alias("_bins"))
     else:

@@ -632,11 +632,17 @@ def strip_frequent_lines(
     semantics are pinned by the planted-fixture pytest
     (tests/test_plans.py::test_strip_frequent_lines_*) rather than a
     vacuous registry row."""
+    # F.split takes a Java REGEX while concat_ws rejoins with the
+    # LITERAL delimiter — escape metacharacters so e.g. '|' or '.'
+    # split on the literal character, not on every position
+    delim_regex = "".join(
+        ch if ch.isalnum() else "\\" + ch for ch in delimiter
+    )
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), F.lit(delimiter), -1)).alias(
-            "_pos", "_line"
-        ),
+        F.posexplode(
+            F.split(F.col(text_col), F.lit(delim_regex), -1)
+        ).alias("_pos", "_line"),
     )
     freq = (
         lines.filter(F.trim("_line") != "")

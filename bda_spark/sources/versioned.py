@@ -105,24 +105,60 @@ def commit_generation(
     write the generation's parquet under ``data_path``; the commit
     marker is created only after it returns, so readers can never
     resolve a partially-written generation. Returns the new generation
-    number. Crash-safe with no recovery step: an attempt that dies
-    before the marker leaves only unreferenced debris, deleted here on
-    the next attempt."""
+    number.
+
+    Concurrency protocol: each attempt first CLAIMS a generation slot
+    by atomically creating ``gen-N.lock`` (skipping slots other
+    writers — live or crashed — already claimed), so no two writers
+    ever touch the same data dir and a committed generation can never
+    be deleted or replaced by a racing attempt. Before publishing, the
+    attempt re-checks that no higher generation committed since it
+    read its base and aborts with an IOError instead of silently
+    publishing a result that lost the concurrent update (callers
+    retry against the new current generation — the optimistic-commit
+    discipline; full serialization of concurrent mergers still needs
+    an external scheduler, as with any log-less table format).
+
+    Crash-safe with no recovery step: an attempt that dies before its
+    marker leaves only a claimed-but-uncommitted slot (lock + debris
+    dir) that readers never resolve and ``vacuum_versions`` sweeps."""
     base = root.rstrip("/")
     cur = current_generation(spark, root)
+    fs, versions_p = _hadoop_path(spark, f"{base}/{VERSIONS_DIR}")
+    fs.mkdirs(versions_p)
     nxt = 1 if cur is None else cur + 1
+    while True:
+        _, lock = _hadoop_path(
+            spark, f"{base}/{VERSIONS_DIR}/gen-{nxt:08d}.lock"
+        )
+        if fs.createNewFile(lock):
+            break
+        nxt += 1  # slot claimed by another (possibly crashed) writer
     data = _gen_dir(root, nxt)
-    fs, data_p = _hadoop_path(spark, data)
-    fs.delete(data_p, True)  # debris from a crashed uncommitted attempt
+    _, data_p = _hadoop_path(spark, data)
+    # the lock makes this slot exclusively ours, and committed slots
+    # are never re-claimed (the scan starts above the current marker),
+    # so anything already in the dir is uncommitted debris — e.g. from
+    # a crashed pre-lock-protocol writer — and safe to clear
+    fs.delete(data_p, True)
     write_fn(data)
+    latest = current_generation(spark, root)
+    if latest is not None and (cur is None or latest > cur):
+        fs.delete(data_p, True)
+        fs.delete(lock, False)
+        raise IOError(
+            f"commit_generation: generation {latest} committed under "
+            f"{root} while this attempt (base {cur}) was writing — "
+            f"aborted to avoid publishing a lost update; rerun against "
+            f"the new current generation"
+        )
     _, commits_p = _hadoop_path(spark, f"{base}/{COMMITS_DIR}")
     fs.mkdirs(commits_p)
     _, marker = _hadoop_path(spark, f"{base}/{COMMITS_DIR}/{nxt:08d}")
     if not fs.createNewFile(marker):
         raise IOError(
             f"commit_generation: marker {nxt:08d} already exists under "
-            f"{root} — a concurrent maintenance run won the race; rerun "
-            f"against the new current generation"
+            f"{root} despite the slot lock — manual intervention needed"
         )
     return nxt
 
@@ -145,10 +181,12 @@ def vacuum_versions(spark: SparkSession, root: str, keep: int = 2) -> int:
     if fs.exists(versions_p):
         for st in fs.listStatus(versions_p):
             name = st.getPath().getName()
-            if name.startswith("gen-") and name[4:].isdigit():
-                if int(name[4:]) <= cutoff:
+            num = name[4:-5] if name.endswith(".lock") else name[4:]
+            if name.startswith("gen-") and num.isdigit():
+                if int(num) <= cutoff:
                     fs.delete(st.getPath(), True)
-                    removed += 1
+                    if not name.endswith(".lock"):
+                        removed += 1
     _, commits_p = _hadoop_path(spark, f"{base}/{COMMITS_DIR}")
     for st in fs.listStatus(commits_p):
         name = st.getPath().getName()

@@ -24,7 +24,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from ..operators.dedup import minhash_index, minhash_match_new
+from ..sources.batch import read_parquet
 from ..sources.sinks import _hadoop_path, idempotent_merge_parquet
+from ..sources.versioned import is_versioned
 
 
 def stream_dedup_against_index(
@@ -60,8 +62,11 @@ def stream_dedup_against_index(
             batch, id_col, text_col, ngram, num_hashes, seed
         ).localCheckpoint(eager=True)
         fs, index_p = _hadoop_path(spark, index_path)
-        if fs.exists(index_p):
-            index = spark.read.parquet(index_path)
+        if is_versioned(spark, index_path) or fs.exists(index_p):
+            # read_parquet resolves versioned roots (a migrated index
+            # keeps working); a raw spark.read.parquet would see only
+            # the underscore-prefixed generation dirs and fail
+            index = read_parquet(spark, index_path)
             # redelivery guard: a doc whose id is ALREADY indexed was
             # processed by an earlier (possibly crashed) attempt — it
             # must not be re-flagged against itself or against

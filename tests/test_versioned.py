@@ -74,8 +74,17 @@ def test_vacuum_keeps_reader_grace_generation(spark, tmp_path):
     assert current_generation(spark, root) == 4
     removed = vacuum_versions(spark, root, keep=2)
     assert removed == 2  # gens 1,2 swept; 3 kept for in-flight readers
-    on_disk = sorted(os.listdir(os.path.join(root, "_versions")))
+    on_disk = sorted(
+        n for n in os.listdir(os.path.join(root, "_versions"))
+        if not n.endswith(".lock") and not n.startswith(".")
+    )
     assert on_disk == ["gen-00000003", "gen-00000004"]
+    # swept generations' slot locks are gone too
+    locks = sorted(
+        n for n in os.listdir(os.path.join(root, "_versions"))
+        if n.endswith(".lock") and not n.startswith(".")
+    )
+    assert locks == ["gen-00000003.lock", "gen-00000004.lock"]
     assert read_versioned(spark, root).count() == 50
 
 
@@ -135,7 +144,11 @@ def test_optimize_table_versioned_is_reader_atomic(spark, tmp_path):
     assert reads[0] >= 3  # the reader genuinely overlapped the rewrites
     assert current_generation(spark, root) == 4
     # vacuum(keep=2) inside optimize bounded storage
-    assert len(os.listdir(os.path.join(root, "_versions"))) == 2
+    gens = [
+        n for n in os.listdir(os.path.join(root, "_versions"))
+        if not n.endswith(".lock") and not n.startswith(".")
+    ]
+    assert len(gens) == 2
     assert read_versioned(spark, root).count() == n
 
 
@@ -201,3 +214,47 @@ def test_time_travel_reads_within_vacuum_retention(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="not available"):
         read_versioned(spark, root, generation=1)
     assert read_versioned(spark, root, generation=2).count() == 60
+
+
+def test_crashed_writer_slot_is_skipped_not_clobbered(spark, tmp_path):
+    """A claimed-but-uncommitted slot (crashed or still-running writer)
+    must never be deleted or reused by another committer — the next
+    commit takes the next free slot and readers resolve correctly."""
+    root = str(tmp_path / "claimed")
+    df = _rows(spark, 40)
+    commit_generation(spark, root, lambda p: df.write.parquet(p))
+    # simulate a writer that claimed gen-2 and died mid-write
+    open(os.path.join(root, "_versions", "gen-00000002.lock"), "w").close()
+    debris = os.path.join(root, "_versions", "gen-00000002")
+    os.makedirs(debris)
+    with open(os.path.join(debris, "partial.parquet"), "w") as f:
+        f.write("half-written junk")
+    gen = commit_generation(spark, root, lambda p: df.limit(10).write.parquet(p))
+    assert gen == 3  # slot 2 skipped, never touched
+    assert os.path.exists(os.path.join(debris, "partial.parquet"))
+    assert read_versioned(spark, root).count() == 10
+
+
+def test_concurrent_commit_conflict_aborts_cleanly(spark, tmp_path):
+    """If another generation commits while an attempt is writing, the
+    attempt must abort (lost-update guard) and leave the committed
+    state untouched — no marker, no readable debris."""
+    root = str(tmp_path / "conflict")
+    df = _rows(spark, 40)
+    commit_generation(spark, root, lambda p: df.write.parquet(p))
+
+    def racing_write(p):
+        # a concurrent maintenance job commits gen-2 mid-write
+        commit_generation(
+            spark, root, lambda q: df.limit(5).write.parquet(q)
+        )
+        df.limit(20).write.parquet(p)
+
+    with pytest.raises(IOError, match="lost update|committed under"):
+        commit_generation(spark, root, racing_write)
+    # the racer's commit IS the table (it claimed the next free slot,
+    # 3, since the loser held slot 2's lock); the loser published
+    # nothing and cleaned its slot
+    assert current_generation(spark, root) == 3
+    assert read_versioned(spark, root).count() == 5
+    assert not os.path.exists(os.path.join(root, "_versions", "gen-00000002"))
