@@ -604,3 +604,71 @@ def corpus_build_pipeline(
     clean = gated.join(hits.select("doc_id"), "doc_id", "left_anti")
     manifest = pack_sequences_salted(clean, seq_len=seq_len, n_buckets=n_buckets)
     return clean, removed, manifest
+
+
+def sample_to_token_budget(
+    docs,
+    budget_tokens: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Deterministic per-domain TOKEN-budget sampling — the mixture
+    builder's final materialization step: after ``docs_mixture_weights``
+    decides each domain's share, this takes exactly that many tokens
+    from the domain (documents in Knuth-hash pseudo-random order, so
+    the prefix is an unbiased, reproducible sample; the document that
+    crosses the budget boundary is kept, so every domain meets its
+    budget). ``docs_stratified_sample`` caps document COUNTS; training
+    budgets are set in tokens, which is what this one enforces.
+
+    Returns the kept rows with ``n_tokens``. Same scale shape as the
+    sequence packer: one cumulative-sum window per domain partition,
+    domains in parallel, nothing global, no rand()."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    d = docs.select(
+        id_col,
+        by,
+        F.size(toks).alias("n_tokens"),
+        ((F.col(id_col) * F.lit(_H_SAMPLE)) % F.lit(_H_MOD)).alias("_h"),
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("_cum", F.sum("n_tokens").over(w))
+        .filter(F.col("_cum") - F.col("n_tokens") < budget_tokens)
+        .select(id_col, by, F.col("n_tokens").cast("bigint").alias("n_tokens"))
+    )
+
+
+@query(
+    "docs_token_budget_sample",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             len({_TOKS}) AS n_tokens,
+             (doc_id * {_H_SAMPLE}) % {_H_MOD} AS h
+      FROM documents
+    ), c AS (
+      SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM c WHERE cum - n_tokens < 2000
+    """,
+)
+def docs_token_budget_sample(spark, sf_dir):
+    """2000-token-per-source deterministic sample (see
+    ``sample_to_token_budget``). The oracle replays the identical hash
+    order and cumulative boundary rule in SQL — exact BIGINT
+    arithmetic end to end, nothing engine-dependent.
+
+    Registered in the DEFERRED_TAIL (driver window frozen at 50 rows);
+    oracle-verified every pytest run by test_oracle_queries."""
+    return sample_to_token_budget(
+        t(spark, sf_dir, "documents"), budget_tokens=2000
+    )

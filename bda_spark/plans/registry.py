@@ -152,6 +152,7 @@ DEFERRED_TAIL = [
     "doc_tfidf_terms",          # corpus-aware keyword weights; token-count family
     "events_quantile_sketch_rollup",  # histogram sketch-table twin of the HLL rollup
     "doc_compression_ratio",    # zlib quality signal (rows-only: no zlib in DuckDB)
+    "docs_token_budget_sample", # token-budget twin of docs_stratified_sample
 ]
 
 

@@ -384,3 +384,36 @@ def test_corpus_build_pipeline_conservation(spark):
     assert sum(r.seq_tokens for r in m) == sum(
         tok_count[d] for d in clean_ids
     )
+
+
+def test_token_budget_sample_meets_budget_deterministically(spark, sf_dir, docs_pd):
+    """Every domain's sample covers its token budget (crossing doc
+    included), nothing past the boundary leaks in, and the kept set is
+    exactly the hash-order prefix — recomputed independently in Python."""
+    from bda_spark.plans.datamix import sample_to_token_budget
+    from bda_spark.sources.batch import load_table
+
+    budget = 2000
+    docs = load_table(spark, sf_dir, "documents")
+    got = sample_to_token_budget(docs, budget_tokens=budget).collect()
+    kept = {}
+    for r in got:
+        kept.setdefault(r["source"], set()).add(r["doc_id"])
+
+    for source, grp in docs_pd.groupby("source"):
+        order = sorted(
+            (
+                ((int(r.doc_id) * _H_SAMPLE) % _H_MOD, int(r.doc_id)),
+                int(r.doc_id),
+                _n_tokens(r.text),
+            )
+            for r in grp.itertuples()
+        )
+        cum, want = 0, set()
+        for _key, doc_id, n in order:
+            if cum < budget:
+                want.add(doc_id)
+            cum += n
+        assert kept.get(source, set()) == want, source
+        total = sum(n for _k, d, n in order if d in want)
+        assert total >= min(budget, sum(n for *_x, n in order))
