@@ -398,3 +398,57 @@ def test_compression_ratio_separates_quality(spark):
     # determinism across a rerun
     again = {r["doc_id"]: r["ratio"] for r in compression_ratios(docs).collect()}
     assert again == {k: v["ratio"] for k, v in got.items()}
+
+
+def _formatted_plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_ivf_sq8_plan_is_broadcast_only(spark):
+    """The composed ANN plan: every join broadcasts the (tiny) query
+    side, no cartesian product, no non-broadcast nested loop, and the
+    top-k windows carry the rank-pushdown (WindowGroupLimit)."""
+    from bda_spark.operators.quantize import ivf_sq8_topk
+    from bda_spark.sources.batch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    df = ivf_sq8_topk(
+        emb, emb.filter("vec_id < 5"), k=5, n_centroids=8, n_probe=4
+    )
+    plan = _formatted_plan(spark, df)
+    assert "CartesianProduct" not in plan, plan
+    import re
+
+    joins = re.findall(r"\b(\w+Join)\b", plan)
+    assert joins and set(joins) == {"BroadcastHashJoin"}, set(joins)
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_corpus_build_plan_has_no_cartesian_or_python_rows(spark):
+    """The end-to-end corpus build composes dedup + gates + packing
+    without ever planning a cartesian product or a row-at-a-time
+    Python UDF (BatchEvalPython); the only literal crossJoin is the
+    broadcast 1-row corpus count inside decontamination."""
+    from pyspark.sql import Row
+
+    from bda_spark.plans.datamix import corpus_build_pipeline
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=" ".join(f"t{i}w{j}" for j in range(20)),
+                source="s")
+            for i in range(12)
+        ]
+    )
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text=" ".join(f"b{j}" for j in range(20)))]
+    )
+    clean, removed, manifest = corpus_build_pipeline(docs, bench)
+    for df in (clean, removed, manifest):
+        plan = _formatted_plan(spark, df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
