@@ -567,6 +567,7 @@ def corpus_build_pipeline(
     seq_len: int = 128,
     n_buckets: int = 8,
     decontam_ngram: int = DECONTAM_NGRAM,
+    return_fates: bool = False,
     **minhash_kwargs,
 ):
     """The whole corpus build as ONE composed plan — the LLM-data twin
@@ -580,7 +581,12 @@ def corpus_build_pipeline(
     ``docs`` needs (doc_id, text, source); ``benchmark`` is the held-out
     evaluation corpus (doc_id, text). Returns ``(clean, removed,
     manifest)``: the surviving documents, the attributed removal map
-    from dedup, and the packing manifest over the cleaned corpus.
+    from dedup, and the packing manifest over the cleaned corpus. With
+    ``return_fates=True`` a fourth frame is appended: (doc_id, fate)
+    assigning EVERY input document exactly one of
+    ``kept / exact / neardup / quality / contaminated`` — the complete
+    audit trail, so every byte that fails to reach training is
+    attributable to the stage that dropped it.
 
     Every stage is the SCALE variant: hot LSH buckets are star-capped,
     the quality cutoff is a mergeable sketch (the corpus is never
@@ -603,7 +609,20 @@ def corpus_build_pipeline(
     hits = contamination_hits(gated, benchmark, n=decontam_ngram)
     clean = gated.join(hits.select("doc_id"), "doc_id", "left_anti")
     manifest = pack_sequences_salted(clean, seq_len=seq_len, n_buckets=n_buckets)
-    return clean, removed, manifest
+    if not return_fates:
+        return clean, removed, manifest
+    fates = (
+        clean.select("doc_id", F.lit("kept").alias("fate"))
+        .unionByName(removed.selectExpr("doc_id", "reason AS fate"))
+        .unionByName(
+            kept.join(gated.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", F.lit("quality").alias("fate"))
+        )
+        .unionByName(
+            hits.select("doc_id", F.lit("contaminated").alias("fate"))
+        )
+    )
+    return clean, removed, manifest, fates
 
 
 def sample_to_token_budget(

@@ -359,8 +359,8 @@ def test_corpus_build_pipeline_conservation(spark):
         )
     docs = spark.createDataFrame(rows)
     benchmark = spark.createDataFrame([Row(doc_id=900, text=contaminated)])
-    clean, removed, manifest = corpus_build_pipeline(
-        docs, benchmark, keep_frac=0.9, decontam_ngram=13
+    clean, removed, manifest, fates = corpus_build_pipeline(
+        docs, benchmark, keep_frac=0.9, decontam_ngram=13, return_fates=True
     )
     clean_ids = {r.doc_id for r in clean.collect()}
     removed_rows = {r.doc_id: (r.kept_id, r.reason) for r in removed.collect()}
@@ -374,6 +374,13 @@ def test_corpus_build_pipeline_conservation(spark):
     all_ids = {r.doc_id for r in docs.collect()}
     gated_or_contaminated = all_ids - clean_ids - set(removed_rows)
     assert gated_or_contaminated == {4, 5}
+    # the explicit fate map partitions the input and names each stage
+    fate_rows = fates.collect()
+    assert len(fate_rows) == len(all_ids)
+    fate_map = {r["doc_id"]: r["fate"] for r in fate_rows}
+    assert fate_map[2] == "exact" and fate_map[3] == "neardup"
+    assert fate_map[4] == "quality" and fate_map[5] == "contaminated"
+    assert {d for d, f in fate_map.items() if f == "kept"} == clean_ids
     # manifest conservation: docs and tokens packed exactly once
     m = manifest.collect()
     assert sum(r.n_docs for r in m) == len(clean_ids)
