@@ -80,6 +80,12 @@ def grid_interpolate(
     oracle-comparison policy (identical blend inputs on both engines
     make the IEEE blend arithmetic bit-identical); leave None in
     pipelines."""
+    # null measurements are non-observations: a cell whose values are
+    # ALL null must become a gap (interpolated), not a null-valued
+    # "observed" cell — and it must not extend the spine's bounds, or
+    # leading/trailing null cells would leak null output rows labeled
+    # is_interpolated=true
+    df = df.where(F.col(value_col).isNotNull())
     avg_v = F.avg(value_col)
     if bucket_ndigits is not None:
         avg_v = F.round(avg_v, bucket_ndigits)

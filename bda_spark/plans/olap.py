@@ -182,8 +182,6 @@ def events_mode_daily(spark, sf_dir):
 
     Registered in the DEFERRED_TAIL (driver window frozen at 50 rows);
     oracle-verified every pytest run by test_oracle_queries."""
-    from pyspark.sql.window import Window
-
     ev = t(spark, sf_dir, "events")
     d = ev.groupBy(
         F.to_date("ts").alias("day"), "event_type"

@@ -128,7 +128,11 @@ class CorrelationPipeline:
                 "eth_ask",
             )
         )
-        out.write.mode("append").parquet(self.correlations_path)
+        # batch-scoped overwrite: an at-least-once replay of this batch
+        # rewrites its own summary instead of appending a duplicate row
+        out.write.mode("overwrite").parquet(
+            os.path.join(self.correlations_path, f"batch={batch_id}")
+        )
 
     def start(
         self,
@@ -145,4 +149,4 @@ class CorrelationPipeline:
         return writer.start()
 
     def correlations(self) -> DataFrame:
-        return self.spark.read.parquet(self.correlations_path)
+        return self.spark.read.parquet(self.correlations_path).drop("batch")

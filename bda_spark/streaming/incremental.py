@@ -57,7 +57,11 @@ def stream_dedup_against_index(
     spark = stream_docs.sparkSession
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.select(id_col, text_col)
+        # an at-least-once source can deliver the same doc twice WITHIN
+        # one micro-batch; the keyed merge dedups only against rows
+        # already in the table, so duplicate ids must collapse here or
+        # they'd sit in the index (and fan out candidate pairs) forever
+        batch = batch.select(id_col, text_col).dropDuplicates([id_col])
         sigs = minhash_index(
             batch, id_col, text_col, ngram, num_hashes, seed
         ).localCheckpoint(eager=True)

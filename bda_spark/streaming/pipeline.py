@@ -39,6 +39,7 @@ from pyspark.ml.regression import LinearRegression
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.cleaning import validate_ticks
 from ..functions.timeutils import event_time_from_millis
 from ..ml.persistence import ModelStore
 from ..sources.sinks import idempotent_merge_parquet
@@ -146,12 +147,23 @@ class TickPipeline:
         self._lr_params = dict(
             maxIter=max_iter, regParam=reg_param, elasticNetParam=elastic_net_param
         )
-        self.normalized = normalize_ticks(ticks, symbol, self.feature_cols)
+        # the ingest gate the decode path promises: malformed/partial
+        # records (PERMISSIVE nulls, enum violations) die HERE, not as a
+        # VectorAssembler crash that would crash-loop the checkpointed
+        # predictor on the same poisoned offset forever
+        self.normalized = normalize_ticks(
+            validate_ticks(ticks), symbol, self.feature_cols
+        )
+        # belt-and-braces: a null that still reaches an assembler (e.g.
+        # a tick passing the gate with a null optional feature) drops
+        # the row instead of killing the query
         self._assembler_agg = VectorAssembler(
-            inputCols=[f"avg_{f}" for f in self.feature_cols], outputCol="features"
+            inputCols=[f"avg_{f}" for f in self.feature_cols],
+            outputCol="features", handleInvalid="skip",
         )
         self._assembler_pred = VectorAssembler(
-            inputCols=self.feature_cols, outputCol="features"
+            inputCols=self.feature_cols, outputCol="features",
+            handleInvalid="skip",
         )
 
     # ---------------------------------------------------------- trainer
@@ -205,33 +217,36 @@ class TickPipeline:
             "prediction_historical",
             F.to_date("event_time").alias("pred_date"),
         )
-        out.write.mode("append").partitionBy("pred_date").parquet(
-            self.predictions_path
+        # batch-scoped overwrite = replay idempotence: foreachBatch is
+        # at-least-once after a failure, and a blind append would land
+        # the re-run batch twice. Each batch owns one subdirectory, so
+        # the replay overwrites its own rows and nothing else; dates
+        # stay hive-partitioned INSIDE the batch dir for pruning.
+        out.write.mode("overwrite").partitionBy("pred_date").parquet(
+            os.path.join(self.predictions_path, f"batch={batch_id}")
         )
 
     # --------------------------------------------------- label backfill
     def _backfill_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """T7/T10: per-window avg actual price -> idempotent key merge
+        """T7/T10: upsert the stream's CUMULATIVE per-window label rows
         into the tiny ``labels`` table (one row per window; rewriting it
         costs nothing and the backfiller is its only writer, so there is
-        no concurrent-append race). The labels meet the predictions via
-        the bucket equi-join in ``predictions()`` — one distributed join
-        at read time replaces the reference's collect() loop of
-        per-window Cassandra read-modify-writes (ref :301-325) AND the
-        in-place rewrite of the big predictions table."""
+        no concurrent-append race). The incoming rows come from the
+        WATERMARKED windowed aggregation in update mode — Spark's state
+        store carries each window's running average across micro-batch
+        boundaries, so every emitted row is the full cumulative value
+        and the keyed replace-merge converges to the true window
+        average under ANY trigger alignment (a per-batch groupBy here
+        would overwrite a split window's label with the last partial).
+        The labels meet the predictions via the bucket equi-join in
+        ``predictions()`` — one distributed join at read time replaces
+        the reference's collect() loop of per-window Cassandra
+        read-modify-writes (ref :301-325) AND the in-place rewrite of
+        the big predictions table."""
         if batch_df.isEmpty():
             return
-        window_labels = (
-            batch_df.groupBy(F.window("event_time", self.window).alias("w"))
-            .agg(F.avg("label").alias("actual_price"))
-            .select(
-                F.lit(self.symbol).alias("symbol"),
-                F.col("w.start").alias("window_start"),
-                "actual_price",
-            )
-        )
         idempotent_merge_parquet(
-            self.spark, window_labels, self.labels_path,
+            self.spark, batch_df, self.labels_path,
             keys=["symbol", "window_start"],
         )
 
@@ -266,11 +281,28 @@ class TickPipeline:
             available_now, processing_time,
         ).start()
 
+    def window_labels_stream(self) -> DataFrame:
+        """The backfiller's source: watermarked windowed average of the
+        actual price in update mode — state carries each window's
+        running aggregate across micro-batches, so every emitted row is
+        cumulative (see _backfill_batch)."""
+        return (
+            self.normalized.withWatermark("event_time", self.watermark)
+            .groupBy(F.window("event_time", self.window).alias("w"))
+            .agg(F.avg("label").alias("actual_price"))
+            .select(
+                F.lit(self.symbol).alias("symbol"),
+                F.col("w.start").alias("window_start"),
+                "actual_price",
+            )
+        )
+
     def start_label_backfiller(self, available_now: bool = True,
                                processing_time: str | None = "10 minutes"):
         return self._writer(
-            self.normalized, self._backfill_batch, self.checkpoints["labels"], "update",
-            available_now, processing_time,
+            self.window_labels_stream(), self._backfill_batch,
+            self.checkpoints["labels"], "update", available_now,
+            processing_time,
         ).start()
 
     def run_available_now(self) -> None:
@@ -319,7 +351,7 @@ class TickPipeline:
         (the bare-except hazard the merge sink also guards against)."""
         from ..sources.sinks import _hadoop_path
 
-        preds = self.spark.read.parquet(self.predictions_path)
+        preds = self.spark.read.parquet(self.predictions_path).drop("batch")
         fs, labels_p = _hadoop_path(self.spark, self.labels_path)
         if not fs.exists(labels_p):
             return preds.withColumn("label", F.lit(None).cast("double"))

@@ -64,7 +64,7 @@ def fold_running_stats(
     ewma: float | None,
     v: np.ndarray,
     alpha: float,
-) -> tuple[int, float, float, float]:
+) -> tuple[int, float, float, float, float]:
     """Fold one ORDERED value array into running (n, mean, m2, ewma).
 
     Welford via Chan's parallel combine — the batch's own moments merge
@@ -75,14 +75,13 @@ def fold_running_stats(
     is testable without a streaming harness."""
     k = len(v)
     if k == 0:
-        return n, mean, m2, ewma
+        return n, mean, m2, ewma, mean
     b_mean = float(v.mean())
     b_m2 = float(((v - b_mean) ** 2).sum())
     delta = b_mean - mean
     new_n = n + k
     mean = mean + delta * k / new_n
     m2 = m2 + b_m2 + delta * delta * n * k / new_n
-    decay = (1.0 - alpha) ** np.arange(k - 1, -1, -1)
     if ewma is None:
         ewma = float(v[0])
         if k > 1:
@@ -90,8 +89,9 @@ def fold_running_stats(
             d = (1.0 - alpha) ** np.arange(k - 2, -1, -1)
             ewma = ewma * (1.0 - alpha) ** (k - 1) + float(alpha * (d * rest).sum())
     else:
+        decay = (1.0 - alpha) ** np.arange(k - 1, -1, -1)
         ewma = ewma * (1.0 - alpha) ** k + float(alpha * (decay * v).sum())
-    return new_n, mean, m2, ewma
+    return new_n, mean, m2, ewma, b_mean
 
 
 def running_feature_stats(
@@ -129,9 +129,10 @@ def running_feature_stats(
         batch_rows = len(v)
         if batch_rows == 0:
             return
-        n, mean, m2, ewma = fold_running_stats(n, mean, m2, ewma, v, alpha)
+        n, mean, m2, ewma, batch_mean = fold_running_stats(
+            n, mean, m2, ewma, v, alpha
+        )
         std = float(np.sqrt(m2 / n)) if n > 0 else 0.0
-        batch_mean = (mean * n - prev_mean * prev_n) / batch_rows
         # drift is judged against the PRE-batch band: "did this batch
         # leave the envelope the history predicted" — the post-batch σ
         # would be inflated by the very jump being tested
@@ -311,10 +312,16 @@ def breakout_highs(
                 return
             batch = pd.concat(chunks, ignore_index=True).sort_values(order_col)
             prev = self._high.get()
-            high = float(prev[0]) if prev is not None else None
+            # an all-NaN first batch stores (None,): guard the value,
+            # not just the row
+            high = (
+                float(prev[0])
+                if prev is not None and prev[0] is not None
+                else None
+            )
             out = []
             for ts, price in zip(batch[order_col], batch[value_col]):
-                if pd.isna(price):
+                if pd.isna(price) or pd.isna(ts):
                     continue
                 price = float(price)
                 if high is None or price > high:
@@ -327,7 +334,8 @@ def breakout_highs(
                         }
                     )
                     high = price
-            self._high.update((high,))
+            if high is not None:
+                self._high.update((high,))
             if out:
                 yield pd.DataFrame(out)
 

@@ -97,3 +97,35 @@ def test_interpolation_matches_pandas(spark):
     assert len(got) == len(expected)
     for ts_, want in expected.v.items():
         assert got[ts_.to_pydatetime()] == pytest.approx(want, abs=1e-9)
+
+
+def test_all_null_cells_become_gaps_not_observations(spark):
+    """A grid cell whose measurements are all null is a GAP: interior
+    ones interpolate between real neighbors, and leading/trailing ones
+    don't extend the spine — no null output values, ever."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from bda_spark.operators.interpolation import grid_interpolate
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        Row(k="a", ts=ts(0), v=None),     # leading null cell: no spine growth
+        Row(k="a", ts=ts(1), v=10.0),
+        Row(k="a", ts=ts(2), v=None),     # interior all-null cell: a gap
+        Row(k="a", ts=ts(3), v=30.0),
+        Row(k="a", ts=ts(4), v=None),     # trailing null cell
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = grid_interpolate(df, "k", "ts", "v", grid_seconds=60).collect()
+    got = {r["grid_ts"]: (r["value"], r["is_interpolated"]) for r in out}
+    assert set(got) == {ts(1), ts(2), ts(3)}  # spine = observed cells only
+    assert got[ts(1)] == (10.0, False)
+    assert got[ts(3)] == (30.0, False)
+    assert got[ts(2)][0] == pytest.approx(20.0) and got[ts(2)][1] is True
+    assert all(v is not None for v, _i in got.values())

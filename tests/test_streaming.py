@@ -169,7 +169,7 @@ def test_backfill_is_idempotent(bp_pipeline):
     # replaying the backfill query from a fresh checkpoint re-merges the
     # same labels; the merge is an upsert so nothing changes
     q = bp_pipeline._writer(
-        bp_pipeline.normalized, bp_pipeline._backfill_batch,
+        bp_pipeline.window_labels_stream(), bp_pipeline._backfill_batch,
         bp_pipeline.checkpoints["labels"] + "_replay", "update", True, None,
     ).start()
     _drain(q)
@@ -705,7 +705,9 @@ def test_fold_running_stats_chunking_invariant():
     whole = fold_running_stats(0, 0.0, 0.0, None, v, alpha)
     n, mean, m2, ewma = 0, 0.0, 0.0, None
     for lo, hi in [(0, 1), (1, 40), (40, 40), (40, 101)]:  # ragged chunks
-        n, mean, m2, ewma = fold_running_stats(n, mean, m2, ewma, v[lo:hi], alpha)
+        n, mean, m2, ewma, _bm = fold_running_stats(
+            n, mean, m2, ewma, v[lo:hi], alpha
+        )
     assert n == whole[0] == 101
     assert mean == pytest.approx(whole[1])
     assert m2 == pytest.approx(whole[2])
@@ -817,3 +819,40 @@ def test_console_sink_smoke(spark, tick_dir):
     q = console_sink(file_replay_tick_stream(spark, tick_dir), available_now=True)
     _drain(q)
     assert q.exception() is None
+
+
+def test_backfill_converges_when_window_splits_across_batches(spark, tmp_path):
+    """The production-trigger hazard: one 10-min window's ticks arrive
+    over TWO micro-batches. The watermarked update-mode aggregation
+    carries the window's running average in state, so the final label
+    is the TRUE window average — a per-batch groupBy would have
+    overwritten it with the last batch's partial."""
+    d = tmp_path / "split_ticks"
+    d.mkdir()
+    with open(d / "first.jsonl", "w") as f:
+        for i in range(5):  # prices 100..104, all inside one window
+            f.write(json.dumps(_bp_tick(i)) + "\n")
+    with open(d / "second.jsonl", "w") as f:
+        for i in range(5, 10):  # prices 105..109, same window
+            f.write(json.dumps(_bp_tick(i)) + "\n")
+
+    ticks = file_replay_tick_stream(spark, str(d), max_files_per_trigger=1)
+    pipe = TickPipeline(spark, ticks, "BP", str(tmp_path / "work"))
+    _drain(pipe.start_label_backfiller(available_now=True))
+    labels = spark.read.parquet(pipe.labels_path).collect()
+    assert len(labels) == 1
+    assert labels[0]["actual_price"] == pytest.approx(104.5)  # avg(100..109)
+
+
+def test_predictor_replay_is_idempotent(spark, bp_pipeline, tmp_path):
+    """At-least-once replay: re-running the predictor from a fresh
+    checkpoint re-processes the same batches; the batch-scoped
+    overwrite lands each batch in its own directory, so the replay
+    rewrites rather than duplicates."""
+    before = bp_pipeline.predictions().count()
+    q = bp_pipeline._writer(
+        bp_pipeline.normalized, bp_pipeline._predict_batch,
+        str(tmp_path / "pred_replay_ckpt"), "append", True, None,
+    ).start()
+    _drain(q)
+    assert bp_pipeline.predictions().count() == before
