@@ -15,10 +15,11 @@ def null_count_vector(df: DataFrame, cols: list[str] | None = None) -> DataFrame
     """One row: null/NaN count per column, single pass
     (replaces the reference's per-column loop — stream_and_historical_model.py:316-319)."""
     cols = cols or df.columns
+    dtypes = dict(df.dtypes)
     aggs = []
     for c in cols:
         is_null = F.col(c).isNull()
-        if dict(df.dtypes)[c] in ("double", "float"):
+        if dtypes[c] in ("double", "float"):
             is_null = is_null | F.isnan(F.col(c))
         aggs.append(F.count(F.when(is_null, F.lit(1))).alias(c))
     return df.agg(*aggs)
@@ -129,6 +130,17 @@ def spearman(df: DataFrame, x: str, y: str) -> DataFrame:
     from ONE approxQuantile pass (a single driver action scanning the
     table once instead of twice).
     """
+    # pairwise-complete semantics (what pandas corr(method='spearman')
+    # computes): rank AFTER dropping rows where either side is null/NaN
+    # — ranking each column over its own non-null rows and then inner-
+    # joining would feed the correlation ranks computed on different
+    # populations
+    df = df.where(
+        F.col(x).isNotNull()
+        & F.col(y).isNotNull()
+        & ~F.isnan(F.col(x).cast("double"))
+        & ~F.isnan(F.col(y).cast("double"))
+    )
     probs = [i / 32 for i in range(1, 32)]
     bx, by = df.stat.approxQuantile([x, y], probs, 0.001)
     rx = avg_ranks(df, x, "rx", bounds=bx)
@@ -165,9 +177,15 @@ def spearman_approx(
     <= num_bins-row marginal frames (same bounded-frame pattern as
     ``avg_ranks``' offsets). No Sort node ever touches the raw
     columns, which the plan audit asserts."""
+    # same pairwise-complete population as the exact spearman
+    df = df.where(
+        F.col(x).isNotNull()
+        & F.col(y).isNotNull()
+        & ~F.isnan(F.col(x).cast("double"))
+        & ~F.isnan(F.col(y).cast("double"))
+    )
     probs = [i / num_bins for i in range(1, num_bins)]
     bx_bounds, by_bounds = df.stat.approxQuantile([x, y], probs, rel_err)
-    df = df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
 
     def bucket(col: str, bounds: list[float]):
         # one F.aggregate over a literal boundary array (the zorder_key

@@ -32,7 +32,6 @@ def language_id_col(
     format; swap the tokenizer for regexp_extract_all on real text."""
     sw = stopwords or STOPWORDS
     langs = list(sw)
-    tokens = F.split(F.lower(text_col), " ")
     scores = F.array(
         *[language_score_col(text_col, words) for words in sw.values()]
     )

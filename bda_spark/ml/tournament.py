@@ -17,6 +17,8 @@ single filter (reference looped a count per column, :316-319,
 
 from __future__ import annotations
 
+import math
+
 from dataclasses import dataclass
 
 from pyspark.ml.evaluation import RegressionEvaluator
@@ -114,9 +116,17 @@ def train_tournament(
         }
         preds.unpersist()
         metrics[model_type] = scores
-        if scores["rmse"] < best_rmse:
+        # NaN rmse (empty/degenerate test split) never wins a float
+        # comparison, so without this guard every candidate would lose
+        # and the caller would get TournamentResult(None, ...)
+        if not math.isnan(scores["rmse"]) and scores["rmse"] < best_rmse:
             best_model, best_type, best_rmse = model, model_type, scores["rmse"]
     train.unpersist()
+    if best_model is None:
+        raise ValueError(
+            "train_tournament: every candidate scored NaN RMSE — the "
+            "test split is empty or degenerate; widen the input window"
+        )
     return TournamentResult(best_model, best_type, metrics)
 
 
@@ -135,7 +145,12 @@ def deploy_gate(
 ) -> DeployDecision:
     """D6: the old-vs-new gate — the challenger is persisted (and the
     pointer moved) only when it beats the current champion's RMSE on
-    ``eval_df``; with no champion it deploys unconditionally."""
+    ``eval_df``; with no champion it deploys unconditionally.
+
+    An unmeasurable challenger (NaN RMSE — empty eval frame, all-null
+    predictions) NEVER displaces a working champion: NaN loses every
+    float comparison, so without the explicit check ``champion <= NaN``
+    would be False and the untested model would take the pointer."""
     evaluator = RegressionEvaluator(
         labelCol="label", predictionCol="prediction", metricName="rmse"
     )
@@ -144,6 +159,8 @@ def deploy_gate(
     champion_rmse = (
         evaluator.evaluate(champion.transform(eval_df)) if champion is not None else None
     )
+    if champion is not None and math.isnan(challenger_rmse):
+        return DeployDecision(False, champion_rmse, challenger_rmse)
     if champion_rmse is not None and champion_rmse <= challenger_rmse:
         return DeployDecision(False, champion_rmse, challenger_rmse)
     store.save(challenger, challenger_type)

@@ -124,7 +124,10 @@ def image_features(media: DataFrame) -> DataFrame:
             }
             groups: dict[tuple, list[int]] = {}
             metas = pdf["meta"].tolist()
-            payloads = pdf["payload"].tolist()
+            # a null payload is a malformed row, not a task killer
+            payloads = [
+                p if p is not None else b"" for p in pdf["payload"].tolist()
+            ]
             for i, meta in enumerate(metas):
                 key = (meta["format"], int(meta["height"]),
                        int(meta["width"]), int(meta["channels"]))
@@ -134,8 +137,28 @@ def image_features(media: DataFrame) -> DataFrame:
                     # exercise the stub boundary exactly like decode_image
                     decode_image(payloads[idxs[0]], metas[idxs[0]])
                 sz = h * w * c
+                if sz == 0:
+                    # zero-area metadata: sentinel stats instead of a
+                    # zero-size numpy reduction crashing the stage
+                    iz = np.asarray(idxs)
+                    cols["mean_intensity"][iz] = 0.0
+                    cols["std_intensity"][iz] = 0.0
+                    cols["min_intensity"][iz] = 0
+                    cols["max_intensity"][iz] = 0
+                    cols["height"][iz], cols["width"][iz], cols["channels"][iz] = h, w, c
+                    continue
                 exact = [i for i in idxs if len(payloads[i]) == sz]
-                odd = [i for i in idxs if len(payloads[i]) != sz]
+                # under-length buffers cannot decode: sentinel stats
+                # (quarantine-grade rows), never a task failure
+                short = [i for i in idxs if len(payloads[i]) < sz]
+                odd = [
+                    i for i in idxs if len(payloads[i]) > sz
+                ]
+                for i in short:
+                    cols["mean_intensity"][i] = 0.0
+                    cols["std_intensity"][i] = 0.0
+                    cols["min_intensity"][i] = 0
+                    cols["max_intensity"][i] = 0
                 if exact:
                     mat = np.frombuffer(
                         b"".join(payloads[i] for i in exact), dtype=np.uint8
@@ -213,7 +236,9 @@ def audio_features(media: DataFrame) -> DataFrame:
                 "zero_crossing_rate": np.zeros(n_rows, dtype=np.float64),
             }
             metas = pdf["meta"].tolist()
-            payloads = pdf["payload"].tolist()
+            payloads = [
+                p if p is not None else b"" for p in pdf["payload"].tolist()
+            ]
             groups: dict[tuple, list[int]] = {}
             for i, meta in enumerate(metas):
                 groups.setdefault(
@@ -232,9 +257,13 @@ def audio_features(media: DataFrame) -> DataFrame:
                     cols["duration_sec"][ix] = np.where(srs > 0, n / srs, 0.0)
                 if n == 0:
                     continue
+                # an odd trailing byte cannot be an int16 sample — slice
+                # to the whole-sample prefix so frombuffer/reshape agree
+                # with n instead of raising on the malformed clip
                 mat = (
                     np.frombuffer(
-                        b"".join(payloads[i] for i in idxs), dtype="<i2"
+                        b"".join(payloads[i][: n * 2] for i in idxs),
+                        dtype="<i2",
                     )
                     .astype(np.float64)
                     .reshape(len(idxs), n)
@@ -275,8 +304,12 @@ def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                         "not installed — STUB; add an av branch here"
                     )
                 h, w, c = int(meta["height"]), int(meta["width"]), int(meta["channels"])
-                n = int(meta["n_frames"])
                 stride = h * w * c
+                buf = buf if buf is not None else b""
+                # never trust meta.n_frames past the actual payload:
+                # only COMPLETE frames are emitted, so a truncated
+                # upload yields fewer frames, not silently corrupt ones
+                n = min(int(meta["n_frames"]), len(buf) // stride) if stride else 0
                 for i in range(0, n, every_n):
                     out.append((media_id, i, buf[i * stride:(i + 1) * stride]))
             yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame"])

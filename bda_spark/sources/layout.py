@@ -349,47 +349,9 @@ def compact_parquet(
     and the aside copy deleted only last; a crash between the renames
     is healed by the recovery scan at the next call. Readers of a plain
     dir never observe a PARTIAL table, but can observe a briefly ABSENT
-    one between the renames — versioned layout closes that window."""
-    from .sinks import _hadoop_path
-    from .versioned import commit_generation, is_versioned, resolve_table, vacuum_versions
+    one between the renames — versioned layout closes that window.
 
-    if is_versioned(spark, path):
-        src = resolve_table(spark, path)
-        fs, src_p = _hadoop_path(spark, src)
-        total = fs.getContentSummary(src_p).getLength()
-        n_files = max(1, -(-total // target_file_bytes))
-        df = spark.read.parquet(src)
-        commit_generation(
-            spark,
-            path,
-            lambda p: df.coalesce(int(n_files)).write.mode("overwrite").parquet(p),
-        )
-        vacuum_versions(spark, path, keep=2)
-        return int(n_files)
-
-    fs, target = _hadoop_path(spark, path)
-    base = path.rstrip("/")
-    tmp, old = base + "__compact_tmp", base + "__compact_old"
-    _, tmp_p = _hadoop_path(spark, tmp)
-    _, old_p = _hadoop_path(spark, old)
-
-    # heal a previous crash: aside dir present + live dir missing
-    if fs.exists(old_p) and not fs.exists(target):
-        fs.rename(old_p, target)
-    fs.delete(tmp_p, True)
-    fs.delete(old_p, True)
-
-    if not fs.exists(target):
-        raise FileNotFoundError(f"compact_parquet: no table at {path}")
-    total = fs.getContentSummary(target).getLength()
-    n_files = max(1, -(-total // target_file_bytes))
-    df = spark.read.parquet(path)
-    df.coalesce(int(n_files)).write.mode("overwrite").parquet(tmp)
-
-    if not fs.rename(target, old_p):
-        raise IOError(f"compaction swap failed: could not move {path} aside")
-    if not fs.rename(tmp_p, target):
-        fs.rename(old_p, target)  # roll back — never leave the table missing
-        raise IOError(f"compaction swap failed: could not move {tmp} in")
-    fs.delete(old_p, True)
-    return int(n_files)
+    Implementation-wise this IS ``optimize_table`` with no clustering
+    and no blooms — one body, so the swap/heal protocol can't drift
+    between the two maintenance entry points."""
+    return optimize_table(spark, path, target_file_bytes=target_file_bytes)

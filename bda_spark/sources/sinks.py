@@ -154,9 +154,15 @@ def idempotent_merge_parquet(
     # partition, NOT per row), merge, write the touched partitions to
     # the temp dir, then swap each partition directory individually.
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    existing = spark.read.option("basePath", path).parquet(path).filter(
-        F.col(partition_col).isin(touched)
-    )
+    # isin() is three-valued: a None in `touched` matches NOTHING, so a
+    # null-partition update would exclude the existing null-partition
+    # rows from `kept` while the swap loop still replaced that whole
+    # directory — silent data loss. Match nulls explicitly.
+    non_null = [t for t in touched if t is not None]
+    pred = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if any(t is None for t in touched):
+        pred = pred | F.col(partition_col).isNull()
+    existing = spark.read.option("basePath", path).parquet(path).filter(pred)
     kept = existing.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
     merged = kept.unionByName(updates.select(*existing.columns))
     merged.write.partitionBy(partition_col).mode("overwrite").parquet(tmp)

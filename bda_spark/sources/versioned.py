@@ -164,18 +164,31 @@ def commit_generation(
 
 
 def vacuum_versions(spark: SparkSession, root: str, keep: int = 2) -> int:
-    """Delete generation data (and markers) older than the newest
-    ``keep``. ``keep >= 2`` leaves the previous generation alive for
-    one maintenance cycle so in-flight readers finish; never pass 1
-    unless no reader can be concurrent. Unreferenced debris dirs in the
-    swept range are removed too. Returns the number of dirs deleted."""
+    """Delete generation data (and markers/slot locks) older than the
+    newest ``keep`` COMMITTED generations. ``keep >= 2`` leaves the
+    previous committed generation alive for one maintenance cycle so
+    in-flight readers finish; never pass 1 unless no reader can be
+    concurrent. The retention is counted over COMMITTED generations,
+    not generation numbers — aborted/crashed attempts leave number
+    gaps, and arithmetic on the max number would sweep the previous
+    committed generation right through such a gap. Unreferenced debris
+    in the swept range is removed too. Returns the number of data dirs
+    deleted."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
     base = root.rstrip("/")
-    cur = current_generation(spark, root)
-    if cur is None:
+    fs, commits_p = _hadoop_path(spark, f"{base}/{COMMITS_DIR}")
+    if not fs.exists(commits_p):
         return 0
-    cutoff = cur - keep  # delete gen <= cutoff
+    committed = sorted(
+        int(st.getPath().getName())
+        for st in fs.listStatus(commits_p)
+        if st.getPath().getName().isdigit()
+    )
+    if not committed:
+        return 0
+    retained = committed[-keep:]
+    cutoff = min(retained)  # delete anything numbered below this
     fs, versions_p = _hadoop_path(spark, f"{base}/{VERSIONS_DIR}")
     removed = 0
     if fs.exists(versions_p):
@@ -183,14 +196,13 @@ def vacuum_versions(spark: SparkSession, root: str, keep: int = 2) -> int:
             name = st.getPath().getName()
             num = name[4:-5] if name.endswith(".lock") else name[4:]
             if name.startswith("gen-") and num.isdigit():
-                if int(num) <= cutoff:
+                if int(num) < cutoff:
                     fs.delete(st.getPath(), True)
                     if not name.endswith(".lock"):
                         removed += 1
-    _, commits_p = _hadoop_path(spark, f"{base}/{COMMITS_DIR}")
     for st in fs.listStatus(commits_p):
         name = st.getPath().getName()
-        if name.isdigit() and int(name) <= cutoff:
+        if name.isdigit() and int(name) < cutoff:
             fs.delete(st.getPath(), False)
     return removed
 

@@ -128,3 +128,38 @@ def test_historical_features_from_predictions(spark):
     # two 10-min windows: i in 0..9 and 10..19
     assert got == {(4.5, 9.0, 14.5), (14.5, 29.0, 24.5)}
     assert "features" in feats.columns
+
+
+def test_deploy_gate_rejects_unmeasurable_challenger(spark, tmp_path):
+    """NaN challenger RMSE (empty eval frame) must never displace a
+    working champion — NaN loses every float comparison, so the naive
+    champion <= challenger check would deploy the untested model."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    from bda_spark.ml.persistence import ModelStore
+    from bda_spark.ml.tournament import deploy_gate
+
+    train = spark.createDataFrame(
+        [(float(i), float(2 * i)) for i in range(20)], "x double, label double"
+    )
+    assembled = VectorAssembler(inputCols=["x"], outputCol="features").transform(
+        train
+    )
+    champ = LinearRegression(featuresCol="features", labelCol="label").fit(
+        assembled
+    )
+    store = ModelStore(str(tmp_path / "models"))
+    store.save(champ, "LinearRegression")
+    challenger = LinearRegression(
+        featuresCol="features", labelCol="label", maxIter=1
+    ).fit(assembled)
+    # an eval frame whose labels are all NaN yields rmse = NaN (an
+    # EMPTY frame raises in the evaluator instead — equally gated
+    # upstream); the gate must treat NaN as unmeasurable, not as a win
+    nan_eval = assembled.withColumn("label", F.lit(float("nan")))
+    decision = deploy_gate(store, challenger, "LinearRegression", nan_eval)
+    assert decision.deployed is False
+    import math
+
+    assert math.isnan(decision.challenger_rmse)

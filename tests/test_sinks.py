@@ -175,3 +175,22 @@ def test_json_land_and_read_roundtrip(spark, tmp_path):
            for r in back.collect()}
     assert got == {("Oil up", "2024-01-01", ("oil", "energy"), False),
                    ("No date", None, (), True)}
+
+
+def test_partitioned_merge_preserves_null_partition_rows(spark, tmp_path):
+    """A null partition value must merge like any other partition:
+    isin() with a None in the touched list matches nothing, which used
+    to drop every pre-existing null-partition row whose key was absent
+    from the updates."""
+    from bda_spark.sources.sinks import idempotent_merge_parquet
+
+    path = str(tmp_path / "nullpart")
+    base = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", None), (3, "c", None)],
+        "k long, v string, p string",
+    )
+    idempotent_merge_parquet(spark, base, path, keys=["k"], partition_col="p")
+    upd = spark.createDataFrame([(2, "B2", None)], "k long, v string, p string")
+    idempotent_merge_parquet(spark, upd, path, keys=["k"], partition_col="p")
+    got = {r["k"]: (r["v"], r["p"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", "d1"), 2: ("B2", None), 3: ("c", None)}

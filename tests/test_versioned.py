@@ -258,3 +258,22 @@ def test_concurrent_commit_conflict_aborts_cleanly(spark, tmp_path):
     assert current_generation(spark, root) == 3
     assert read_versioned(spark, root).count() == 5
     assert not os.path.exists(os.path.join(root, "_versions", "gen-00000002"))
+
+
+def test_vacuum_counts_committed_generations_not_numbers(spark, tmp_path):
+    """An aborted attempt leaves a generation-number gap; retention
+    must still keep the newest `keep` COMMITTED generations — counting
+    by number would sweep the previous committed generation through
+    the gap, breaking in-flight readers."""
+    root = str(tmp_path / "gap")
+    df = _rows(spark, 30)
+    commit_generation(spark, root, lambda p: df.write.parquet(p))  # gen 1
+    # simulate a claimed-but-aborted slot 2 (number gap)
+    open(os.path.join(root, "_versions", "gen-00000002.lock"), "w").close()
+    assert commit_generation(
+        spark, root, lambda p: df.limit(9).write.parquet(p)
+    ) == 3
+    removed = vacuum_versions(spark, root, keep=2)
+    assert removed == 0  # committed gens are {1, 3}: BOTH retained
+    assert read_versioned(spark, root, generation=1).count() == 30
+    assert read_versioned(spark, root).count() == 9
