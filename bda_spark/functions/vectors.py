@@ -26,6 +26,13 @@ def l2_norm_col(a: Column | str) -> Column:
 
 
 def cosine_similarity_col(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity with the zero-norm convention cos(0, x) = 0:
+    a zero vector (an empty document's embedding) has no direction, so
+    it is similar to NOTHING — without the guard 0/0 yields NaN, which
+    Spark sorts ABOVE every real value descending and passes every
+    >= threshold filter, turning zero vectors into universal rank-1
+    "neighbors". The oracle SQL twins carry the same CASE guard."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
-    return dot_col(a, b) / (l2_norm_col(a) * l2_norm_col(b))
+    den = l2_norm_col(a) * l2_norm_col(b)
+    return F.when(den == 0.0, F.lit(0.0)).otherwise(dot_col(a, b) / den)

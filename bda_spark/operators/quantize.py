@@ -105,7 +105,9 @@ def _cos(a: Column, b: Column) -> Column:
             F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
         )
     )
-    return dot / (n1 * n2)
+    # zero-norm convention: similar to nothing, never NaN (which would
+    # sort above every real value and poison the top-k)
+    return F.when(n1 * n2 == 0.0, F.lit(0.0)).otherwise(dot / (n1 * n2))
 
 
 def _coarse_then_rerank(

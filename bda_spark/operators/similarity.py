@@ -65,6 +65,7 @@ def _candidates(
     num_bands: int,
     seed: int,
     anti_reflexive: bool,
+    max_bucket_size: int = 256,
 ) -> DataFrame:
     """Band-bucket join of two keyed embedding frames -> distinct
     (id_a, id_b) candidate pairs (id_a < id_b when self-joining).
@@ -84,11 +85,30 @@ def _candidates(
             F.explode(udf(F.col("embedding"))).alias("band_key"),
         )
 
-    cond = F.col("id_a") < F.col("id_b") if anti_reflexive else F.col("id_a") != F.col("id_b")
+    if anti_reflexive:
+        # self-join near-dup path: a k-member near-identical embedding
+        # cluster shares every band key, so the uncapped bucket join is
+        # O(k^2 * num_bands) — route through the same rank-gap chain
+        # cap as MinHash (dedup._banded_candidates). The per-vector key
+        # ARRAY is checkpointed once (one UDF pass, ~num_bands longs
+        # per vector) so the cap's extra consumers explode cheap
+        # materialized rows instead of re-running the matmul.
+        from .dedup import _banded_candidates
+
+        sig = left.select(
+            F.col("vec_id").alias("doc_id"),
+            udf(F.col("embedding")).alias("_keys"),
+        ).localCheckpoint(eager=True)
+        bands = sig.select("doc_id", F.explode("_keys").alias("band_key"))
+        return (
+            _banded_candidates(bands, max_bucket_size)
+            .withColumnRenamed("doc_a", "id_a")
+            .withColumnRenamed("doc_b", "id_b")
+        )
     return (
         keyed(left, "a")
         .join(keyed(right, "b"), "band_key")
-        .filter(cond)
+        .filter(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
@@ -166,6 +186,30 @@ def ivf_index(
     return assigned, centroids
 
 
+def _topk_rescore(
+    cands: DataFrame, embeddings: DataFrame, k: int
+) -> DataFrame:
+    """Shared tail of every ANN family: exact-cosine rescore of
+    (query_id, neighbor_id) candidates against the float corpus and a
+    deterministic per-query rank window — one body so the tie-break
+    and the zero-norm convention cannot drift between families."""
+    v = F.col("embedding").cast("array<double>")
+    q = embeddings.select(F.col("vec_id").alias("query_id"), v.alias("va"))
+    c = embeddings.select(F.col("vec_id").alias("neighbor_id"), v.alias("vb"))
+    scored = (
+        cands.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("cosine", cosine_similarity_col(F.col("va"), F.col("vb")))
+        .drop("va", "vb")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
 def probe_cells(
     queries: DataFrame, centroids: list[list[float]], n_probe: int
 ) -> DataFrame:
@@ -223,26 +267,12 @@ def ivf_topk(
     recall/speed trade of partial probing is pinned in pytest)."""
     assigned, centroids = ivf_index(embeddings, n_centroids, seed, max_iter)
     probes = probe_cells(queries, centroids, n_probe)
-    v = F.col("embedding").cast("array<double>")
     cands = (
         probes.join(assigned, "centroid_id")
         .filter(F.col("query_id") != F.col("vec_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    q = embeddings.select(F.col("vec_id").alias("query_id"), v.alias("va"))
-    c = embeddings.select(F.col("vec_id").alias("neighbor_id"), v.alias("vb"))
-    scored = (
-        cands.join(q, "query_id")
-        .join(c, "neighbor_id")
-        .withColumn("cosine", cosine_similarity_col(F.col("va"), F.col("vb")))
-        .drop("va", "vb")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rk")
-    )
+    return _topk_rescore(cands, embeddings, k)
 
 
 def simhash_topk(
@@ -270,18 +300,4 @@ def simhash_topk(
         .withColumnRenamed("id_a", "query_id")
         .withColumnRenamed("id_b", "neighbor_id")
     )
-    v = F.col("embedding").cast("array<double>")
-    q = embeddings.select(F.col("vec_id").alias("query_id"), v.alias("va"))
-    c = embeddings.select(F.col("vec_id").alias("neighbor_id"), v.alias("vb"))
-    scored = (
-        cands.join(q, "query_id")
-        .join(c, "neighbor_id")
-        .withColumn("cosine", cosine_similarity_col(F.col("va"), F.col("vb")))
-        .drop("va", "vb")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rk")
-    )
+    return _topk_rescore(cands, embeddings, k)

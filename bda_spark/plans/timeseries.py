@@ -469,7 +469,7 @@ def events_asof_join(spark, sf_dir):
     "events_sessionize",
     """
     WITH o AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        IS NULL
                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -478,7 +478,7 @@ def events_asof_join(spark, sf_dir):
       FROM events
     ), s AS (
       SELECT user_id, ts, value,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS UNBOUNDED PRECEDING) AS sid
       FROM o
     )

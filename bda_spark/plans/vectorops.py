@@ -21,10 +21,16 @@ from .registry import query, r6, t
 
 # Oracle-side cosine in double precision (duckdb list_cosine_similarity on
 # FLOAT[] computes in float32; we cast to DOUBLE[] to match Spark's math).
+# zero-norm convention matches functions.vectors.cosine_similarity_col:
+# a zero vector is similar to nothing (0), never NaN
 _COS_SQL = """
-  list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-  / (sqrt(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x)))
-     * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x))))
+  CASE WHEN sqrt(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x)))
+            * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x))) = 0
+       THEN 0.0
+       ELSE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / (sqrt(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x)))
+               * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x))))
+  END
 """
 
 
@@ -65,7 +71,11 @@ def cosine_topk(spark, sf_dir):
         .select(
             "query_id",
             "neighbor_id",
-            (dot_col(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("sim"),
+            F.when(
+                F.col("qn") * F.col("nn") == 0.0, F.lit(0.0)
+            ).otherwise(
+                dot_col(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
@@ -123,7 +133,10 @@ def embedding_neardup_pairs(spark, sf_dir):
     b = e.select(
         F.col("vec_id").alias("id_b"), v.alias("vb"), l2_norm_col(v).alias("nb")
     )
-    sim = dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    den = F.col("na") * F.col("nb")
+    sim = F.when(den == 0.0, F.lit(0.0)).otherwise(
+        dot_col(F.col("va"), F.col("vb")) / den
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cosine_raw", sim)

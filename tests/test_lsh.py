@@ -306,3 +306,25 @@ def test_hot_bucket_cap_preserves_dedup_outcome(spark, mega_cluster_docs):
         ).collect()
     }
     assert got_capped == got_uncapped == {i: 0 for i in range(20)}
+
+
+def test_zero_norm_embeddings_are_similar_to_nothing(spark):
+    """cos(0, x) = 0 by convention: without the guard, 0/0 = NaN sorts
+    above every real cosine descending and passes every >= threshold
+    filter, making zero vectors (empty documents) universal rank-1
+    neighbors and bogus 'near-duplicates' of each other."""
+    import math
+
+    rows = [
+        Row(vec_id=0, embedding=[0.0] * 8),   # zero vector
+        Row(vec_id=1, embedding=[0.0] * 8),   # second zero vector
+        Row(vec_id=2, embedding=[1.0] + [0.0] * 7),
+        Row(vec_id=3, embedding=[0.9, 0.1] + [0.0] * 6),
+    ]
+    emb = spark.createDataFrame(rows)
+    pairs = simhash_neardup_pairs(emb, threshold=0.45, dim=8).collect()
+    assert all(not math.isnan(r["cosine"]) for r in pairs)
+    assert {(r.id_a, r.id_b) for r in pairs} == {(2, 3)}  # the real pair only
+    got = simhash_topk(emb, emb.filter("vec_id = 2"), k=3, dim=8).collect()
+    assert all(not math.isnan(r["cosine"]) for r in got)
+    assert got and got[0]["neighbor_id"] == 3  # not a zero vector

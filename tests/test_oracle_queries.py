@@ -3,27 +3,15 @@ sf0.001 (the driver runs the same comparison at sf0.01)."""
 
 from __future__ import annotations
 
-import math
-
 import pytest
 
 from bda_spark.plans import get_oracles, get_queries
 
-
-def normalize(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                v = "NaN" if math.isnan(v) else round(v, 6)
-                if v == -0.0:
-                    v = 0.0
-            vals.append(str(v))
-        out.append(tuple(vals))
-    return sorted(out), [colnames[i] for i in order]
+# ONE comparator for both harnesses: the tool's normalize() tags every
+# value with its fetched Python type (int vs Decimal vs float), the
+# hardening that caught the HUGEINT class — a second stringify-only
+# copy here would silently pass exactly that bug.
+from tools.verify_oracle import normalize
 
 
 QUERIES = get_queries()

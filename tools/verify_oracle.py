@@ -80,6 +80,13 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    if only:
+        unknown = sorted(set(only) - set(qs))
+        if unknown:
+            # a typo'd name silently matching nothing would print
+            # "0 pass, 0 fail" and exit 0 — a fake green
+            print(f"ERROR: unknown query name(s): {', '.join(unknown)}")
+            return 2
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
         if only and name not in only:
