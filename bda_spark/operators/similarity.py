@@ -68,15 +68,22 @@ def _candidates(
     max_bucket_size: int = 256,
 ) -> DataFrame:
     """Band-bucket join of two keyed embedding frames -> distinct
-    (id_a, id_b) candidate pairs (id_a < id_b when self-joining).
+    (id_a, id_b) candidate pairs.
 
-    The signature UDF evaluates once per join side (a self-join scans
-    the corpus twice). That is deliberate: the matmul is a narrow,
-    shuffle-free map — recomputing it costs one extra scan, while
+    ``anti_reflexive=True`` is the SELF-JOIN contract (id_a < id_b over
+    ONE corpus — ``right`` must be the same frame, enforced below): it
+    routes through the rank-gap hot-bucket cap with the per-vector key
+    arrays checkpointed once. The two-frame path (queries x corpus,
+    ``anti_reflexive=False``) evaluates the signature UDF once per join
+    side — deliberate: the matmul is a narrow, shuffle-free map, while
     persisting the exploded (id, band_key) frame (b rows per vector)
-    would cost cluster memory/disk proportional to b x corpus. At
-    100 TB prefer the recompute; cache() the keyed frame only when the
-    corpus already fits the storage tier."""
+    would cost memory/disk proportional to b x corpus."""
+    if anti_reflexive and left is not right:
+        raise ValueError(
+            "_candidates: anti_reflexive=True is the self-join contract "
+            "— left and right must be the same frame (pairs involving "
+            "right-only rows would silently never be generated)"
+        )
     udf = simhash_band_udf(dim, band_rows, num_bands, seed)
 
     def keyed(df: DataFrame, side: str) -> DataFrame:
@@ -134,12 +141,21 @@ def simhash_neardup_pairs(
     band_rows: int = 6,
     num_bands: int = 96,
     seed: int = 42,
+    max_bucket_size: int = 256,
 ) -> DataFrame:
     """Embedding near-dup pairs via SimHash candidates + exact rerank.
     Replaces the all-pairs broadcast O(n^2) plan: the corpus is never
-    crossed with itself, only bucket-mates meet in the join."""
+    crossed with itself, only bucket-mates meet in the join.
+
+    ``max_bucket_size`` is the hot-bucket cap (see MinHash's twin):
+    buckets up to the cap expand all-pairs exactly; hotter buckets emit
+    rank-gap chain edges, so a mega-cluster's PAIR list is partial but
+    its connected-component (the dedup outcome) is identical. Raise it
+    when exact pair enumeration inside huge clusters matters more than
+    the quadratic cost."""
     cands = _candidates(
-        embeddings, embeddings, dim, band_rows, num_bands, seed, anti_reflexive=True
+        embeddings, embeddings, dim, band_rows, num_bands, seed,
+        anti_reflexive=True, max_bucket_size=max_bucket_size,
     )
     return (
         _rescored(cands, embeddings)

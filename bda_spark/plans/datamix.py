@@ -611,15 +611,23 @@ def corpus_build_pipeline(
     manifest = pack_sequences_salted(clean, seq_len=seq_len, n_buckets=n_buckets)
     if not return_fates:
         return clean, removed, manifest
+    # the fate frame references the gate/contamination sub-DAGs from
+    # several branches; materialize the tiny id frames once so the
+    # corpus-wide percentile gate and shingle join don't re-run per
+    # consumer (ids are 8 bytes/doc — nothing at any scale)
+    kept_ids = kept.select("doc_id").localCheckpoint(eager=True)
+    gated_ids = gated.select("doc_id").localCheckpoint(eager=True)
+    hit_ids = hits.select("doc_id").localCheckpoint(eager=True)
     fates = (
-        clean.select("doc_id", F.lit("kept").alias("fate"))
+        gated_ids.join(hit_ids, "doc_id", "left_anti")
+        .select("doc_id", F.lit("kept").alias("fate"))
         .unionByName(removed.selectExpr("doc_id", "reason AS fate"))
         .unionByName(
-            kept.join(gated.select("doc_id"), "doc_id", "left_anti")
+            kept_ids.join(gated_ids, "doc_id", "left_anti")
             .select("doc_id", F.lit("quality").alias("fate"))
         )
         .unionByName(
-            hits.select("doc_id", F.lit("contaminated").alias("fate"))
+            hit_ids.select("doc_id", F.lit("contaminated").alias("fate"))
         )
     )
     return clean, removed, manifest, fates

@@ -408,14 +408,14 @@ def _formatted_plan(spark, df) -> str:
     )
 
 
-def test_ivf_sq8_plan_is_broadcast_only(spark):
+def test_ivf_sq8_plan_is_broadcast_only(spark, sf_dir):
     """The composed ANN plan: every join broadcasts the (tiny) query
     side, no cartesian product, no non-broadcast nested loop, and the
     top-k windows carry the rank-pushdown (WindowGroupLimit)."""
     from bda_spark.operators.quantize import ivf_sq8_topk
     from bda_spark.sources.batch import load_table
 
-    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     df = ivf_sq8_topk(
         emb, emb.filter("vec_id < 5"), k=5, n_centroids=8, n_probe=4
     )
