@@ -155,6 +155,7 @@ def spearman_approx(
     y: str,
     num_bins: int = 256,
     rel_err: float = 1e-3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Approximate Spearman — the 100 TB fallback SURVEY §7 (risk 4)
     names: bin both columns on ``percentile_approx`` quantile
@@ -206,11 +207,13 @@ def spearman_approx(
     # rows, so materialize it once — the corpus-wide binning pass runs
     # exactly once, and no downstream plan transform can push the
     # higher-order bucket lambdas past the aggregation boundary.
-    cells = (
-        d.groupBy("_bx", "_by")
-        .agg(F.count("*").alias("_w"))
-        .localCheckpoint(eager=True)
-    )
+    # ``materialize=False`` keeps the plan lazy end-to-end so the
+    # no-raw-column-Sort property can actually be audited (a checkpoint
+    # truncates the explained plan at Scan ExistingRDD, which would
+    # make any plan assertion vacuous).
+    cells = d.groupBy("_bx", "_by").agg(F.count("*").alias("_w"))
+    if materialize:
+        cells = cells.localCheckpoint(eager=True)
 
     def rank_table(key: str) -> DataFrame:
         m = cells.groupBy(key).agg(F.sum("_w").alias("_cnt"))

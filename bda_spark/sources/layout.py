@@ -219,6 +219,7 @@ def optimize_table(
     target_file_bytes: int = 256 * 1024 * 1024,
     bloom_filter_cols: dict[str, int] | None = None,
     bits: int = 6,
+    vacuum_keep: int = 2,
 ) -> int:
     """The periodic maintenance job in one call (the Delta/Iceberg
     ``OPTIMIZE [ZORDER BY]`` shape from Spark primitives): rewrite the
@@ -273,7 +274,10 @@ def optimize_table(
                 writer.parquet(data_path)
 
         commit_generation(spark, path, _write)
-        vacuum_versions(spark, path, keep=2)
+        # keep >= 2 leaves the previous committed generation for
+        # in-flight readers; raise it when readers may straddle more
+        # than one maintenance cycle
+        vacuum_versions(spark, path, keep=vacuum_keep)
         return int(n_files)
 
     fs, target = _hadoop_path(spark, path)

@@ -306,59 +306,44 @@ def main() -> None:
     qs["grand_totals"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+
+    def timed(name: str, run) -> None:
+        """min-of-2: de-noise the shared-JVM session (see module doc)."""
         best = float("inf")
-        for _ in range(2):  # min-of-2: de-noise the shared-JVM session
+        for _ in range(2):
             t0 = time.time()
-            qs[name](spark, sf_dir).collect()
+            run()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        lineitem_quantiles_approx(spark, sf_dir).collect()
-        best = min(best, time.time() - t0)
-    timings["lineitem_quantiles_approx"] = round(best, 3)
+    for name in HEADLINE:
+        timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        events_approx_distinct(spark, sf_dir).collect()
-        best = min(best, time.time() - t0)
-    timings["events_approx_distinct"] = round(best, 3)
-
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        cosine_topk_sq8(spark, sf_dir).collect()
-        best = min(best, time.time() - t0)
-    timings["cosine_topk_sq8"] = round(best, 3)
-
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        ivf_sq8_topk_bench(spark, sf_dir).collect()
-        best = min(best, time.time() - t0)
-    timings["ivf_sq8_topk"] = round(best, 3)
-
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        corpus_build_bench(spark, sf_dir).collect()
-        best = min(best, time.time() - t0)
-    timings["corpus_build_pipeline"] = round(best, 3)
+    timed(
+        "lineitem_quantiles_approx",
+        lambda: lineitem_quantiles_approx(spark, sf_dir).collect(),
+    )
+    timed(
+        "events_approx_distinct",
+        lambda: events_approx_distinct(spark, sf_dir).collect(),
+    )
+    timed("cosine_topk_sq8", lambda: cosine_topk_sq8(spark, sf_dir).collect())
+    timed("ivf_sq8_topk", lambda: ivf_sq8_topk_bench(spark, sf_dir).collect())
+    timed(
+        "corpus_build_pipeline",
+        lambda: corpus_build_bench(spark, sf_dir).collect(),
+    )
 
     # Bench-only scale twin: sub-bucketed sequence packing (no single
     # mega-source serializes one partition's window sort).
     from bda_spark.plans.datamix import pack_sequences_salted
 
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        pack_sequences_salted(load_table(spark, sf_dir, "documents")).collect()
-        best = min(best, time.time() - t0)
-    timings["docs_pack_sequences_salted"] = round(best, 3)
+    timed(
+        "docs_pack_sequences_salted",
+        lambda: pack_sequences_salted(
+            load_table(spark, sf_dir, "documents")
+        ).collect(),
+    )
 
     # Medallion end-to-end (bronze fixture prep is untimed setup).
     # Same min-of-2 policy as the queries: each run re-executes the full

@@ -267,9 +267,12 @@ def test_spearman_approx_tolerance_and_exact_regimes(spark):
     assert a2 == pytest.approx(e2, abs=1e-12)
 
     # plan audit: no Sort node over the raw x/y columns anywhere — the
-    # only sorts run on the bounded _bx/_by marginal frames
+    # only sorts run on the bounded _bx/_by marginal frames.
+    # materialize=False keeps the plan lazy end to end: with the
+    # default checkpoint the explained plan starts at Scan ExistingRDD
+    # and the corpus-side binning stage would never be audited at all
     plan = (
-        spearman_approx(df, "x", "y", num_bins=64)
+        spearman_approx(df, "x", "y", num_bins=64, materialize=False)
         ._jdf.queryExecution()
         .explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(

@@ -48,35 +48,7 @@ def test_sq8_topk_recall_vs_exact(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     got = sq8_topk(emb, queries, k=5, oversample=4).collect()
-
-    def cos(a, b):
-        dot = F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
-        )
-        n = lambda v: F.sqrt(
-            F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
-        )
-        return dot / (n(a) * n(b))
-
-    from pyspark.sql.window import Window
-
-    v = F.col("embedding").cast("array<double>")
-    qs = F.broadcast(
-        queries.select(F.col("vec_id").alias("query_id"), v.alias("qv"))
-    )
-    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), v.alias("nv"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    exact = (
-        corpus.join(qs, F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cos(F.col("qv"), F.col("nv")), 6).alias("cosine"),
-        )
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
-        .collect()
-    )
+    exact = _exact_topk(spark, emb, queries, k=5)
     exact_sets = {}
     for r in exact:
         exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])

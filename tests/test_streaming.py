@@ -341,8 +341,10 @@ def test_start_all_concurrent_growing_source(spark, tmp_path_factory):
     finally:
         for q in queries:
             q.stop()
-        for q in queries:
-            assert q.awaitTermination(120), f"query {q.name} stuck after stop()"
+        # don't assert inside finally: a stuck query would REPLACE the
+        # try body's real failure in the report — collect, then check
+        stuck = [q.name for q in queries if not q.awaitTermination(120)]
+    assert not stuck, f"queries stuck after stop(): {stuck}"
     rows = pipe.predictions().collect()
     assert len(rows) == N_TICKS  # nothing lost, nothing duplicated
     expected = {0: 104.5, 1: 114.5, 2: 124.5}
@@ -849,7 +851,16 @@ def test_predictor_replay_is_idempotent(spark, bp_pipeline, tmp_path):
     checkpoint re-processes the same batches; the batch-scoped
     overwrite lands each batch in its own directory, so the replay
     rewrites rather than duplicates."""
+    import os as _os
+
+    # self-sufficient under -k selection / xdist: ensure the pipeline
+    # has actually trained and predicted (no-op when the module's
+    # earlier tests already ran — same checkpoints)
+    if not _os.path.exists(bp_pipeline.predictions_path):
+        _drain(bp_pipeline.start_trainer(available_now=True))
+        _drain(bp_pipeline.start_predictor(available_now=True))
     before = bp_pipeline.predictions().count()
+    assert before > 0  # a zero-row baseline would make the check vacuous
     q = bp_pipeline._writer(
         bp_pipeline.normalized, bp_pipeline._predict_batch,
         str(tmp_path / "pred_replay_ckpt"), "append", True, None,
