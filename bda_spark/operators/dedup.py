@@ -481,7 +481,7 @@ def minhash_match_new(
     num_hashes: int = 64,
     band_rows: int = 2,
     seed: int = 42,
-    max_bucket_size: int = 256,
+    max_bucket_size: int | None = None,
     new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection: match a NEW batch against a
@@ -501,13 +501,20 @@ def minhash_match_new(
     join of the candidate pairs against corpus text via
     ``ngram_jaccard``-style intersection counting.
 
-    Hot-bucket cap: a band bucket backed by a huge corpus duplicate
-    cluster would fan every colliding new doc out to the whole cluster;
-    since ONE hit suffices to flag a new doc as a near-dup, the corpus
-    posting list per band key is truncated to its ``max_bucket_size``
-    lowest corpus_ids (deterministic row_number over the same band_key
+    Hot-bucket cap (OPT-IN, default uncapped): a band bucket backed by
+    a huge corpus duplicate cluster fans every colliding new doc out to
+    the whole cluster; pass ``max_bucket_size`` to truncate the corpus
+    posting list per band key to its ``max_bucket_size`` lowest
+    corpus_ids (deterministic row_number over the same band_key
     partitioning the join shuffles on anyway), bounding join fan-out to
-    O(new x cap) while keeping detection for near-identical clusters.
+    O(new x cap). Unlike the self-join path (which keeps connectivity
+    via chain edges), a truncated posting entry here is simply never
+    compared — so a genuine near-dup whose corpus_id ranks above the
+    cap in EVERY shared bucket is missed. The "one hit suffices"
+    argument only holds for near-identical hot clusters; hot-but-
+    heterogeneous buckets (skewed band keys from short/low-entropy
+    docs) lose recall. Before enabling a cap at scale, measure the
+    exposure with ``minhash_bucket_truncation(index, ...)``.
     """
     from pyspark.sql import Window
 
@@ -518,14 +525,16 @@ def minhash_match_new(
     nb = band_keys(new_sigs, num_hashes, band_rows).withColumnRenamed(
         "doc_id", "new_id"
     )
-    w = Window.partitionBy("band_key").orderBy("corpus_id")
-    cb = (
-        band_keys(index, num_hashes, band_rows)
-        .withColumnRenamed("doc_id", "corpus_id")
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= max_bucket_size)
-        .drop("_rk")
+    cb = band_keys(index, num_hashes, band_rows).withColumnRenamed(
+        "doc_id", "corpus_id"
     )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_key").orderBy("corpus_id")
+        cb = (
+            cb.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= int(max_bucket_size))
+            .drop("_rk")
+        )
     cands = nb.join(cb, "band_key").select("new_id", "corpus_id").distinct()
     mh_new = new_sigs.select(
         F.col("doc_id").alias("new_id"),
@@ -547,4 +556,38 @@ def minhash_match_new(
             (agree / F.lit(float(num_hashes))).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def minhash_bucket_truncation(
+    index: DataFrame,
+    num_hashes: int = 64,
+    band_rows: int = 2,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Recall-loss exposure report for a ``minhash_match_new`` hot-
+    bucket cap: one row per band bucket HOTTER than the cap —
+    (band_key, bucket_size, truncated_rows) — so the operator of an
+    incremental dedup pipeline can see, BEFORE enabling the cap, how
+    many corpus posting entries would become invisible to new-batch
+    matching and which band keys concentrate them (skewed keys from
+    short/low-entropy docs are the classic culprits). Empty result =
+    the cap is a no-op at this corpus; a fat tail = either raise the
+    cap, re-shingle with a larger ngram, or keep the match uncapped.
+
+    One groupBy over the banded index — the same shuffle width the
+    match join itself pays — so the audit is no more expensive than
+    one matching round."""
+    return (
+        band_keys(index, num_hashes, band_rows)
+        .groupBy("band_key")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > int(max_bucket_size))
+        .select(
+            "band_key",
+            "bucket_size",
+            (F.col("bucket_size") - F.lit(int(max_bucket_size))).alias(
+                "truncated_rows"
+            ),
+        )
     )

@@ -95,7 +95,7 @@ def frequent_items(
     col: str,
     k: int = 20,
     counters: int = 1024,
-    include_bound_row: bool = True,
+    include_bound_row: bool = False,
 ) -> DataFrame:
     """Approximate top-k heavy hitters via mergeable Misra-Gries
     summaries — the sketch twin of the exact explode->groupBy->top-k
@@ -128,16 +128,16 @@ def frequent_items(
     ``mapInPandas`` (not a Python UDF per row): arrow-batch transfer,
     pandas ``value_counts`` does the per-batch counting vectorized.
 
-    ``include_bound_row`` (default on, matching the streaming twin's
-    always-emit-the-bound contract): one extra row
-    (item NULL, est_count 0, max_count = global error bound) rides
-    along so the bound stays recoverable even when heavy compaction
-    drains EVERY item out of the summaries (an all-equal-weights
-    stream under a tiny budget legitimately compacts to nothing — a
-    property-test-found case where a bare empty report would hide the
-    fact that every count may be as large as the bound). Pass False
-    where the consumer wants items only (the registry query does: its
-    oracle pins the exact no-compaction regime, where the bound is 0).
+    ``include_bound_row`` (default OFF — the report is items only, the
+    stable public contract): pass True to append one extra row
+    (item NULL, est_count 0, max_count = global error bound) so the
+    bound stays recoverable even when heavy compaction drains EVERY
+    item out of the summaries (an all-equal-weights stream under a
+    tiny budget legitimately compacts to nothing — a property-test-
+    found case where a bare empty report would hide the fact that
+    every count may be as large as the bound). The streaming twin
+    (streaming.stateful.streaming_frequent_items) always emits its
+    bound as a column, not a sentinel row.
     """
     n_slots = int(counters)
 

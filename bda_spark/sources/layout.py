@@ -220,6 +220,7 @@ def optimize_table(
     bloom_filter_cols: dict[str, int] | None = None,
     bits: int = 6,
     vacuum_keep: int = 2,
+    vacuum_min_age_seconds: float = 0.0,
 ) -> int:
     """The periodic maintenance job in one call (the Delta/Iceberg
     ``OPTIMIZE [ZORDER BY]`` shape from Spark primitives): rewrite the
@@ -275,9 +276,14 @@ def optimize_table(
 
         commit_generation(spark, path, _write)
         # keep >= 2 leaves the previous committed generation for
-        # in-flight readers; raise it when readers may straddle more
-        # than one maintenance cycle
-        vacuum_versions(spark, path, keep=vacuum_keep)
+        # in-flight readers; raise it (or pass a min age) when readers
+        # may straddle more than one maintenance cycle
+        vacuum_versions(
+            spark,
+            path,
+            keep=vacuum_keep,
+            min_age_seconds=vacuum_min_age_seconds,
+        )
         return int(n_files)
 
     fs, target = _hadoop_path(spark, path)

@@ -42,6 +42,8 @@ def idempotent_merge_parquet(
     path: str,
     keys: list[str],
     partition_col: str | None = None,
+    vacuum_keep: int = 2,
+    vacuum_min_age_seconds: float = 0.0,
 ) -> None:
     """Upsert-by-primary-key semantics over a parquet table.
 
@@ -83,6 +85,12 @@ def idempotent_merge_parquet(
     swap — no reader can observe the between-renames window, and no
     heal path is needed. (The partitioned branch keeps per-partition
     swaps; hive layout and generation dirs don't compose — pick one.)
+    ``vacuum_keep`` / ``vacuum_min_age_seconds`` tune the retention of
+    superseded generations: commit-count retention alone gives rapidly
+    merged tables (per-micro-batch upserts) a reader grace window of
+    only ``vacuum_keep - 1`` merges, so high-frequency mergers should
+    pass a min age at least as long as their slowest expected scan
+    (see ``versioned.vacuum_versions``).
     """
     from .versioned import commit_generation, is_versioned, resolve_table, vacuum_versions
 
@@ -102,7 +110,12 @@ def idempotent_merge_parquet(
         commit_generation(
             spark, path, lambda p: merged.write.mode("overwrite").parquet(p)
         )
-        vacuum_versions(spark, path, keep=2)
+        vacuum_versions(
+            spark,
+            path,
+            keep=vacuum_keep,
+            min_age_seconds=vacuum_min_age_seconds,
+        )
         return
 
     fs, target = _hadoop_path(spark, path)

@@ -9,21 +9,54 @@ window entirely with the log-commit trick Delta/Iceberg use, built from
 two filesystem primitives that ARE atomic everywhere (HDFS, S3A with
 consistent listing, local):
 
-    root/_versions/gen-00000007/   <- immutable parquet data dirs
-    root/_commits/00000007         <- empty marker; CREATE is atomic
+    root/_versions/gen-00000007/     <- immutable parquet data dirs
+    root/_commits/00000007.00000006  <- empty marker; CREATE is atomic
 
 A writer prepares generation N+1 fully under ``_versions`` (invisible:
 readers never list that dir speculatively), then atomically creates the
-commit marker. Readers resolve max(_commits) -> one generation dir and
-scan only it; they see generation N until the instant the marker
-appears, N+1 after — never a mix, never nothing. A crash before the
-marker leaves unreferenced debris that the next writer deletes; no heal
-rename is ever needed because the live table was never touched.
+commit marker. Readers resolve the marker CHAIN (below) to one
+generation dir and scan only it; they see generation N until the
+instant the marker appears, N+1 after — never a mix, never nothing. A
+crash before the marker leaves unreferenced debris that the next writer
+deletes; no heal rename is ever needed because the live table was never
+touched.
 
-``vacuum_versions(keep=2)`` bounds storage: the previous generation is
-retained one maintenance cycle so an in-flight reader that resolved it
-just before a commit can finish its scan (the same grace-period
-contract as Delta's VACUUM retention).
+Write-write conflicts — the chained-marker protocol
+---------------------------------------------------
+Each marker encodes the BASE generation its writer merged from
+(``{gen:08d}.{base:08d}``; base 0 = first commit; bare ``{gen:08d}``
+markers from the pre-chain layout are accepted as a trusted ascending
+prefix). Readers accept a marker only if it extends a LINEAR chain:
+starting from the last legacy generation (or 0), the next link is the
+marker whose base equals the current head; among several same-base
+markers the one with the earliest filesystem mtime wins (tie: lowest
+generation number). A same-base loser is ORPHANED — no reader ever
+resolves it — so two writers racing from the same base can never both
+become visible: the visible history is always one linear chain, and no
+visible commit is ever silently superseded by a racing merge.
+
+Writers enforce the same rule on themselves: after creating its marker,
+``commit_generation`` re-resolves the chain and, if its own generation
+is not a link (a same-base competitor's marker carries an earlier
+mtime, or a different commit landed first), it deletes its marker and
+data and raises instead of reporting success. The residual assumption
+is only that the filesystem assigns marker mtimes from one
+non-decreasing clock (HDFS namenode / S3 / local kernel all do): a
+marker created LATER never carries an EARLIER mtime, so a writer that
+returned success can never be retroactively orphaned. Without a real
+CAS primitive that is as strong as optimistic concurrency gets —
+serializing high-rate concurrent mergers still wants an external
+scheduler or lock service, exactly as Delta-on-S3 needed before
+conditional PUT.
+
+``vacuum_versions(keep=2, min_age_seconds=...)`` bounds storage: the
+previous generation is retained one maintenance cycle so an in-flight
+reader that resolved it just before a commit can finish its scan (the
+same grace-period contract as Delta's VACUUM retention), and the
+min-age guard keeps any generation whose SUCCESSOR committed more
+recently than the given age — so rapid commit sequences (per-micro-
+batch merges) cannot sweep a generation out from under a reader that
+resolved it seconds ago.
 
 At 100 TB this also makes the swap O(1): committing is one empty-file
 create regardless of table size, where the rename swap was already
@@ -32,6 +65,7 @@ O(1) per dir but with the non-atomic two-step.
 
 from __future__ import annotations
 
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,20 +80,54 @@ def _gen_dir(root: str, gen: int) -> str:
     return f"{root.rstrip('/')}/{VERSIONS_DIR}/gen-{gen:08d}"
 
 
-def current_generation(spark: SparkSession, root: str) -> int | None:
-    """Highest committed generation number, or None for a non-versioned
-    path. One small-dir listing — the only metadata a reader pays."""
-    fs, commits = _hadoop_path(spark, f"{root.rstrip('/')}/{COMMITS_DIR}")
-    if not fs.exists(commits):
-        return None
-    best = None
-    for st in fs.listStatus(commits):
+def _marker_entries(fs, commits_p) -> list[tuple[int, int | None, int]]:
+    """All marker files under ``_commits``: (gen, base-or-None, mtime
+    millis). Legacy pre-chain markers (bare digits) carry base None."""
+    out: list[tuple[int, int | None, int]] = []
+    for st in fs.listStatus(commits_p):
         name = st.getPath().getName()
         if name.isdigit():
-            n = int(name)
-            if best is None or n > best:
-                best = n
-    return best
+            out.append((int(name), None, st.getModificationTime()))
+        else:
+            head, dot, tail = name.partition(".")
+            if dot and head.isdigit() and tail.isdigit():
+                out.append((int(head), int(tail), st.getModificationTime()))
+    return out
+
+
+def _commit_chain(
+    entries: list[tuple[int, int | None, int]]
+) -> list[tuple[int, int]]:
+    """Resolve markers to the linear visible history: ordered
+    [(gen, marker_mtime)]. Legacy (base-less) markers form a trusted
+    ascending prefix; base-encoded markers then chain by base == head,
+    earliest mtime (tie: lowest gen) winning each link. Markers that
+    lose a link are orphaned — invisible to every reader forever."""
+    chain = sorted((g, m) for g, b, m in entries if b is None)
+    head = chain[-1][0] if chain else 0
+    based = [e for e in entries if e[1] is not None and e[0] > head]
+    while True:
+        cands = [e for e in based if e[1] == head]
+        if not cands:
+            return chain
+        g, _, m = min(cands, key=lambda e: (e[2], e[0]))
+        chain.append((g, m))
+        head = g
+        based = [e for e in based if e[0] > head]
+
+
+def _read_chain(spark: SparkSession, root: str) -> list[tuple[int, int]]:
+    fs, commits = _hadoop_path(spark, f"{root.rstrip('/')}/{COMMITS_DIR}")
+    if not fs.exists(commits):
+        return []
+    return _commit_chain(_marker_entries(fs, commits))
+
+
+def current_generation(spark: SparkSession, root: str) -> int | None:
+    """Head of the committed chain, or None for a non-versioned path.
+    One small-dir listing — the only metadata a reader pays."""
+    chain = _read_chain(spark, root)
+    return chain[-1][0] if chain else None
 
 
 def is_versioned(spark: SparkSession, root: str) -> bool:
@@ -74,20 +142,20 @@ def resolve_table(
     can resolve unconditionally). Pass ``generation`` for TIME TRAVEL —
     reading a specific committed generation that vacuum hasn't swept
     yet (the same as-of contract as Delta's VERSION AS OF, bounded by
-    the vacuum retention)."""
+    the vacuum retention). Only CHAIN generations resolve: an orphaned
+    commit (a lost same-base race) is not readable history."""
+    chain = _read_chain(spark, root)
     if generation is not None:
-        fs, marker = _hadoop_path(
-            spark, f"{root.rstrip('/')}/{COMMITS_DIR}/{int(generation):08d}"
-        )
-        _, data_p = _hadoop_path(spark, _gen_dir(root, int(generation)))
-        if not fs.exists(marker) or not fs.exists(data_p):
+        gen = int(generation)
+        fs, data_p = _hadoop_path(spark, _gen_dir(root, gen))
+        if gen not in {g for g, _ in chain} or not fs.exists(data_p):
             raise FileNotFoundError(
                 f"generation {generation} of {root} is not available "
-                f"(never committed, or swept by vacuum_versions)"
+                f"(never committed, orphaned by a write race, or swept "
+                f"by vacuum_versions)"
             )
-        return _gen_dir(root, int(generation))
-    gen = current_generation(spark, root)
-    return root if gen is None else _gen_dir(root, gen)
+        return _gen_dir(root, gen)
+    return root if not chain else _gen_dir(root, chain[-1][0])
 
 
 def read_versioned(
@@ -111,17 +179,20 @@ def commit_generation(
     by atomically creating ``gen-N.lock`` (skipping slots other
     writers — live or crashed — already claimed), so no two writers
     ever touch the same data dir and a committed generation can never
-    be deleted or replaced by a racing attempt. Before publishing, the
-    attempt re-checks that no higher generation committed since it
-    read its base and aborts with an IOError instead of silently
-    publishing a result that lost the concurrent update (callers
-    retry against the new current generation — the optimistic-commit
-    discipline; full serialization of concurrent mergers still needs
-    an external scheduler, as with any log-less table format).
+    be deleted or replaced by a racing attempt. The marker encodes the
+    attempt's BASE generation, and readers resolve only linear chains
+    (module docstring), so a same-base race has exactly one visible
+    winner. After creating its marker, the attempt re-resolves the
+    chain and — if its own commit is not a link — removes its marker
+    and data and raises IOError instead of reporting a success no
+    reader will ever see (callers retry against the new current
+    generation — the optimistic-commit discipline).
 
     Crash-safe with no recovery step: an attempt that dies before its
     marker leaves only a claimed-but-uncommitted slot (lock + debris
-    dir) that readers never resolve and ``vacuum_versions`` sweeps."""
+    dir) that readers never resolve and ``vacuum_versions`` sweeps; an
+    attempt that dies between marker creation and a losing self-check
+    leaves an orphaned marker that readers skip and vacuum sweeps."""
     base = root.rstrip("/")
     cur = current_generation(spark, root)
     fs, versions_p = _hadoop_path(spark, f"{base}/{VERSIONS_DIR}")
@@ -142,10 +213,16 @@ def commit_generation(
     # a crashed pre-lock-protocol writer — and safe to clear
     fs.delete(data_p, True)
     write_fn(data)
-    latest = current_generation(spark, root)
-    if latest is not None and (cur is None or latest > cur):
+
+    def _abort(marker_p=None) -> None:
+        if marker_p is not None:
+            fs.delete(marker_p, False)
         fs.delete(data_p, True)
         fs.delete(lock, False)
+
+    latest = current_generation(spark, root)
+    if latest is not None and (cur is None or latest > cur):
+        _abort()
         raise IOError(
             f"commit_generation: generation {latest} committed under "
             f"{root} while this attempt (base {cur}) was writing — "
@@ -154,41 +231,101 @@ def commit_generation(
         )
     _, commits_p = _hadoop_path(spark, f"{base}/{COMMITS_DIR}")
     fs.mkdirs(commits_p)
-    _, marker = _hadoop_path(spark, f"{base}/{COMMITS_DIR}/{nxt:08d}")
+    _, marker = _hadoop_path(
+        spark, f"{base}/{COMMITS_DIR}/{nxt:08d}.{(cur or 0):08d}"
+    )
     if not fs.createNewFile(marker):
+        _abort()
         raise IOError(
             f"commit_generation: marker {nxt:08d} already exists under "
             f"{root} despite the slot lock — manual intervention needed"
         )
+    # Post-commit self-check: the check-then-act window between the
+    # pre-marker re-check above and the marker create is real (two
+    # same-base writers can both pass it); the chain rule resolves it
+    # deterministically, and the loser must find out HERE, not report
+    # success for a commit no reader will ever resolve.
+    chain = _read_chain(spark, root)
+    if nxt not in {g for g, _ in chain}:
+        _abort(marker)
+        raise IOError(
+            f"commit_generation: generation {nxt} (base {cur}) lost a "
+            f"same-base commit race under {root} — its marker was "
+            f"orphaned by the chain rule; aborted to avoid reporting a "
+            f"lost update as success; rerun against the new current "
+            f"generation"
+        )
     return nxt
 
 
-def vacuum_versions(spark: SparkSession, root: str, keep: int = 2) -> int:
+def vacuum_versions(
+    spark: SparkSession,
+    root: str,
+    keep: int = 2,
+    min_age_seconds: float = 0.0,
+) -> int:
     """Delete generation data (and markers/slot locks) older than the
-    newest ``keep`` COMMITTED generations. ``keep >= 2`` leaves the
+    newest ``keep`` CHAIN generations. ``keep >= 2`` leaves the
     previous committed generation alive for one maintenance cycle so
     in-flight readers finish; never pass 1 unless no reader can be
-    concurrent. The retention is counted over COMMITTED generations,
-    not generation numbers — aborted/crashed attempts leave number
-    gaps, and arithmetic on the max number would sweep the previous
-    committed generation right through such a gap. Unreferenced debris
-    in the swept range is removed too. Returns the number of data dirs
-    deleted."""
+    concurrent. The retention is counted over CHAIN generations, not
+    generation numbers — aborted/crashed attempts leave number gaps,
+    and arithmetic on the max number would sweep the previous committed
+    generation right through such a gap. Unreferenced debris and
+    orphaned (race-losing) markers in the swept range are removed too.
+
+    ``min_age_seconds`` is the TIME-based guard commit-count retention
+    alone lacks: a chain generation is swept only if its SUCCESSOR
+    committed at least this long ago (a reader can have resolved G at
+    any moment before G+1's marker appeared, so the successor's age
+    bounds how stale the oldest legitimate G-reader can be). Under
+    rapid commit sequences — per-micro-batch merges — count-based
+    retention alone gives a grace window of one micro-batch; pass a
+    min age at least as long as the slowest expected scan. Clock
+    caveat: marker mtimes come from the filesystem's clock and ``now``
+    from this process — keep margins generous, not millisecond-exact.
+
+    Returns the number of data dirs deleted."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
     base = root.rstrip("/")
     fs, commits_p = _hadoop_path(spark, f"{base}/{COMMITS_DIR}")
     if not fs.exists(commits_p):
         return 0
-    committed = sorted(
-        int(st.getPath().getName())
-        for st in fs.listStatus(commits_p)
-        if st.getPath().getName().isdigit()
-    )
-    if not committed:
+    chain = _commit_chain(_marker_entries(fs, commits_p))
+    if not chain:
         return 0
-    retained = committed[-keep:]
-    cutoff = min(retained)  # delete anything numbered below this
+    cutoff = chain[-keep:][0][0]  # delete anything numbered below this
+    if min_age_seconds > 0:
+        now_ms = time.time() * 1000.0
+        for i, (gen, _) in enumerate(chain):
+            if gen >= cutoff:
+                break
+            succ_mtime = chain[i + 1][1]
+            if now_ms - succ_mtime < min_age_seconds * 1000.0:
+                cutoff = gen  # this link and everything above survive
+                break
+    # The new chain root's marker references a base about to be swept;
+    # re-anchor it FIRST as a bare (legacy-format) marker — an atomic
+    # create — so the chain keeps its bootstrap at every instant: a
+    # reader listing mid-vacuum sees either (based root + live prefix)
+    # or (bare root), both of which resolve the same head. Only then is
+    # the swept prefix (and the root's old based marker) deleted.
+    root_based = None
+    if any(g < cutoff for g, _ in chain):
+        root_based = next(
+            (e for e in _marker_entries(fs, commits_p)
+             if e[0] == cutoff and e[1] is not None),
+            None,
+        )
+    if root_based is not None:
+        _, bare = _hadoop_path(spark, f"{base}/{COMMITS_DIR}/{cutoff:08d}")
+        fs.createNewFile(bare)  # False = already converted; fine
+        _, based_marker = _hadoop_path(
+            spark,
+            f"{base}/{COMMITS_DIR}/{cutoff:08d}.{root_based[1]:08d}",
+        )
+        fs.delete(based_marker, False)
     fs, versions_p = _hadoop_path(spark, f"{base}/{VERSIONS_DIR}")
     removed = 0
     if fs.exists(versions_p):
@@ -202,7 +339,8 @@ def vacuum_versions(spark: SparkSession, root: str, keep: int = 2) -> int:
                         removed += 1
     for st in fs.listStatus(commits_p):
         name = st.getPath().getName()
-        if name.isdigit() and int(name) < cutoff:
+        gen_part = name.partition(".")[0]
+        if gen_part.isdigit() and int(gen_part) < cutoff:
             fs.delete(st.getPath(), False)
     return removed
 
@@ -233,7 +371,7 @@ def to_versioned(spark: SparkSession, path: str) -> int:
             raise IOError(f"to_versioned: could not move {name} into {data}")
     _, commits_p = _hadoop_path(spark, f"{base}/{COMMITS_DIR}")
     fs.mkdirs(commits_p)
-    _, marker = _hadoop_path(spark, f"{base}/{COMMITS_DIR}/{1:08d}")
+    _, marker = _hadoop_path(spark, f"{base}/{COMMITS_DIR}/{1:08d}.{0:08d}")
     if not fs.createNewFile(marker):
         raise IOError(f"to_versioned: commit marker creation failed at {path}")
     return 1

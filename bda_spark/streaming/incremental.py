@@ -7,9 +7,11 @@ wires it into Structured Streaming's foreachBatch).
 Per micro-batch:
   1. signatures of the batch are computed once (one shingle pass over
      the batch only — the corpus is NEVER re-shingled),
-  2. the batch is banded against the CURRENT index (hot corpus posting
-     lists capped, see minhash_match_new) and flagged matches land in
-     ``flags_path``,
+  2. the batch is banded against the CURRENT index (pass
+     ``max_bucket_size`` to cap hot corpus posting lists — an opt-in
+     recall/fan-out trade, see ``minhash_match_new`` and the
+     ``minhash_bucket_truncation`` exposure audit) and flagged matches
+     land in ``flags_path``,
   3. the batch's signatures merge into ``index_path`` so LATER batches
      dedup against everything seen so far.
 
@@ -42,6 +44,7 @@ def stream_dedup_against_index(
     band_rows: int = 2,
     seed: int = 42,
     available_now: bool = False,
+    max_bucket_size: int | None = None,
 ):
     """Start the incremental-dedup stream over ``stream_docs`` (a
     streaming DataFrame carrying ``id_col`` + ``text_col``). Returns
@@ -88,6 +91,7 @@ def stream_dedup_against_index(
                 num_hashes=num_hashes,
                 band_rows=band_rows,
                 seed=seed,
+                max_bucket_size=max_bucket_size,
                 new_sigs=fresh,
             )
             idempotent_merge_parquet(

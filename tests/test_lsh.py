@@ -328,3 +328,37 @@ def test_zero_norm_embeddings_are_similar_to_nothing(spark):
     got = simhash_topk(emb, emb.filter("vec_id = 2"), k=3, dim=8).collect()
     assert all(not math.isnan(r["cosine"]) for r in got)
     assert got and got[0]["neighbor_id"] == 3  # not a zero vector
+
+
+def test_match_new_uncapped_by_default_and_truncation_audit(spark):
+    """ADVICE r7: the hot-bucket cap on the incremental match is a
+    recall trade that must be OPT-IN (a truncated posting entry is
+    never compared, unlike the self-join's chain edges). Default =
+    uncapped finds a near-dup even when its corpus_id ranks above a
+    small cap in every shared bucket; the audit helper reports exactly
+    the exposure a cap would create."""
+    from bda_spark.operators.dedup import (
+        minhash_bucket_truncation,
+        minhash_index,
+        minhash_match_new,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    # a mega-cluster of near-identical docs with LOW ids floods every
+    # band bucket; the interesting corpus twin has the HIGHEST id
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=base) for i in range(1, 9)]
+        + [Row(doc_id=99, text=base + " unique suffix words here")]
+    )
+    index = minhash_index(corpus)
+    new_batch = spark.createDataFrame(
+        [Row(doc_id=101, text=base + " unique suffix words here")]
+    )
+    uncapped = minhash_match_new(new_batch, index, threshold=0.9)
+    assert (99 in {r.corpus_id for r in uncapped.collect()})
+    # a tiny cap (4 < cluster size) can hide high-ranked corpus ids;
+    # the audit quantifies the exposure BEFORE anyone enables it
+    audit = minhash_bucket_truncation(index, max_bucket_size=4).collect()
+    assert audit, "the mega-cluster must overflow at least one bucket"
+    assert all(r.truncated_rows == r.bucket_size - 4 for r in audit)
+    assert all(r.bucket_size > 4 for r in audit)

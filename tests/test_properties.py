@@ -99,7 +99,9 @@ def test_frequent_items_bounds_hold_for_any_stream(spark, stream, counters):
     from bda_spark.operators.sketch import frequent_items
 
     df = spark.createDataFrame([(w,) for w in stream], "word string").repartition(3)
-    got = frequent_items(df, "word", k=100, counters=counters).collect()
+    got = frequent_items(
+        df, "word", k=100, counters=counters, include_bound_row=True
+    ).collect()
     exact = Counter(stream)
     # the always-present NULL bound row carries the global error even
     # when heavy compaction drains every item out of the report

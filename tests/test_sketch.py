@@ -110,7 +110,9 @@ def test_frequent_items_exact_when_counters_cover_vocab(spark):
     words = _zipf_words(spark)
     exact = _exact_counts(words)
     top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
-    got = frequent_items(words, "word", k=10, counters=256).collect()
+    got = frequent_items(
+        words, "word", k=10, counters=256, include_bound_row=True
+    ).collect()
     items = [r for r in got if r["item"] is not None]
     assert [(r["item"], r["est_count"]) for r in items] == top
     assert all(r["est_count"] == r["max_count"] for r in items)
@@ -126,7 +128,9 @@ def test_frequent_items_bounds_hold_under_heavy_compaction(spark):
     words = _zipf_words(spark)
     exact = _exact_counts(words)
     n = sum(exact.values())
-    got = frequent_items(words, "word", k=60, counters=8).collect()
+    got = frequent_items(
+        words, "word", k=60, counters=8, include_bound_row=True
+    ).collect()
     (bound,) = [r for r in got if r["item"] is None]
     err = bound["max_count"]
     assert 0 < err <= n  # lossy regime actually engaged

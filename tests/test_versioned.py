@@ -275,3 +275,108 @@ def test_vacuum_counts_committed_generations_not_numbers(spark, tmp_path):
     assert removed == 0  # committed gens are {1, 3}: BOTH retained
     assert read_versioned(spark, root, generation=1).count() == 30
     assert read_versioned(spark, root).count() == 9
+
+
+def test_commit_chain_rule_unit():
+    """The pure chain-resolution rule: linear history only, same-base
+    races resolved by earliest marker mtime (tie: lowest gen), orphans
+    never revive, legacy bare markers form a trusted prefix, and a
+    vacuumed prefix re-anchors at the bare root marker."""
+    from bda_spark.sources.versioned import _commit_chain
+
+    # same-base race: earliest mtime wins even with a higher gen number
+    assert _commit_chain([(1, 0, 100), (2, 1, 200), (3, 1, 150)]) == [
+        (1, 100),
+        (3, 150),
+    ]
+    # mtime tie -> lowest gen wins
+    assert _commit_chain([(1, 0, 100), (2, 1, 200), (3, 1, 200)]) == [
+        (1, 100),
+        (2, 200),
+    ]
+    # the chain continues from the winner; the orphan never revives
+    assert _commit_chain(
+        [(1, 0, 100), (3, 1, 150), (2, 1, 200), (4, 3, 300)]
+    ) == [(1, 100), (3, 150), (4, 300)]
+    # legacy bare markers are a trusted ascending prefix
+    assert _commit_chain([(2, None, 60), (1, None, 50), (3, 2, 70)]) == [
+        (1, 50),
+        (2, 60),
+        (3, 70),
+    ]
+    # vacuumed prefix: the bare re-anchored root bootstraps the chain
+    assert _commit_chain([(3, None, 70), (4, 3, 80)]) == [(3, 70), (4, 80)]
+    # a stale based twin of the bare root (vacuum crash window) is inert
+    assert _commit_chain(
+        [(3, None, 70), (3, 2, 70), (4, 3, 80)]
+    ) == [(3, 70), (4, 80)]
+
+
+def test_same_base_race_has_one_visible_winner(spark, tmp_path):
+    """The TOCTOU disk state the old max-marker rule resolved wrongly:
+    two writers based on generation 1 both managed to create markers.
+    Readers must resolve the earlier-committed writer and never the
+    other — no silently-discarded visible update."""
+    root = str(tmp_path / "race")
+    df = _rows(spark, 30)
+    commit_generation(spark, root, lambda p: df.write.parquet(p))
+    # writer A (slot 2, base 1) committed first...
+    df.limit(20).write.parquet(os.path.join(root, "_versions", "gen-00000002"))
+    a_marker = os.path.join(root, "_commits", "00000002.00000001")
+    open(a_marker, "w").close()
+    os.utime(a_marker, (1_700_000_000, 1_700_000_000))
+    # ...writer B (slot 3, base 1) slipped through the check-then-act
+    # window and committed later
+    df.limit(5).write.parquet(os.path.join(root, "_versions", "gen-00000003"))
+    b_marker = os.path.join(root, "_commits", "00000003.00000001")
+    open(b_marker, "w").close()
+    os.utime(b_marker, (1_700_000_100, 1_700_000_100))
+
+    assert current_generation(spark, root) == 2
+    assert read_versioned(spark, root).count() == 20
+    # the orphaned commit is not readable history, even via time travel
+    with pytest.raises(FileNotFoundError, match="not available"):
+        read_versioned(spark, root, generation=3)
+    # the next commit chains from the WINNER, not the orphan
+    gen = commit_generation(spark, root, lambda p: df.limit(7).write.parquet(p))
+    assert read_versioned(spark, root).count() == 7
+    assert current_generation(spark, root) == gen
+
+
+def test_vacuum_min_age_guards_young_generations(spark, tmp_path):
+    """Commit-count retention alone gives rapidly-merged tables a
+    one-merge reader grace window; the min-age guard must keep any
+    generation whose successor committed more recently than the age."""
+    root = str(tmp_path / "minage")
+    df = _rows(spark, 30)
+    for n in (30, 20, 10):
+        commit_generation(spark, root, lambda p, n=n: df.limit(n).write.parquet(p))
+    # all three commits are seconds old: nothing may be swept
+    assert vacuum_versions(spark, root, keep=1, min_age_seconds=3600) == 0
+    assert read_versioned(spark, root, generation=1).count() == 30
+    # age the markers past the guard: retention applies again
+    commits = os.path.join(root, "_commits")
+    for name in os.listdir(commits):
+        os.utime(os.path.join(commits, name), (1_700_000_000, 1_700_000_000))
+    assert vacuum_versions(spark, root, keep=2, min_age_seconds=3600) == 1
+    assert read_versioned(spark, root).count() == 10
+    assert read_versioned(spark, root, generation=2).count() == 20
+
+
+def test_merge_vacuum_retention_is_tunable(spark, tmp_path):
+    """idempotent_merge_parquet exposes the vacuum knobs: a generous
+    vacuum_keep retains history that the old hardcoded keep=2 swept."""
+    from pyspark.sql import Row as R
+
+    from bda_spark.sources.sinks import idempotent_merge_parquet
+
+    root = str(tmp_path / "merge_keep")
+    base = spark.createDataFrame([R(k=1, v="a"), R(k=2, v="b")])
+    commit_generation(spark, root, lambda p: base.write.parquet(p))
+    for i in range(3):
+        upd = spark.createDataFrame([R(k=1, v=f"v{i}")])
+        idempotent_merge_parquet(spark, upd, root, keys=["k"], vacuum_keep=10)
+    # every generation is still readable (keep=10 swept nothing)
+    assert current_generation(spark, root) == 4
+    assert read_versioned(spark, root, generation=1).count() == 2
+    assert {r["v"] for r in read_versioned(spark, root).collect()} == {"v2", "b"}
