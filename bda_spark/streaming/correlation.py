@@ -129,10 +129,12 @@ class CorrelationPipeline:
             )
         )
         # batch-scoped overwrite: an at-least-once replay of this batch
-        # rewrites its own summary instead of appending a duplicate row
-        out.write.mode("overwrite").parquet(
-            os.path.join(self.correlations_path, f"batch={batch_id}")
-        )
+        # rewrites its own summary instead of appending a duplicate
+        # row; batches already absorbed by compact() are skipped (see
+        # streaming.batchdir)
+        from .batchdir import write_batch_dir
+
+        write_batch_dir(out, self.correlations_path, batch_id)
 
     def start(
         self,
@@ -148,5 +150,33 @@ class CorrelationPipeline:
             writer = writer.trigger(processingTime=processing_time)
         return writer.start()
 
+    def compact(
+        self,
+        vacuum_keep: int = 2,
+        vacuum_min_age_seconds: float = 0.0,
+    ) -> int:
+        """Absorb the per-batch summary dirs into one compacted
+        versioned generation (batch-id high-watermark recorded with the
+        commit; see streaming.batchdir). One row lands per micro-batch,
+        so this is pure small-file hygiene — run it on the maintenance
+        cadence."""
+        from .batchdir import compact_batch_dirs
+
+        return compact_batch_dirs(
+            self.spark,
+            self.correlations_path,
+            vacuum_keep=vacuum_keep,
+            vacuum_min_age_seconds=vacuum_min_age_seconds,
+        )
+
     def correlations(self) -> DataFrame:
-        return self.spark.read.parquet(self.correlations_path).drop("batch")
+        """The exact summary table at any instant — compacted
+        generation ∪ fresh batch dirs; an empty typed frame (not an
+        exception) before the first summary lands."""
+        from ..schemas import CORRELATIONS_SCHEMA
+        from .batchdir import read_batch_table
+
+        cols = [f.name for f in CORRELATIONS_SCHEMA.fields]
+        return read_batch_table(
+            self.spark, self.correlations_path, CORRELATIONS_SCHEMA
+        ).select(*cols)
