@@ -54,17 +54,22 @@ def sq8_quantize(
     """Encode the float vector column as array<int> codes in [0, 255]
     (stored small; parquet dictionary/byte-packing drops them to ~1
     byte per dim on disk). Degenerate dimensions (hi == lo) encode as
-    0 and decode exactly to lo."""
+    0 and decode exactly to lo. Values OUTSIDE the [lo, hi] grid clamp
+    to the nearest edge code — identity for the data the grid was
+    trained on, and the standard scalar-quantizer behavior for
+    out-of-distribution vectors appended to a built index (the
+    alternative, out-of-range codes, would silently break the
+    1-byte-per-dim storage contract)."""
     lo_a, hi_a = _lit_array(lo), _lit_array(hi)
     codes = F.expr(
         f"""
         transform({col}, (x, i) ->
           CASE WHEN element_at({{hi}}, i + 1) = element_at({{lo}}, i + 1)
                THEN 0
-               ELSE CAST(round(
+               ELSE GREATEST(0, LEAST(255, CAST(round(
                  (CAST(x AS DOUBLE) - element_at({{lo}}, i + 1)) * 255.0
                  / (element_at({{hi}}, i + 1) - element_at({{lo}}, i + 1))
-               ) AS INT) END)
+               ) AS INT))) END)
         """.replace("{lo}", "__sq8_lo").replace("{hi}", "__sq8_hi")
     )
     return (
@@ -234,11 +239,15 @@ def ivf_sq8_index_build(
     touching the float corpus or refitting anything.
 
     Layout under ``path``:
-      ``codes/``  — (vec_id, centroid_id, codes array<int>) ~1 B/dim
+      ``codes/``  — (vec_id, codes array<int>) ~1 B/dim, HIVE-
+                    partitioned by ``centroid_id`` so maintenance
+                    rewrites and probe-scoped scans touch only the
+                    cells involved, never the whole index
       ``meta/``   — single row: centroids, per-dimension lo/hi grid
 
-    ``ivf_sq8_search`` is the read side; the pair is equivalent to
-    ``ivf_sq8_topk`` run live (pinned in tests/test_quantize.py)."""
+    ``ivf_sq8_search`` is the read side, ``ivf_sq8_index_append`` the
+    live-corpus maintenance; the pair is equivalent to ``ivf_sq8_topk``
+    run live (pinned in tests/test_quantize.py)."""
     from .similarity import ivf_index
 
     embeddings = embeddings.select(
@@ -250,13 +259,95 @@ def ivf_sq8_index_build(
         "vec_id", "codes"
     )
     index = assigned.select("vec_id", "centroid_id").join(coded, "vec_id")
-    index.write.mode("overwrite").parquet(f"{path.rstrip('/')}/codes")
+    index.repartition("centroid_id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(f"{path.rstrip('/')}/codes")
     spark = embeddings.sparkSession
     meta = spark.createDataFrame(
         [(centroids, lo, hi)],
         "centroids array<array<double>>, lo array<double>, hi array<double>",
     )
     meta.write.mode("overwrite").parquet(f"{path.rstrip('/')}/meta")
+
+
+def ivf_sq8_index_append(
+    spark,
+    path: str,
+    new_embeddings: DataFrame,
+    skew_threshold: float = 4.0,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Live-corpus maintenance for a persisted ``ivf_sq8_index_build``
+    artifact (the ANN twin of ``minhash_index`` + its streaming merge):
+    assign each NEW vector to its nearest EXISTING centroid (one tiny
+    probe — no retrain, the corpus is never re-scanned), quantize on
+    the EXISTING lo/hi grid (out-of-grid values clamp to edge codes),
+    and upsert into the codes table with the partition-scoped
+    idempotent merge — only the cells the batch actually touches are
+    rewritten, so maintenance cost is O(batch + touched cells), not
+    O(index).
+
+    Drift trigger: appends keep old centroids, so a distribution shift
+    concentrates new vectors into few cells and partial-probe recall
+    decays (a hot cell holds vectors far from its center). After the
+    merge this measures cell-size skew — max cell size over mean
+    non-empty cell size — and reports ``needs_retrain=True`` when it
+    exceeds ``skew_threshold`` (a freshly-trained quantizer keeps cells
+    near-balanced; 4x is well outside KMeans noise). The CALLER
+    schedules the retrain (``ivf_sq8_index_build`` over the full
+    corpus, typically off-peak): this function never silently does a
+    full-corpus pass.
+
+    Returns {"appended": n, "cells_touched": t, "skew": s,
+    "needs_retrain": bool}. Replay-safe: re-appending the same batch
+    upserts by vec_id (same deterministic cell), a no-op in content."""
+    from ..sources.sinks import idempotent_merge_parquet
+    from .similarity import probe_cells
+
+    base = path.rstrip("/")
+    meta = spark.read.parquet(f"{base}/meta").collect()[0]
+    centroids = [list(c) for c in meta["centroids"]]
+    lo, hi = list(meta["lo"]), list(meta["hi"])
+
+    new_embeddings = new_embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(col).alias("embedding")
+    )
+    # nearest existing centroid = a 1-probe cell lookup; deterministic,
+    # so a replayed batch lands every vector in the same cell
+    assigned = probe_cells(new_embeddings, centroids, n_probe=1).select(
+        F.col("query_id").alias("vec_id"), "centroid_id"
+    )
+    coded = sq8_quantize(new_embeddings, lo, hi, "embedding").select(
+        "vec_id", "codes"
+    )
+    updates = coded.join(assigned, "vec_id").select(
+        "vec_id", "codes", "centroid_id"
+    )
+    appended = updates.count()
+    idempotent_merge_parquet(
+        spark, updates, f"{base}/codes", keys=["vec_id"],
+        partition_col="centroid_id",
+    )
+    sizes = (
+        spark.read.parquet(f"{base}/codes")
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.max("n").alias("mx"),
+            F.avg("n").alias("mean"),
+            F.count("*").alias("cells"),
+        )
+        .collect()[0]
+    )
+    skew = float(sizes["mx"]) / float(sizes["mean"]) if sizes["mean"] else 0.0
+    touched = assigned.select("centroid_id").distinct().count()
+    return {
+        "appended": int(appended),
+        "cells_touched": int(touched),
+        "skew": round(skew, 3),
+        "needs_retrain": bool(skew > float(skew_threshold)),
+    }
 
 
 def ivf_sq8_search(

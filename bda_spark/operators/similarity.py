@@ -169,12 +169,23 @@ def ivf_index(
     n_centroids: int = 16,
     seed: int = 42,
     max_iter: int = 10,
+    train_per_centroid: int = 256,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: KMeans centroids + per-vector nearest-
     centroid assignment (pyspark.ml, Euclidean — the standard IVF
     cell geometry). Returns (assignments(vec_id, centroid_id),
     centroids) — the centroid list is tiny (k x dim) and travels as a
-    plan literal, never a shuffle."""
+    plan literal, never a shuffle.
+
+    SAMPLE-trained, full-corpus-assigned (the FAISS discipline): the
+    coarse quantizer only needs enough points to place k cell centers
+    — ``train_per_centroid x n_centroids`` of them — so KMeans fits on
+    a seeded Bernoulli sample (cached in memory for its maxIter
+    passes) and the FULL corpus is touched exactly once, by the
+    assignment transform. Training on the full corpus would instead
+    scan 100 TB maxIter times for centroids statistically identical to
+    the sample's. Corpora at or below the target train on everything
+    (the sample would be the corpus anyway)."""
     from pyspark import StorageLevel
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -185,16 +196,25 @@ def ivf_index(
             "features"
         ),
     )
+    target = int(train_per_centroid) * int(n_centroids)
+    n = embeddings.count()
+    if n > target:
+        # 1.05x: Bernoulli sampling undershoots the expectation about
+        # half the time; the pad keeps the realized sample at/above
+        # the per-centroid budget with near-certainty
+        fit_src = train.sample(min(1.0, 1.05 * target / n), seed=seed)
+    else:
+        fit_src = train
     # KMeans.fit iterates maxIter times over its input and does NOT
-    # cache it — uncached, every iteration would re-scan the parquet
-    # and re-build the vectors. MEMORY_AND_DISK so a 100 TB corpus
-    # spills instead of OOMing; released as soon as fit returns (the
-    # one transform() below re-derives train from source once).
-    train.persist(StorageLevel.MEMORY_AND_DISK)
+    # cache it — uncached, every iteration would re-evaluate the
+    # sample from source. The sample is small by construction
+    # (~train_per_centroid x k rows), so plain memory caching holds it;
+    # released as soon as fit returns.
+    fit_src.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+        model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(fit_src)
     finally:
-        train.unpersist()
+        fit_src.unpersist()
     assigned = model.transform(train).select(
         "vec_id", F.col("prediction").alias("centroid_id")
     )
@@ -262,6 +282,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     max_iter: int = 10,
+    train_per_centroid: int = 256,
 ) -> DataFrame:
     """IVF-style ANN top-k: assign the corpus to KMeans cells once,
     probe each query's ``n_probe`` nearest cells, exact-cosine rerank
@@ -281,7 +302,9 @@ def ivf_topk(
     with ``n_probe = n_centroids`` every cell is probed and the result
     is EXACTLY brute force (the correctness row runs that regime; the
     recall/speed trade of partial probing is pinned in pytest)."""
-    assigned, centroids = ivf_index(embeddings, n_centroids, seed, max_iter)
+    assigned, centroids = ivf_index(
+        embeddings, n_centroids, seed, max_iter, train_per_centroid
+    )
     probes = probe_cells(queries, centroids, n_probe)
     cands = (
         probes.join(assigned, "centroid_id")

@@ -176,3 +176,111 @@ def test_ivf_sq8_persisted_index_round_trip(spark, tmp_path):
 
     assert os.path.isdir(os.path.join(path, "codes"))
     assert os.path.isdir(os.path.join(path, "meta"))
+
+
+def test_sample_trained_quantizer_full_probe_still_exact(spark):
+    """The 100 TB training discipline: KMeans fits on a seeded sample
+    (train_per_centroid x k rows), never the corpus. With the sampling
+    path FORCED (tiny per-centroid budget << corpus), full probing must
+    still return exactly the brute-force top-k — cell quality affects
+    only partial-probe recall, never the exact regime."""
+    from bda_spark.operators.similarity import ivf_index, ivf_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    assert n > 8 * 4  # the sample path genuinely engages below
+    assigned, centroids = ivf_index(
+        emb, n_centroids=8, train_per_centroid=4
+    )
+    # every corpus vector is assigned exactly once, sample or not
+    assert assigned.count() == n
+    assert len(centroids) == 8
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = sorted(
+        (r.query_id, r.rk, r.neighbor_id)
+        for r in ivf_topk(
+            emb, queries, k=5, n_centroids=8, n_probe=8,
+            train_per_centroid=4,
+        ).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rk"], r["neighbor_id"])
+        for r in _exact_topk(spark, emb, queries, k=5)
+    )
+    assert got == want
+
+
+def test_index_append_matches_rebuilt_search(spark, tmp_path):
+    """Incremental maintenance: build the index on part of the corpus,
+    append the rest by nearest-centroid assignment (no retrain), and
+    full-probe search over the grown index must equal a from-scratch
+    brute force over the full corpus — appended vectors are first-class
+    index members."""
+    from bda_spark.operators.quantize import (
+        ivf_sq8_index_append,
+        ivf_sq8_index_build,
+        ivf_sq8_search,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ivf_idx")
+    ivf_sq8_index_build(base, path, n_centroids=8)
+    stats = ivf_sq8_index_append(spark, path, batch)
+    assert stats["appended"] == batch.count()
+    assert 1 <= stats["cells_touched"] <= 8
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = sorted(
+        (r.query_id, r.rk, r.neighbor_id)
+        for r in ivf_sq8_search(
+            spark, path, queries, emb, k=5, n_probe=8, oversample=1000
+        ).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rk"], r["neighbor_id"])
+        for r in _exact_topk(spark, emb, queries, k=5)
+    )
+    assert got == want
+
+    # replay safety: re-appending the same batch changes nothing
+    again = ivf_sq8_index_append(spark, path, batch)
+    assert again["appended"] == stats["appended"]
+    got2 = sorted(
+        (r.query_id, r.rk, r.neighbor_id)
+        for r in ivf_sq8_search(
+            spark, path, queries, emb, k=5, n_probe=8, oversample=1000
+        ).collect()
+    )
+    assert got2 == got
+
+
+def test_index_append_drift_trigger_fires_on_skew(spark, tmp_path):
+    """The retrain scheduler's signal: appending a dense blob far from
+    every trained centroid piles into one cell and trips the skew
+    threshold; a same-distribution append does not."""
+    from pyspark.sql import Row
+
+    from bda_spark.operators.quantize import (
+        ivf_sq8_index_append,
+        ivf_sq8_index_build,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    dim = len(emb.first()["embedding"])
+    path = str(tmp_path / "drift_idx")
+    ivf_sq8_index_build(emb, path, n_centroids=8)
+    ok = ivf_sq8_index_append(
+        spark, path, emb.select((F.col("vec_id") + 100000).alias("vec_id"),
+                                "embedding"),
+    )
+    assert not ok["needs_retrain"], ok
+    n = emb.count()
+    blob = spark.createDataFrame(
+        [Row(vec_id=200000 + i, embedding=[1000.0] * dim)
+         for i in range(4 * n)]
+    )
+    drift = ivf_sq8_index_append(spark, path, blob)
+    assert drift["cells_touched"] == 1  # the whole blob shares one cell
+    assert drift["skew"] > 4.0 and drift["needs_retrain"], drift
