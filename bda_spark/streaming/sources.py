@@ -33,6 +33,75 @@ def decode_ticks(raw: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+def encode_ticks(ticks: DataFrame, key_col: str | None = "symbol") -> DataFrame:
+    """Inverse of ``decode_ticks``: typed tick columns -> Kafka record
+    frame (key, value), value = ``to_json(struct(<13 tick fields>))``
+    in schema order — JVM-side, the D1 discipline (the reference's
+    producers built the JSON in Python per record,
+    yfinance_stream.py:89-108). Keying by symbol makes Kafka hash every
+    symbol's records to one partition, preserving per-symbol order for
+    downstream consumers — the property the reference's dual-topic
+    split (one topic per feed) was approximating."""
+    value = F.to_json(
+        F.struct(*[F.col(f.name) for f in TICK_SCHEMA.fields])
+    ).alias("value")
+    if key_col is None:
+        return ticks.select(value)
+    return ticks.select(F.col(key_col).cast("string").alias("key"), value)
+
+
+def write_tick_stream(
+    ticks: DataFrame,
+    brokers: str,
+    topic: str,
+    checkpoint: str,
+    key_col: str | None = "symbol",
+    available_now: bool = False,
+    processing_time: str | None = None,
+):
+    """S12 producer twin of ``kafka_tick_stream``: encode the typed
+    tick stream and publish it to a Kafka topic through Spark's own
+    exactly-once-per-checkpoint streaming sink (replaces the
+    reference's driver-side KafkaProducer loops,
+    yfinance_stream.py:89-108 / xtb_stream.py:91-105 — per-record
+    Python sends with no checkpointing, so a crashed producer replayed
+    or dropped arbitrary spans). Returns the StreamingQuery. Not
+    exercisable in the broker-less test container; the env-gated
+    round-trip test (tests/test_kafka_integration.py) verifies
+    produce -> consume ≡ the file twin wherever a broker exists."""
+    writer = (
+        encode_ticks(ticks, key_col)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def write_ticks_batch(
+    ticks: DataFrame,
+    brokers: str,
+    topic: str,
+    key_col: str | None = "symbol",
+) -> None:
+    """Batch flavor of the producer: land a finite tick frame (a
+    backtest capture, a generator run) on a topic in one job — the
+    shape the reference's simulated feeds used a Python send-loop for
+    (yfinance_stream.py:118-139)."""
+    (
+        encode_ticks(ticks, key_col)
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .save()
+    )
+
+
 def kafka_tick_stream(
     spark: SparkSession,
     brokers: str,

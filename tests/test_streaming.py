@@ -867,3 +867,25 @@ def test_predictor_replay_is_idempotent(spark, bp_pipeline, tmp_path):
     ).start()
     _drain(q)
     assert bp_pipeline.predictions().count() == before
+
+
+def test_encode_ticks_round_trips_through_decode(spark, tick_dir):
+    """The producer's serialization half, verified broker-less:
+    decode(encode(ticks)) must be the identity on typed tick rows (the
+    env-gated integration test pushes the same bytes through a real
+    topic where one exists). Keying by symbol pins per-symbol ordering
+    to one Kafka partition."""
+    from bda_spark.streaming.sources import decode_ticks, encode_ticks
+
+    typed = validate_ticks(
+        decode_ticks(spark.read.text(tick_dir))
+    )
+    enc = encode_ticks(typed)
+    assert enc.columns == ["key", "value"]
+    assert set(r["key"] for r in enc.select("key").distinct().collect()) == {
+        "BP",
+        "ETHEREUM",
+    }
+    want = sorted(map(tuple, typed.collect()))
+    got = sorted(map(tuple, decode_ticks(enc).collect()))
+    assert got == want
