@@ -8,14 +8,19 @@ The payload is bytes in ``meta.format``; nothing outside the decode
 function ever interprets it, so swapping a codec never touches the
 Spark plan.
 
-STUB BOUNDARY (clearly marked): this container has no image/audio
-codec libraries (no PIL, librosa, av), so only the RAW formats are
-decodable — ``rgb8_raw`` (H×W×C uint8 buffer) and ``pcm16``
-(little-endian int16 mono), both decoded for real with numpy.
-Compressed formats (jpeg/png/mp3/...) raise ``NotImplementedError``
-from ``decode_image``/``decode_audio``; on a real cluster those two
-functions grow a PIL/librosa branch and NOTHING else changes — the
-schemas, batch shapes, and plans below are production-real.
+CODEC BOUNDARY (env-gated, the Kafka-source pattern): the RAW formats
+— ``rgb8_raw`` (H×W×C uint8 buffer) and ``pcm16`` (little-endian int16
+mono) — decode for real with numpy everywhere; ``wav`` decodes for
+real with the stdlib ``wave`` module everywhere. Compressed codecs
+decode for real WHEREVER THE LIBRARY EXISTS — pillow for jpeg/png/...
+images, soundfile for flac/ogg/... audio, av for video containers —
+via a try-import branch, and raise ``NotImplementedError`` naming the
+missing package otherwise (this test container ships none of the
+three; the env-gated round-trip tests in tests/test_multimodal.py
+verify decode(encode(raw)) ≡ raw features wherever they appear, the
+same posture as the live-broker Kafka test). Swapping or adding a
+codec never touches the Spark plans — schemas, batch shapes, and
+operators below are production-real either way.
 
 Scale shape: ``mapInPandas`` streams Arrow batches (bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch``), so executor memory
@@ -68,27 +73,95 @@ MEDIA_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes, meta) -> np.ndarray:
-    """payload -> (H, W, C) uint8 array. Real decode for rgb8_raw;
-    compressed codecs are the STUB boundary (no PIL in container)."""
+    """payload -> (H, W, C) uint8 array. Real numpy decode for
+    rgb8_raw everywhere; compressed codecs (png/jpeg/webp/...) decode
+    through pillow where it is installed (env-gated — the container
+    boundary, not a semantic stub: the env-gated round-trip test
+    asserts decode(encode(raw)) ≡ raw wherever pillow exists)."""
     fmt = meta["format"]
     if fmt == RAW_IMAGE_FORMAT:
         h, w, c = int(meta["height"]), int(meta["width"]), int(meta["channels"])
         return np.frombuffer(payload, dtype=np.uint8, count=h * w * c).reshape(h, w, c)
-    raise NotImplementedError(
-        f"image codec {fmt!r}: decoder library not installed in this "
-        "environment — STUB; add a PIL branch here on a real cluster"
-    )
+    try:
+        from PIL import Image
+    except ImportError:
+        raise NotImplementedError(
+            f"image codec {fmt!r} needs the 'pillow' package, which is "
+            f"not installed in this environment"
+        ) from None
+    import io
+
+    arr = np.asarray(Image.open(io.BytesIO(payload)))
+    if arr.ndim == 2:  # grayscale -> (H, W, 1)
+        arr = arr[:, :, None]
+    return np.ascontiguousarray(arr, dtype=np.uint8)
 
 
 def decode_audio(payload: bytes, meta) -> np.ndarray:
-    """payload -> float64 samples in [-1, 1]. Real decode for pcm16."""
+    """payload -> float64 mono samples in [-1, 1]. Real decode for
+    pcm16 (numpy) and wav (stdlib ``wave``) everywhere; other codecs
+    (flac/ogg/...) decode through soundfile where installed
+    (env-gated). Multi-channel audio mixes down by channel mean."""
     fmt = meta["format"]
     if fmt == RAW_AUDIO_FORMAT:
         return np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
-    raise NotImplementedError(
-        f"audio codec {fmt!r}: decoder library not installed in this "
-        "environment — STUB; add a librosa/soundfile branch here"
-    )
+    if fmt == "wav":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            if wf.getsampwidth() != 2:
+                raise ValueError(
+                    f"wav decode: only 16-bit PCM supported, got "
+                    f"{8 * wf.getsampwidth()}-bit"
+                )
+            frames = wf.readframes(wf.getnframes())
+            ch = wf.getnchannels()
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+        if ch > 1:
+            samples = samples.reshape(-1, ch).mean(axis=1)
+        return samples
+    try:
+        import soundfile as sf
+    except ImportError:
+        raise NotImplementedError(
+            f"audio codec {fmt!r} needs the 'soundfile' package, which "
+            f"is not installed in this environment"
+        ) from None
+    import io
+
+    data, _sr = sf.read(io.BytesIO(payload), dtype="float64")
+    if data.ndim == 2:
+        data = data.mean(axis=1)
+    return data
+
+
+def decode_video_frames(payload: bytes, meta) -> Iterator[np.ndarray]:
+    """payload -> iterator of (H, W, 3) uint8 frames. Real slicing for
+    rgb8_frames everywhere; container formats (mp4/mkv/...) decode
+    through av where installed (env-gated)."""
+    fmt = meta["format"]
+    if fmt == RAW_VIDEO_FORMAT:
+        h, w, c = int(meta["height"]), int(meta["width"]), int(meta["channels"])
+        stride = h * w * c
+        n = min(int(meta["n_frames"]), len(payload) // stride) if stride else 0
+        for i in range(n):
+            yield np.frombuffer(
+                payload, dtype=np.uint8, count=stride, offset=i * stride
+            ).reshape(h, w, c)
+        return
+    try:
+        import av
+    except ImportError:
+        raise NotImplementedError(
+            f"video codec {fmt!r} needs the 'av' package, which is not "
+            f"installed in this environment"
+        ) from None
+    import io
+
+    with av.open(io.BytesIO(payload)) as container:
+        for frame in container.decode(video=0):
+            yield frame.to_ndarray(format="rgb24")
 
 
 IMAGE_FEATURES_SCHEMA = (
@@ -129,13 +202,27 @@ def image_features(media: DataFrame) -> DataFrame:
                 p if p is not None else b"" for p in pdf["payload"].tolist()
             ]
             for i, meta in enumerate(metas):
-                key = (meta["format"], int(meta["height"]),
-                       int(meta["width"]), int(meta["channels"]))
+                # compressed rows may carry null dims (the codec is the
+                # source of truth there); 0 keeps them groupable
+                key = (meta["format"], int(meta["height"] or 0),
+                       int(meta["width"] or 0), int(meta["channels"] or 0))
                 groups.setdefault(key, []).append(i)
             for (fmt, h, w, c), idxs in groups.items():
                 if fmt != RAW_IMAGE_FORMAT:
-                    # exercise the stub boundary exactly like decode_image
-                    decode_image(payloads[idxs[0]], metas[idxs[0]])
+                    # compressed codec: the library IS the decode cost,
+                    # so per-image stats loop over decoded arrays (or
+                    # NotImplementedError where the codec lib is absent
+                    # — the env boundary, identical to decode_image's)
+                    for i in idxs:
+                        img = decode_image(payloads[i], metas[i])
+                        cols["mean_intensity"][i] = img.mean()
+                        cols["std_intensity"][i] = img.std()
+                        cols["min_intensity"][i] = img.min()
+                        cols["max_intensity"][i] = img.max()
+                        dh, dw, dc = img.shape
+                        cols["height"][i], cols["width"][i] = dh, dw
+                        cols["channels"][i] = dc
+                    continue
                 sz = h * w * c
                 if sz == 0:
                     # zero-area metadata: sentinel stats instead of a
@@ -246,7 +333,22 @@ def audio_features(media: DataFrame) -> DataFrame:
                 ).append(i)
             for (fmt, nbytes), idxs in groups.items():
                 if fmt != RAW_AUDIO_FORMAT:
-                    decode_audio(payloads[idxs[0]], metas[idxs[0]])
+                    # container/compressed codec: decode each clip
+                    # (stdlib wav everywhere; soundfile where present)
+                    for i in idxs:
+                        samples = decode_audio(payloads[i], metas[i])
+                        ns = len(samples)
+                        cols["n_samples"][i] = ns
+                        sr = int(metas[i]["sample_rate"] or 0)
+                        cols["duration_sec"][i] = ns / sr if sr > 0 else 0.0
+                        if ns:
+                            cols["rms"][i] = float(np.sqrt(np.mean(samples**2)))
+                        if ns > 1:
+                            flips = np.signbit(samples[1:]) != np.signbit(
+                                samples[:-1]
+                            )
+                            cols["zero_crossing_rate"][i] = float(flips.mean())
+                    continue
                 n = nbytes // 2  # int16 samples
                 ix = np.asarray(idxs)
                 cols["n_samples"][ix] = n
@@ -299,10 +401,17 @@ def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                 pdf["media_id"], pdf["payload"], pdf["meta"]
             ):
                 if meta["format"] != RAW_VIDEO_FORMAT:
-                    raise NotImplementedError(
-                        f"video codec {meta['format']!r}: decoder library "
-                        "not installed — STUB; add an av branch here"
-                    )
+                    # container format: av-gated frame decode (env
+                    # boundary as decode_video_frames); only sampled
+                    # frames are rendered to bytes
+                    for i, frame in enumerate(
+                        decode_video_frames(
+                            buf if buf is not None else b"", meta
+                        )
+                    ):
+                        if i % every_n == 0:
+                            out.append((media_id, i, frame.tobytes()))
+                    continue
                 h, w, c = int(meta["height"]), int(meta["width"]), int(meta["channels"])
                 stride = h * w * c
                 buf = buf if buf is not None else b""
