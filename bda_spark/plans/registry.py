@@ -49,16 +49,26 @@ def query(name: str, sql: str | None = None):
 # ALL registered queries against DuckDB, not just the first 50).
 DRIVER_ROW_CAP = 50
 
-# The EXPLICIT driver window, in the exact order the driver has recorded
-# since CORRECTNESS_r05. Pinning the order here (rather than relying on
-# registration order) makes the window immune to import-order effects: a
-# test or caller importing one plans module directly before the first
-# get_queries() call would otherwise re-seat every window cell silently.
-# tests/test_registry.py asserts this list matches CORRECTNESS_r05's keys.
+# The EXPLICIT driver window, in the exact order the driver records.
+# Pinning the order here (rather than relying on registration order)
+# makes the window immune to import-order effects: a test or caller
+# importing one plans module directly before the first get_queries()
+# call would otherwise re-seat every window cell silently.
+# tests/test_registry.py pins this list and the deliberate r9 swap.
+#
+# ROUND-9 REFRESH (the r05–r08 window was byte-identical for three
+# rounds, leaving post-cap components driver-unverified): three
+# redundant twins ceded their rows to three unique components —
+#   doc_rolling_fingerprints -> doc_tfidf_terms       (rolling-hash twin
+#     doc_fingerprints stays oracle-verified in the tail)
+#   features_json_roundtrip  -> events_trailing_7d    (JSON path twin
+#     events_json_extract in the tail + pytest round-trip inverse)
+#   docs_train_val_split     -> docs_token_budget_sample (Knuth-hash
+#     sampling family held in-window by docs_stratified_sample)
 DRIVER_WINDOW = [
     "doc_decontaminate",
     "docs_stratified_sample",
-    "docs_train_val_split",
+    "docs_token_budget_sample",
     "doc_unigram_logprob",
     "docs_mixture_weights",
     "docs_pack_sequences",
@@ -91,7 +101,7 @@ DRIVER_WINDOW = [
     "keyword_counts",
     "doc_quality_scores",
     "regex_token_stats",
-    "doc_rolling_fingerprints",
+    "doc_tfidf_terms",
     "exact_dedup_keyset",
     "ngram_jaccard_pairs",
     "doc_repetition_scores",
@@ -99,7 +109,7 @@ DRIVER_WINDOW = [
     "events_windowed_10min",
     "events_bucket_join_corr",
     "events_lead_label",
-    "features_json_roundtrip",
+    "events_trailing_7d",
     "events_daily_kpis",
     "events_spearman",
     "events_interpolate_1h",
@@ -144,15 +154,16 @@ DEFERRED_TAIL = [
     "events_expectations_metrics",  # declarative gate ⊃ validate_ticks (D8)
     "doc_canonical_fingerprints",  # normalization layer; md5 family twin
     "events_interval_join_firstday",  # bucketed range-join; as-of family sibling
-    "events_trailing_7d",       # RANGE-frame trailing window over the daily grid
     "events_variant_extract",   # Spark-4 VARIANT decode; oracle = JSON-text twin
     "customer_balance_ntiles",  # ntile(4) quartiles; window family w/ orders_rank_topk
     "docs_listagg_sources",     # Spark-4 listagg WITHIN GROUP; deterministic ordered concat
     "events_spearman_approx",   # binned-rank sketch twin of events_spearman (rows-only)
-    "doc_tfidf_terms",          # corpus-aware keyword weights; token-count family
     "events_quantile_sketch_rollup",  # histogram sketch-table twin of the HLL rollup
     "doc_compression_ratio",    # zlib quality signal (rows-only: no zlib in DuckDB)
-    "docs_token_budget_sample", # token-budget twin of docs_stratified_sample
+    # Ceded their driver rows in the ROUND-9 REFRESH (see DRIVER_WINDOW):
+    "doc_rolling_fingerprints", # rolling-hash family: doc_fingerprints twin
+    "features_json_roundtrip",  # JSON path twin of events_json_extract + pytest inverse
+    "docs_train_val_split",     # Knuth-hash split; family row docs_stratified_sample
 ]
 
 

@@ -18,13 +18,11 @@ MUST_BE_IN_WINDOW = [
     "media_video_frame_sample",
     "events_spearman",
     "events_daily_kpis",
-    "features_json_roundtrip",
     "events_lead_label",
     "scraped_articles",
     "generated_ticks_profile",
     "doc_decontaminate",
     "docs_stratified_sample",
-    "docs_train_val_split",
     "docs_pack_sequences",
     "doc_unigram_logprob",
     "docs_mixture_weights",
@@ -47,6 +45,10 @@ MUST_BE_IN_WINDOW = [
     "ngram_jaccard_pairs",
     "doc_repetition_scores",
     "doc_pii_scan",
+    # round-9 window refresh: the three promoted driver-unverified rows
+    "doc_tfidf_terms",
+    "events_trailing_7d",
+    "docs_token_budget_sample",
 ]
 
 
@@ -68,15 +70,30 @@ def test_driver_window_keys_are_frozen():
     """The driver hashes rows for the FIRST 50 queries only, and the
     judge tracks those 50 cells round-over-round — any reorder (a new
     module import order, a forgotten DEFERRED_TAIL entry) silently
-    swaps which operators get driver verification. Pin the exact keys
-    as recorded in CORRECTNESS_r05; changing the window is allowed
-    only by editing this list deliberately."""
+    swaps which operators get driver verification. The window is pinned
+    by registry.DRIVER_WINDOW; this test asserts the runtime order
+    matches the pin AND that the delta vs the long-stable r05–r08
+    window is EXACTLY the three deliberate round-9 swaps — any other
+    drift is an accident."""
     import json
     import os
 
+    from bda_spark.plans.registry import DRIVER_WINDOW
+
+    got = list(get_queries())[:DRIVER_ROW_CAP]
+    assert got == DRIVER_WINDOW
     r5 = os.path.join(os.path.dirname(os.path.dirname(__file__)), "CORRECTNESS_r05.json")
-    expected = list(json.load(open(r5)))
-    assert list(get_queries())[:DRIVER_ROW_CAP] == expected
+    old = set(json.load(open(r5)))
+    assert old - set(got) == {
+        "doc_rolling_fingerprints",
+        "features_json_roundtrip",
+        "docs_train_val_split",
+    }
+    assert set(got) - old == {
+        "doc_tfidf_terms",
+        "events_trailing_7d",
+        "docs_token_budget_sample",
+    }
 
 
 def test_queries_and_oracles_share_order_and_keys():
