@@ -164,61 +164,149 @@ def simhash_neardup_pairs(
     )
 
 
+def _kmeans_once(
+    X: "np.ndarray", k: int, rng: "np.random.Generator", max_iter: int
+) -> tuple["np.ndarray", float]:
+    """One kmeans++-seeded Lloyd's run; returns (centroids, inertia).
+    Distances use the |x|^2 + |c|^2 - 2x.c expansion (an (n x k)
+    matrix + one matmul, never an (n x k x dim) tensor). Empty cells
+    re-seed from the point farthest from its nearest centroid."""
+    n = len(X)
+    chosen = [int(rng.integers(n))]
+    d2 = ((X - X[chosen[0]]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        total = float(d2.sum())
+        if total <= 0.0:  # all remaining points identical
+            nxt = int(rng.integers(n))
+        else:
+            nxt = int(rng.choice(n, p=d2 / total))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
+    C = X[chosen].astype(np.float64).copy()
+    x2 = (X ** 2).sum(axis=1)[:, None]
+    d = None
+    for _ in range(int(max_iter)):
+        d = x2 + (C ** 2).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        a = d.argmin(axis=1)
+        newC = C.copy()
+        for j in range(k):
+            members = X[a == j]
+            if len(members):
+                newC[j] = members.mean(axis=0)
+            else:
+                newC[j] = X[int(d.min(axis=1).argmax())]
+        if np.allclose(newC, C):
+            C = newC
+            break
+        C = newC
+    d = x2 + (C ** 2).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+    return C, float(np.maximum(d.min(axis=1), 0.0).sum())
+
+
+def _kmeans_fit(
+    X: "np.ndarray", k: int, seed: int, max_iter: int, nredo: int = 4
+) -> "np.ndarray":
+    """Seeded Lloyd's over the DRIVER-side training sample — the FAISS
+    coarse-quantizer discipline: the trainer's input is
+    O(k x train_per_centroid) rows BY CONSTRUCTION (a broadcast-
+    scalar-sized problem, like a join's build side), so a local
+    vectorized fit replaces ~maxIter distributed jobs of scheduler
+    overhead with milliseconds of numpy. ``nredo`` independent
+    kmeans++ restarts keep the best-inertia run (FAISS's own guard
+    against a bad local optimum — a single greedy seeding can cost
+    real partial-probe recall). Deterministic for a given
+    (sample, k, seed)."""
+    n = len(X)
+    k = max(1, min(int(k), n))
+    rng = np.random.default_rng(seed)
+    best, best_inertia = None, float("inf")
+    for _ in range(max(1, int(nredo))):
+        C, inertia = _kmeans_once(X, k, rng, max_iter)
+        if inertia < best_inertia:
+            best, best_inertia = C, inertia
+    return best
+
+
+def nearest_centroid_col(centroids: list[list[float]]) -> "F.Column":
+    """0-based index of the nearest centroid (L2) for the row's
+    ``embedding`` — a pure PROJECTION over the centroid plan literal
+    (transform + aggregate + array_position), so corpus assignment is
+    one codegen map pass: no shuffle, no UDF, no vector-UDT detour.
+    Ties resolve to the lowest centroid id (array_position takes the
+    first match)."""
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    v = F.col("embedding").cast("array<double>")
+    dists = F.transform(
+        cent_lit,
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
 def ivf_index(
     embeddings: DataFrame,
     n_centroids: int = 16,
     seed: int = 42,
     max_iter: int = 10,
     train_per_centroid: int = 256,
+    n_hint: int | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: KMeans centroids + per-vector nearest-
-    centroid assignment (pyspark.ml, Euclidean — the standard IVF
-    cell geometry). Returns (assignments(vec_id, centroid_id),
-    centroids) — the centroid list is tiny (k x dim) and travels as a
-    plan literal, never a shuffle.
+    centroid assignment (Euclidean — the standard IVF cell geometry).
+    Returns (assignments(vec_id, centroid_id), centroids) — the
+    centroid list is tiny (k x dim) and travels as a plan literal,
+    never a shuffle.
 
     SAMPLE-trained, full-corpus-assigned (the FAISS discipline): the
     coarse quantizer only needs enough points to place k cell centers
-    — ``train_per_centroid x n_centroids`` of them — so KMeans fits on
-    a seeded Bernoulli sample (cached in memory for its maxIter
-    passes) and the FULL corpus is touched exactly once, by the
-    assignment transform. Training on the full corpus would instead
-    scan 100 TB maxIter times for centroids statistically identical to
-    the sample's. Corpora at or below the target train on everything
-    (the sample would be the corpus anyway)."""
-    from pyspark import StorageLevel
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    — ``train_per_centroid x n_centroids`` of them — so the fit runs
+    on a bounded sample ON THE DRIVER (``_kmeans_fit``: the sample is
+    broadcast-scalar-sized by construction) and the FULL corpus is
+    touched exactly once, by the assignment projection
+    (``nearest_centroid_col`` — one codegen map, no shuffle).
+    Training distributed on the full corpus would instead scan 100 TB
+    maxIter times for centroids statistically identical to the
+    sample's.
 
-    train = embeddings.select(
-        "vec_id",
-        array_to_vector(F.col("embedding").cast("array<double>")).alias(
-            "features"
-        ),
-    )
+    The small-vs-large decision does NOT pay a full corpus count: an
+    early-terminating ``take`` probe (CollectLimit's incremental job —
+    one task at toy scale, a handful at 100 TB, never a task per file
+    split) checks whether the corpus exceeds 4x the training target;
+    at or below it the whole corpus IS the sample. Above it, the
+    exact count (skipped when the caller passes ``n_hint``) prices
+    the Bernoulli sampling fraction."""
+    emb_arr = F.col("embedding").cast("array<double>").alias("e")
     target = int(train_per_centroid) * int(n_centroids)
-    n = embeddings.count()
-    if n > target:
+    cap = 4 * target + 1
+    if n_hint is not None:
+        small = n_hint <= 4 * target
+    else:
+        # zero-data-column projection: the probe ships one tiny
+        # literal per row and stops at `cap` rows
+        small = len(embeddings.select(F.lit(1).alias("one")).take(cap)) < cap
+    if small:
+        fit_rows = embeddings.select(emb_arr).collect()
+    else:
+        n = n_hint if n_hint is not None else embeddings.count()
         # 1.05x: Bernoulli sampling undershoots the expectation about
         # half the time; the pad keeps the realized sample at/above
         # the per-centroid budget with near-certainty
-        fit_src = train.sample(min(1.0, 1.05 * target / n), seed=seed)
-    else:
-        fit_src = train
-    # KMeans.fit iterates maxIter times over its input and does NOT
-    # cache it — uncached, every iteration would re-evaluate the
-    # sample from source. The sample is small by construction
-    # (~train_per_centroid x k rows), so plain memory caching holds it;
-    # released as soon as fit returns.
-    fit_src.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(fit_src)
-    finally:
-        fit_src.unpersist()
-    assigned = model.transform(train).select(
-        "vec_id", F.col("prediction").alias("centroid_id")
+        fit_rows = (
+            embeddings.sample(min(1.0, 1.05 * target / n), seed=seed)
+            .select(emb_arr)
+            .collect()
+        )
+    X = np.asarray([r["e"] for r in fit_rows], dtype=np.float64)
+    centroids = _kmeans_fit(X, n_centroids, seed, max_iter).tolist()
+    assigned = embeddings.select(
+        "vec_id", nearest_centroid_col(centroids).alias("centroid_id")
     )
-    centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
     return assigned, centroids
 
 

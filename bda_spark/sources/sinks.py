@@ -43,7 +43,7 @@ def idempotent_merge_parquet(
     keys: list[str],
     partition_col: str | None = None,
     vacuum_keep: int = 2,
-    vacuum_min_age_seconds: float = 0.0,
+    vacuum_min_age_seconds: float | None = None,
 ) -> None:
     """Upsert-by-primary-key semantics over a parquet table.
 
@@ -88,12 +88,22 @@ def idempotent_merge_parquet(
     ``vacuum_keep`` / ``vacuum_min_age_seconds`` tune the retention of
     superseded generations: commit-count retention alone gives rapidly
     merged tables (per-micro-batch upserts) a reader grace window of
-    only ``vacuum_keep - 1`` merges, so high-frequency mergers should
-    pass a min age at least as long as their slowest expected scan
-    (see ``versioned.vacuum_versions``).
+    only ``vacuum_keep - 1`` merges, so the min age DEFAULTS to
+    ``versioned.DEFAULT_MAINTENANCE_MIN_AGE_SECONDS`` (10 min) — a
+    reader that resolved a generation always gets at least that long
+    to finish its scan no matter how fast merges land. Batch callers
+    that want immediate reclamation pass 0.0 explicitly.
     """
-    from .versioned import commit_generation, is_versioned, resolve_table, vacuum_versions
+    from .versioned import (
+        DEFAULT_MAINTENANCE_MIN_AGE_SECONDS,
+        commit_generation,
+        is_versioned,
+        resolve_table,
+        vacuum_versions,
+    )
 
+    if vacuum_min_age_seconds is None:
+        vacuum_min_age_seconds = DEFAULT_MAINTENANCE_MIN_AGE_SECONDS
     if is_versioned(spark, path):
         if partition_col is not None:
             raise ValueError(

@@ -74,10 +74,76 @@ from .sinks import _hadoop_path
 
 VERSIONS_DIR = "_versions"
 COMMITS_DIR = "_commits"
+REFS_FILE = "_refs"
+
+# Default reader grace for HIGH-FREQUENCY maintenance callers (per-
+# micro-batch merges, streaming compaction): with min_age 0, commit-
+# count retention alone gives an in-flight reader only `keep - 1`
+# commits of grace — one fast merge away from sweeping the generation
+# it just resolved. Ten minutes comfortably exceeds any sane scan of a
+# table maintained at micro-batch cadence; batch/offline callers that
+# want immediate reclamation pass 0.0 explicitly.
+DEFAULT_MAINTENANCE_MIN_AGE_SECONDS = 600.0
 
 
 def _gen_dir(root: str, gen: int) -> str:
     return f"{root.rstrip('/')}/{VERSIONS_DIR}/gen-{gen:08d}"
+
+
+def _read_small_file(spark: SparkSession, path: str) -> str | None:
+    """First line of a tiny sidecar file, or None when absent."""
+    fs, p = _hadoop_path(spark, path)
+    if not fs.exists(p):
+        return None
+    jvm = spark._jvm
+    reader = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(fs.open(p), "UTF-8")
+    )
+    try:
+        return reader.readLine()
+    finally:
+        reader.close()
+
+
+def _write_small_file(spark: SparkSession, path: str, content: str) -> None:
+    fs, p = _hadoop_path(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_generation_refs(
+    spark: SparkSession, root: str, gen: int
+) -> dict[str, int]:
+    """The generation's partition-reference manifest: relative entry
+    name -> generation number that PHYSICALLY holds that entry's data.
+    Incremental maintenance (streaming.batchdir partition-scoped
+    compaction) writes only the partitions a cycle touched into its new
+    generation and carries every untouched partition forward by
+    reference — the Iceberg-manifest idea built from one tiny JSON
+    sidecar. Empty dict = fully self-contained generation."""
+    import json
+
+    line = _read_small_file(spark, f"{_gen_dir(root, gen)}/{REFS_FILE}")
+    if not line:
+        return {}
+    return {str(k): int(v) for k, v in json.loads(line).items()}
+
+
+def write_generation_refs(
+    spark: SparkSession, data_dir: str, refs: dict[str, int]
+) -> None:
+    """Write the ``_refs`` sidecar INSIDE a generation data dir (before
+    its commit marker, so the manifest is atomic with the commit)."""
+    import json
+
+    _write_small_file(
+        spark,
+        f"{data_dir.rstrip('/')}/{REFS_FILE}",
+        json.dumps({str(k): int(v) for k, v in refs.items()}, sort_keys=True),
+    )
 
 
 def _marker_entries(fs, commits_p) -> list[tuple[int, int | None, int]]:
@@ -285,6 +351,18 @@ def vacuum_versions(
     caveat: marker mtimes come from the filesystem's clock and ``now``
     from this process — keep margins generous, not millisecond-exact.
 
+    REFERENCE-AWARE: a retained chain generation's ``_refs`` manifest
+    (see ``read_generation_refs``) may point at partition dirs held
+    PHYSICALLY by older generations — incremental compaction carries
+    untouched partitions forward by reference instead of rewriting
+    them. Such holder generations are PINNED: their data dirs survive
+    the sweep (their markers still go — they are storage, not readable
+    history), and within a pinned dir every ``key=value`` entry no
+    retained manifest references is pruned, so storage stays bounded
+    by the LIVE partition set, not by generation count. A pinned dir
+    is released (fully swept) the cycle after its last referencing
+    generation leaves retention.
+
     Returns the number of data dirs deleted."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
@@ -326,6 +404,13 @@ def vacuum_versions(
             f"{base}/{COMMITS_DIR}/{cutoff:08d}.{root_based[1]:08d}",
         )
         fs.delete(based_marker, False)
+    # Pin every generation a RETAINED generation's manifest references:
+    # those hold live partition data addressed by path (not by marker).
+    pinned: dict[int, set[str]] = {}
+    for gen, _ in chain:
+        if gen >= cutoff:
+            for name, holder in read_generation_refs(spark, base, gen).items():
+                pinned.setdefault(int(holder), set()).add(name)
     fs, versions_p = _hadoop_path(spark, f"{base}/{VERSIONS_DIR}")
     removed = 0
     if fs.exists(versions_p):
@@ -334,6 +419,16 @@ def vacuum_versions(
             num = name[4:-5] if name.endswith(".lock") else name[4:]
             if name.startswith("gen-") and num.isdigit():
                 if int(num) < cutoff:
+                    if not name.endswith(".lock") and int(num) in pinned:
+                        # pinned: keep only the referenced entries —
+                        # superseded partitions are pruned so a pinned
+                        # dir's footprint is its live partitions only
+                        live = pinned[int(num)]
+                        for child in fs.listStatus(st.getPath()):
+                            cname = child.getPath().getName()
+                            if "=" in cname and cname not in live:
+                                fs.delete(child.getPath(), True)
+                        continue
                     fs.delete(st.getPath(), True)
                     if not name.endswith(".lock"):
                         removed += 1

@@ -1,6 +1,6 @@
-"""Micro-batch-owned append dirs with versioned compaction — the
-replay-idempotent, bounded-file-count sink shape for foreachBatch
-appenders (predictions, correlations).
+"""Micro-batch-owned append dirs with versioned, partition-scoped
+compaction — the replay-idempotent, bounded-file-count sink shape for
+foreachBatch appenders (predictions, correlations).
 
 Problem: foreachBatch is at-least-once after a failure, so a blind
 ``append`` lands a replayed batch twice; per-batch OVERWRITE of one
@@ -16,41 +16,69 @@ NEW_train_offset_3_10min.py:259-270) rebuilt on parquet:
 
     table/
       batch=00000017/...        hot path: one dir per micro-batch
-      _versions/gen-00000003/   compacted data (+ _watermark sidecar)
+      _versions/gen-00000003/   compacted data (+ _watermark / _refs)
       _commits/00000003.…       atomic generation markers
 
 - WRITE (per micro-batch): overwrite ``batch=<id>`` — minimum files,
   no shuffle, no hive splitting; the writer SKIPS ids at or below the
   compacted watermark, so a crash-replay of an already-absorbed batch
   is a no-op instead of resurrecting a stale dir.
-- READ: compacted generation ∪ batch dirs ABOVE the watermark — exact
-  at every instant, including between a compaction commit and its
-  cleanup of absorbed dirs (those are ≤ watermark, hence ignored).
-- COMPACT: union current generation + fresh batch dirs into a new
-  generation (hive-partitioned / re-laid-out for reads), write the new
-  watermark INSIDE the generation dir (atomic with the commit marker),
-  vacuum old generations, delete absorbed dirs. Crash anywhere
-  replays safely: before the marker = invisible debris; after the
-  marker but before cleanup = absorbed dirs are ≤ watermark and
-  ignored until the next compaction sweeps them.
+- READ: compacted generation ∪ COMMITTED batch dirs above the
+  watermark — exact at every instant. A batch dir without its
+  ``_SUCCESS`` marker is in flight (or a crashed write the stream will
+  replay) and is skipped: its rows surface the moment the writer's
+  job commits, never partially.
+- COMPACT: PARTITION-SCOPED and incremental. Only the hive partitions
+  the fresh batch dirs actually touch are merged and rewritten into
+  the new generation; every untouched partition is carried forward BY
+  REFERENCE in a ``_refs`` manifest (name -> holding generation, the
+  Iceberg-manifest idea), so maintenance cost is O(new data +
+  touched partitions), never O(accumulated table). The new watermark
+  is written INSIDE the generation dir (atomic with the commit
+  marker). ``sources.versioned.vacuum_versions`` understands the
+  manifest: referenced generations are pinned (their superseded
+  partitions pruned) until the last referencing generation leaves
+  retention. A periodic ``full=True`` run is the major compaction
+  that collapses the reference chain back to one self-contained
+  generation.
+- CLEANUP: absorbed batch dirs are NOT deleted by the compaction that
+  absorbed them — they sit <= watermark where every reader and the
+  writer already ignore them, and the NEXT compaction run sweeps
+  them. That one-cycle grace period means a reader that listed the
+  table just before the commit can finish scanning the dirs it
+  resolved (the same retention contract the generation layout gives
+  compacted data).
+
+Concurrency with the live stream: compaction only absorbs batch dirs
+that carry ``_SUCCESS``, and never absorbs PAST a missing one — a dir
+mid-write (exists, no ``_SUCCESS`` yet) blocks itself and everything
+after it from absorption until its writer commits or replays, so the
+watermark can never advance over in-flight data and silently bury it.
 
 At 100 TB: the hot path stays O(batch) with zero shuffle; file count
-is bounded by (batches since last compaction + compacted layout), not
-stream lifetime; reads of old data hit large sorted/hive-partitioned
-files, not a million micro-batch fragments.
+is bounded by (batches since last compaction + live partition
+layout); compaction touches only the partitions new data landed in
+(for a time-partitioned predictions table: today's partition, not the
+year's); and inside a hot partition the rewrite is range-distributed
+across tasks, not funneled through one.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from ..sources.sinks import _hadoop_path
 from ..sources.versioned import (
+    _gen_dir,
+    _read_small_file,
+    _write_small_file,
     commit_generation,
-    is_versioned,
-    resolve_table,
+    current_generation,
+    read_generation_refs,
     vacuum_versions,
+    write_generation_refs,
 )
 
 BATCH_PREFIX = "batch="
@@ -68,6 +96,59 @@ def _batch_dirs(spark: SparkSession, root: str) -> dict[int, str]:
         if name.startswith(BATCH_PREFIX) and name[len(BATCH_PREFIX):].isdigit():
             out[int(name[len(BATCH_PREFIX):])] = f"{root.rstrip('/')}/{name}"
     return out
+
+
+def _inspect_batch_dir(
+    spark: SparkSession, path: str
+) -> tuple[bool, bool, bool]:
+    """One listStatus over a batch dir: (committed, has_data, hive) —
+    committed = the writer's ``_SUCCESS`` marker landed; has_data = at
+    least one data file exists (an empty-but-committed batch has only
+    the marker); hive = the dir contains ``key=value`` subdirs, i.e.
+    the PRE-batchdir layout (batch=<id>/pred_date=<d>/) that partition
+    discovery cannot mix with flat batch dirs."""
+    fs, p = _hadoop_path(spark, path)
+    committed = has_data = hive = False
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name == "_SUCCESS":
+            committed = True
+        elif st.isDirectory() and "=" in name:
+            hive = True
+        elif not name.startswith(("_", ".")):
+            has_data = True
+    return committed, has_data, hive
+
+
+def _classify_fresh(
+    spark: SparkSession, root: str, dirs: dict[int, str], wm: int
+) -> tuple[dict[int, str], dict[int, str], int | None]:
+    """Split the above-watermark batch dirs into (committed, with_data,
+    first_uncommitted_id). Raises on a legacy hive-layout batch dir —
+    that table needs ``migrate_batch_layout`` (offline) first."""
+    committed: dict[int, str] = {}
+    with_data: dict[int, str] = {}
+    blocked: int | None = None
+    for bid in sorted(dirs):
+        if bid <= wm:
+            continue
+        ok, has_data, hive = _inspect_batch_dir(spark, dirs[bid])
+        if hive:
+            raise IOError(
+                f"{dirs[bid]} uses the legacy nested layout "
+                f"(batch=<id>/<col>=<val>/) — flat batch dirs cannot be "
+                f"read alongside it (Spark partition discovery conflicts)."
+                f" Run streaming.batchdir.migrate_batch_layout(spark, "
+                f"{root!r}, partition_by=[...]) once, offline."
+            )
+        if not ok:
+            if blocked is None:
+                blocked = bid
+            continue
+        committed[bid] = dirs[bid]
+        if has_data:
+            with_data[bid] = dirs[bid]
+    return committed, with_data, blocked
 
 
 def legacy_layout_entries(spark: SparkSession, root: str) -> list[str]:
@@ -105,30 +186,22 @@ def compacted_watermark(spark: SparkSession, root: str) -> int:
     """Max batch id absorbed into the compacted generation; -1 when
     nothing has been compacted. One generation-resolve + one tiny file
     read."""
-    if not is_versioned(spark, root):
+    gen = current_generation(spark, root)
+    if gen is None:
         return -1
-    gen_dir = resolve_table(spark, root)
-    fs, wm_p = _hadoop_path(spark, f"{gen_dir}/{WATERMARK_FILE}")
-    if not fs.exists(wm_p):
-        return -1
-    jvm = spark._jvm
-    reader = jvm.java.io.BufferedReader(
-        jvm.java.io.InputStreamReader(fs.open(wm_p), "UTF-8")
+    line = _read_small_file(
+        spark, f"{_gen_dir(root, gen)}/{WATERMARK_FILE}"
     )
-    try:
-        line = reader.readLine()
-    finally:
-        reader.close()
-    return int(line.strip()) if line and line.strip().lstrip("-").isdigit() else -1
+    if line is None:
+        return -1
+    line = line.strip()
+    return int(line) if line.lstrip("-").isdigit() else -1
 
 
 def _write_watermark(spark: SparkSession, data_dir: str, watermark: int) -> None:
-    fs, wm_p = _hadoop_path(spark, f"{data_dir}/{WATERMARK_FILE}")
-    out = fs.create(wm_p, True)
-    try:
-        out.write(bytearray(str(int(watermark)).encode("utf-8")))
-    finally:
-        out.close()
+    _write_small_file(
+        spark, f"{data_dir}/{WATERMARK_FILE}", str(int(watermark))
+    )
 
 
 def write_batch_dir(df: DataFrame, root: str, batch_id: int) -> bool:
@@ -150,26 +223,99 @@ def write_batch_dir(df: DataFrame, root: str, batch_id: int) -> bool:
     return True
 
 
+def _gen_manifest(
+    spark: SparkSession, root: str
+) -> tuple[int | None, dict[str, int], bool]:
+    """(current_gen, manifest, plain) for the compacted half of the
+    table. ``manifest`` maps hive entry name -> generation that
+    PHYSICALLY holds it (own entries + ``_refs`` carries — a manifest
+    entry always points at the holder directly, never through a chain,
+    because compaction resolves references fully when it writes them).
+    ``plain`` = the generation is unpartitioned parquet (no hive
+    entries), read as one dir."""
+    gen = current_generation(spark, root)
+    if gen is None:
+        return None, {}, False
+    gen_dir = _gen_dir(root, gen)
+    fs, gen_p = _hadoop_path(spark, gen_dir)
+    manifest: dict[str, int] = {}
+    plain = False
+    for st in fs.listStatus(gen_p):
+        name = st.getPath().getName()
+        if st.isDirectory() and "=" in name:
+            manifest[name] = gen
+        elif not name.startswith(("_", ".")):
+            plain = True
+    for name, holder in read_generation_refs(spark, root, gen).items():
+        manifest.setdefault(name, int(holder))
+    return gen, manifest, plain
+
+
+def _read_compacted(spark: SparkSession, root: str) -> DataFrame | None:
+    """The compacted half of the table, resolved through the manifest:
+    one partition-discovering read per HOLDER generation (basePath =
+    that generation's dir, so hive columns come back typed), unioned.
+    None when nothing is compacted yet or the generation is empty."""
+    gen, manifest, plain = _gen_manifest(spark, root)
+    if gen is None:
+        return None
+    if not manifest:
+        return spark.read.parquet(_gen_dir(root, gen)) if plain else None
+    by_holder: dict[int, list[str]] = {}
+    for name, holder in manifest.items():
+        by_holder.setdefault(holder, []).append(name)
+    parts: list[DataFrame] = []
+    for holder, names in sorted(by_holder.items()):
+        base = _gen_dir(root, holder)
+        parts.append(
+            spark.read.option("basePath", base)
+            .parquet(*[f"{base}/{n}" for n in sorted(names)])
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def _cast_to(df: DataFrame, schema: StructType) -> DataFrame:
+    """Align a part to the declared schema (column order + types) so
+    hive-inferred partition columns from different holder generations
+    union cleanly with data-file columns from fresh batch dirs."""
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
 def read_batch_table(
     spark: SparkSession, root: str, schema: StructType
 ) -> DataFrame:
-    """The exact current table: compacted generation ∪ batch dirs above
-    the watermark. Returns an EMPTY frame of ``schema`` when neither
-    exists yet (a dashboard polling before the first micro-batch lands
-    gets zero rows, not an exception). ``schema`` must match the
-    writer's columns; the inferred ``batch`` partition column is
+    """The exact current table: compacted generation (manifest-
+    resolved) ∪ COMMITTED batch dirs above the watermark. Returns an
+    EMPTY frame of ``schema`` when neither exists yet (a dashboard
+    polling before the first micro-batch lands gets zero rows, not an
+    exception). In-flight batch dirs (no ``_SUCCESS`` yet) are
+    skipped — their rows appear atomically when the writer's job
+    commits. ``schema`` must match the writer's columns; every part is
+    cast/ordered to it, and the inferred ``batch`` partition column is
     dropped."""
     _require_batch_layout(spark, root)
     wm = compacted_watermark(spark, root)
     parts: list[DataFrame] = []
-    if is_versioned(spark, root):
-        parts.append(spark.read.parquet(resolve_table(spark, root)))
-    fresh = sorted(
-        path for bid, path in _batch_dirs(spark, root).items() if bid > wm
+    compacted = _read_compacted(spark, root)
+    if compacted is not None:
+        parts.append(_cast_to(compacted, schema))
+    _, with_data, _ = _classify_fresh(
+        spark, root, _batch_dirs(spark, root), wm
     )
-    if fresh:
+    if with_data:
+        fresh = [with_data[bid] for bid in sorted(with_data)]
         parts.append(
-            spark.read.option("basePath", root).parquet(*fresh).drop("batch")
+            _cast_to(
+                spark.read.option("basePath", root)
+                .parquet(*fresh)
+                .drop("batch"),
+                schema,
+            )
         )
     if not parts:
         return spark.createDataFrame([], schema)
@@ -179,92 +325,256 @@ def read_batch_table(
     return df
 
 
+def _spread_within_partitions(df: DataFrame, pcol: str | None) -> DataFrame:
+    """Range-distribute rows so one hive partition value does NOT
+    funnel through one task: ranging on (pcol, row-hash) keeps each
+    value's rows contiguous (each task writes ~1 file per value it
+    covers — no tasks×values fragment explosion) while a hot value
+    spans as many tasks as its volume needs. No explicit partition
+    count, so AQE coalesces the shuffle at small volumes and widens it
+    at scale."""
+    others = [c for c in df.columns if c != pcol]
+    if pcol is None:
+        return df
+    if not others:
+        return df.repartition(F.col(pcol))
+    return df.repartitionByRange(F.col(pcol), F.xxhash64(*others))
+
+
 def compact_batch_dirs(
     spark: SparkSession,
     root: str,
     partition_by: list[str] | None = None,
     vacuum_keep: int = 2,
-    vacuum_min_age_seconds: float = 0.0,
+    vacuum_min_age_seconds: float | None = None,
+    full: bool = False,
 ) -> int:
-    """Maintenance: absorb every batch dir above the current watermark
-    into a new read-optimized generation (hive-partitioned by
-    ``partition_by`` with one file per partition value) whose
-    ``_watermark`` sidecar — written INSIDE the generation dir, hence
-    atomic with its commit marker — records the max absorbed batch id.
-    Then vacuums superseded generations and deletes the absorbed dirs.
-    Returns the new watermark (the old one when there was nothing to
-    absorb).
+    """Maintenance: absorb every COMMITTED batch dir above the current
+    watermark into a new read-optimized generation whose ``_watermark``
+    sidecar — written INSIDE the generation dir, hence atomic with its
+    commit marker — records the max absorbed batch id. Returns the new
+    watermark (the old one when there was nothing to absorb).
+
+    INCREMENTAL by default (single-column ``partition_by``): only the
+    hive partitions the fresh batches touch are merged (partition-
+    pruned read of the current generation) and rewritten; untouched
+    partitions carry forward by reference in the ``_refs`` manifest —
+    maintenance cost is O(new data + touched partitions), not
+    O(accumulated table). ``full=True`` (or no/multi-col
+    ``partition_by``) rewrites everything into one self-contained
+    generation — the MAJOR compaction that collapses the reference
+    chain; run it on a slow cadence (daily) under the fast incremental
+    one (minutes).
+
+    Concurrent-writer safe: only ``_SUCCESS``-marked dirs are
+    absorbed, and nothing past the first unmarked id — an in-flight or
+    crash-pending dir can never be jumped by the watermark and buried.
+    Absorbed dirs are NOT deleted here; they sit <= watermark
+    (invisible to readers and the writer) until the NEXT run's sweep,
+    giving in-flight readers that resolved them a full maintenance
+    cycle to finish (the same grace contract as generation vacuum).
+    ``vacuum_min_age_seconds`` defaults to
+    ``versioned.DEFAULT_MAINTENANCE_MIN_AGE_SECONDS`` (10 min) so
+    superseded generations also outlive any in-flight scan; pass 0.0
+    for immediate reclamation in offline runs.
 
     Crash-safe at every point: a crash before the commit marker leaves
-    invisible debris (next run redoes the work); after the marker but
-    before cleanup, the absorbed dirs sit ≤ watermark where readers and
-    the batch writer already ignore them, and this function's next run
-    deletes them before absorbing anything new."""
+    invisible debris (next run redoes the work); after the marker, the
+    absorbed dirs sit <= watermark where readers and the batch writer
+    already ignore them, and the next run sweeps them before absorbing
+    anything new."""
     _require_batch_layout(spark, root)
     wm = compacted_watermark(spark, root)
     dirs = _batch_dirs(spark, root)
     fs, _ = _hadoop_path(spark, root)
-    # cleanup from a prior run that crashed between commit and delete
+    # grace-period sweep: dirs the PREVIOUS compaction absorbed (and
+    # any replay debris) are <= watermark, invisible since that commit
     for bid, path in sorted(dirs.items()):
         if bid <= wm:
             _, p = _hadoop_path(spark, path)
             fs.delete(p, True)
-    fresh = {bid: path for bid, path in dirs.items() if bid > wm}
-    if not fresh:
+    committed, with_data, blocked = _classify_fresh(spark, root, dirs, wm)
+    if blocked is not None:
+        # never absorb past an uncommitted dir: ids >= blocked wait for
+        # their writer (live stream or crash-replay) to commit
+        committed = {b: p for b, p in committed.items() if b < blocked}
+        with_data = {b: p for b, p in with_data.items() if b < blocked}
+    if not committed:
         return wm
-    new_wm = max(fresh)
+    new_wm = max(committed)
 
-    def _write(data_dir: str) -> None:
-        parts: list[DataFrame] = []
-        if is_versioned(spark, root):
-            parts.append(spark.read.parquet(resolve_table(spark, root)))
-        parts.append(
+    fresh_df: DataFrame | None = None
+    if with_data:
+        fresh_df = (
             spark.read.option("basePath", root)
-            .parquet(*sorted(fresh.values()))
+            .parquet(*[with_data[b] for b in sorted(with_data)])
             .drop("batch")
         )
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        if partition_by:
-            # one shuffle keyed on the partition columns -> one file
-            # per partition value instead of (tasks x values) fragments
-            writer = df.repartition(*partition_by).write.partitionBy(
-                *partition_by
+
+    cur_gen, manifest, plain_gen = _gen_manifest(spark, root)
+    if fresh_df is None and plain_gen:
+        # only empty-committed dirs atop an UNPARTITIONED generation:
+        # nothing can carry by reference (no hive entries) and a full
+        # copy for an empty absorb is waste — leave them; they absorb
+        # (and then sweep) with the next data-bearing compaction
+        return wm
+    pcol = (
+        partition_by[0]
+        if partition_by is not None and len(partition_by) == 1
+        else None
+    )
+    # an unpartitioned current generation has no hive entries to carry
+    # by reference — the first partitioned compaction over it must be a
+    # full rewrite (it converts the layout; later runs are incremental)
+    incremental = (
+        not full and pcol is not None and fresh_df is not None and not plain_gen
+    )
+
+    def _write(data_dir: str) -> None:
+        _, data_p = _hadoop_path(spark, data_dir)
+        if incremental:
+            # merge ONLY the partitions the fresh batches touch; the
+            # touched-value list is tiny (one per partition value, not
+            # per row) and prunes the compacted scan per holder
+            touched = [
+                r[0] for r in fresh_df.select(pcol).distinct().collect()
+            ]
+            non_null = [t for t in touched if t is not None]
+            pred = (
+                F.col(pcol).isin(non_null) if non_null else F.lit(False)
             )
+            if any(t is None for t in touched):
+                pred = pred | F.col(pcol).isNull()
+            merged = fresh_df
+            old = _read_compacted(spark, root)
+            if old is not None:
+                merged = _cast_to(old, fresh_df.schema).filter(pred).unionByName(
+                    fresh_df
+                )
+            _spread_within_partitions(merged, pcol).write.partitionBy(
+                pcol
+            ).mode("overwrite").parquet(data_dir)
+            # entries this generation now holds physically supersede
+            # their carried references; everything untouched carries
+            # forward, fully resolved (holder, never a chain)
+            new_names = {
+                st.getPath().getName()
+                for st in fs.listStatus(data_p)
+                if st.isDirectory() and "=" in st.getPath().getName()
+            }
+            refs = {
+                n: g for n, g in manifest.items() if n not in new_names
+            }
+            if refs:
+                write_generation_refs(spark, data_dir, refs)
+        elif fresh_df is None:
+            # only empty-but-committed batches: nothing to rewrite —
+            # carry the whole manifest forward and advance the mark
+            fs.mkdirs(data_p)
+            if manifest:
+                write_generation_refs(spark, data_dir, manifest)
         else:
-            writer = df.write
-        writer.mode("overwrite").parquet(data_dir)
+            # MAJOR compaction: one self-contained generation
+            merged = fresh_df
+            old = _read_compacted(spark, root)
+            if old is not None:
+                merged = _cast_to(old, fresh_df.schema).unionByName(fresh_df)
+            if partition_by:
+                _spread_within_partitions(
+                    merged, partition_by[0] if len(partition_by) == 1 else None
+                ).write.partitionBy(*partition_by).mode("overwrite").parquet(
+                    data_dir
+                )
+            else:
+                merged.write.mode("overwrite").parquet(data_dir)
         _write_watermark(spark, data_dir, new_wm)
 
     commit_generation(spark, root, _write)
+    if vacuum_min_age_seconds is None:
+        from ..sources.versioned import DEFAULT_MAINTENANCE_MIN_AGE_SECONDS
+
+        vacuum_min_age_seconds = DEFAULT_MAINTENANCE_MIN_AGE_SECONDS
     vacuum_versions(
         spark, root, keep=vacuum_keep, min_age_seconds=vacuum_min_age_seconds
     )
-    for bid, path in sorted(fresh.items()):
-        _, p = _hadoop_path(spark, path)
-        fs.delete(p, True)
+    # absorbed dirs are left in place (<= watermark: invisible); the
+    # NEXT compaction's sweep deletes them after the grace period
     return new_wm
 
 
-def migrate_batch_layout(spark: SparkSession, root: str) -> int:
-    """One-time OFFLINE migration of a legacy append-at-root table into
-    the batch-dir layout: the root-level data moves into generation 1
-    (watermark -1, so every existing and future ``batch=<id>`` dir
-    stays visible) and the marker commits. Run without concurrent
-    readers or writers — the per-entry rename window exists only here.
-    Returns the number of entries moved."""
-    if is_versioned(spark, root):
+def migrate_batch_layout(
+    spark: SparkSession, root: str, partition_by: list[str] | None = None
+) -> int:
+    """One-time OFFLINE migration of PRE-batchdir layouts into the
+    batch-dir layout. Two legacy forms are absorbed:
+
+    - root-level append entries (the old append-at-root writer): moved
+      by rename into generation 1, watermark -1 — every existing and
+      future ``batch=<id>`` dir stays visible.
+    - nested hive batch dirs (the old per-batch partitioned writer,
+      ``batch=<id>/<col>=<val>/...``): their ROWS are read and
+      rewritten into generation 1 together with every flat batch dir
+      at or below the highest legacy id (those would become invisible
+      when the watermark jumps), watermark = that highest id so a
+      checkpoint replay of an absorbed batch is a no-op. Pass
+      ``partition_by`` to lay the generation out hive-partitioned.
+
+    Run without concurrent readers or writers — the per-entry rename /
+    multi-dir absorb window exists only here. Returns the number of
+    entries absorbed."""
+    if current_generation(spark, root) is not None:
         raise ValueError(
             f"migrate_batch_layout: {root} already has compacted "
-            f"generations; root-level legacy entries alongside them "
-            f"need manual reconciliation"
+            f"generations; legacy entries alongside them need manual "
+            f"reconciliation"
         )
     entries = legacy_layout_entries(spark, root)
-    if not entries:
-        return 0
+    dirs = _batch_dirs(spark, root)
+    hive_bids = sorted(
+        bid
+        for bid, path in dirs.items()
+        if _inspect_batch_dir(spark, path)[2]
+    )
+    if entries and hive_bids:
+        raise ValueError(
+            f"migrate_batch_layout: {root} mixes root-level legacy "
+            f"entries AND nested hive batch dirs — reconcile manually"
+        )
     fs, root_p = _hadoop_path(spark, root)
     jvm = spark._jvm
+
+    if hive_bids:
+        max_legacy = hive_bids[-1]
+        absorb = {b: p for b, p in dirs.items() if b <= max_legacy}
+        frames = []
+        for bid in sorted(absorb):
+            df = spark.read.parquet(absorb[bid])
+            if "batch" in df.columns:
+                df = df.drop("batch")
+            frames.append(df)
+        merged = frames[0]
+        for f2 in frames[1:]:
+            merged = merged.unionByName(f2)
+
+        def _write_rows(data_dir: str) -> None:
+            if partition_by:
+                _spread_within_partitions(
+                    merged, partition_by[0] if len(partition_by) == 1 else None
+                ).write.mode("overwrite").partitionBy(*partition_by).parquet(
+                    data_dir
+                )
+            else:
+                merged.write.mode("overwrite").parquet(data_dir)
+            _write_watermark(spark, data_dir, max_legacy)
+
+        commit_generation(spark, root, _write_rows)
+        for bid in sorted(absorb):
+            _, p = _hadoop_path(spark, absorb[bid])
+            fs.delete(p, True)
+        return len(absorb)
+
+    if not entries:
+        return 0
 
     def _write(data_dir: str) -> None:
         _, data_p = _hadoop_path(spark, data_dir)

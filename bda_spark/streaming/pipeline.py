@@ -483,22 +483,30 @@ class TickPipeline:
     def compact_predictions(
         self,
         vacuum_keep: int = 2,
-        vacuum_min_age_seconds: float = 0.0,
+        vacuum_min_age_seconds: float | None = None,
+        full: bool = False,
     ) -> int:
         """Maintenance: absorb the per-micro-batch ``batch=<id>`` dirs
         into a read-optimized, pred_date-hive-partitioned versioned
         generation whose sidecar records the absorbed batch-id high-
         watermark (see streaming.batchdir — the parquet rebuild of the
         reference's Cassandra-absorbs-appends property, ref
-        NEW_train_offset_3_10min.py:259-270). Bounds file count for a
-        1-second-trigger stream: run it on the maintenance cadence, not
-        per batch. Returns the new watermark."""
+        NEW_train_offset_3_10min.py:259-270). PARTITION-SCOPED: each
+        cycle rewrites only the pred_date partitions its fresh batches
+        touch (for the live stream: today), carrying every other day
+        forward by reference — maintenance stays O(new data) however
+        old the table grows. Safe to run WHILE the predictor streams
+        (only _SUCCESS-committed batch dirs absorb, never past an
+        in-flight one). Run ``full=True`` on a slow cadence (e.g.
+        daily) to collapse the reference chain into one self-contained
+        generation. Returns the new watermark."""
         return compact_batch_dirs(
             self.spark,
             self.predictions_path,
             partition_by=["pred_date"],
             vacuum_keep=vacuum_keep,
             vacuum_min_age_seconds=vacuum_min_age_seconds,
+            full=full,
         )
 
     def predictions(self) -> DataFrame:
