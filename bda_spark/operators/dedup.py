@@ -262,29 +262,45 @@ def _banded_candidates(bands: DataFrame, max_bucket_size: int) -> DataFrame:
     # not just the output: on (band_key) alone a 10^6-member bucket
     # would still buffer and cross-check the whole group.
     hot_members = bands.join(F.broadcast(hot), "band_key", "left_semi")
+    chain_pairs = _rank_gap_chain_pairs(hot_members, max_bucket_size)
+    return all_pairs.unionByName(chain_pairs).distinct()
+
+
+def _rank_gap_chain_pairs(members: DataFrame, gap: int) -> DataFrame:
+    """(doc_a, doc_b) rank-gap chain edges within each band bucket of
+    ``members`` (doc_id, band_key, ...): members rank by doc_id and
+    every pair at rank distance <= ``gap`` is emitted — O(k * gap)
+    edges per k-member bucket whose candidate graph stays CONNECTED
+    (consecutive ranks always pair), the property that lets connected
+    components reach every member of a near-identical mega-cluster
+    without the O(k^2) all-pairs expansion. The join key includes the
+    gap-sized rank BLOCK (pairs within ``gap`` ranks always sit in the
+    same or adjacent blocks), so each join key group holds at most
+    ~2*gap rows — bounding the COMPARISONS, not just the output."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("band_key").orderBy("doc_id")
-    ranked = hot_members.withColumn("_rk", F.row_number().over(w)).withColumn(
-        "_blk", F.floor((F.col("_rk") - 1) / max_bucket_size)
+    ranked = members.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_blk", F.floor((F.col("_rk") - 1) / gap)
     )
     # y-side rows also register under the preceding block so adjacent-
     # block pairs meet on one equi-key
     y = ranked.withColumn(
         "_jblk", F.explode(F.array(F.col("_blk"), F.col("_blk") - 1))
     )
-    chain_pairs = (
+    return (
         ranked.alias("x")
         .join(
             y.alias("y"),
             (F.col("x.band_key") == F.col("y.band_key"))
             & (F.col("x._blk") == F.col("y._jblk"))
             & (F.col("y._rk") > F.col("x._rk"))
-            & (F.col("y._rk") - F.col("x._rk") <= max_bucket_size),
+            & (F.col("y._rk") - F.col("x._rk") <= gap),
         )
         .select(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
     )
-    return all_pairs.unionByName(chain_pairs).distinct()
 
 
 def minhash_neardup_pairs(
@@ -483,6 +499,7 @@ def minhash_match_new(
     seed: int = 42,
     max_bucket_size: int | None = None,
     new_sigs: DataFrame | None = None,
+    cap_mode: str = "truncate",
 ) -> DataFrame:
     """Incremental near-dup detection: match a NEW batch against a
     prebuilt ``minhash_index`` (same ngram/num_hashes/seed — the hash
@@ -503,21 +520,43 @@ def minhash_match_new(
 
     Hot-bucket cap (OPT-IN, default uncapped): a band bucket backed by
     a huge corpus duplicate cluster fans every colliding new doc out to
-    the whole cluster; pass ``max_bucket_size`` to truncate the corpus
+    the whole cluster; pass ``max_bucket_size`` to bound the corpus
     posting list per band key to its ``max_bucket_size`` lowest
     corpus_ids (deterministic row_number over the same band_key
     partitioning the join shuffles on anyway), bounding join fan-out to
-    O(new x cap). Unlike the self-join path (which keeps connectivity
-    via chain edges), a truncated posting entry here is simply never
-    compared — so a genuine near-dup whose corpus_id ranks above the
-    cap in EVERY shared bucket is missed. The "one hit suffices"
-    argument only holds for near-identical hot clusters; hot-but-
-    heterogeneous buckets (skewed band keys from short/low-entropy
-    docs) lose recall. Before enabling a cap at scale, measure the
-    exposure with ``minhash_bucket_truncation(index, ...)``.
+    O(new x cap). Two cap modes:
+
+    - ``cap_mode="truncate"``: a truncated posting entry is simply
+      never compared — a genuine near-dup whose corpus_id ranks above
+      the cap in EVERY shared bucket is silently missed. The "one hit
+      suffices" argument only holds for near-identical hot clusters;
+      hot-but-heterogeneous buckets (skewed band keys from short/
+      low-entropy docs) lose recall. Measure the exposure FIRST with
+      ``minhash_bucket_truncation(index, ...)``.
+    - ``cap_mode="chained"`` (the recall-safe cap): the direct compare
+      set is the same bounded posting list, but each hot bucket the
+      batch actually touches additionally contributes VERIFIED
+      rank-gap chain edges among its corpus members (the same
+      ``_rank_gap_chain_pairs`` expansion the self-join cap uses —
+      O(k x cap) edges, never O(k^2)); connected components over
+      (direct hits ∪ verified chains) then expand every match to the
+      full cluster. A near-dup ranked past the cap is reached THROUGH
+      the chain whenever its cluster is chain-connected at the
+      threshold — exactly the near-identical-mega-cluster case that
+      makes buckets hot — so enabling the cap no longer silently
+      narrows recall there. (A doc similar ONLY to one above-cap
+      member of a hot-but-heterogeneous bucket is still missed — the
+      identical guarantee class as the self-join chain cap.) Output
+      gains a ``via_chain`` flag; chain-expanded rows carry NULL
+      ``est_jaccard`` (the estimate exists only for directly compared
+      pairs). Requires new ids and corpus ids to be DISJOINT (the
+      incremental-dedup contract — the stream filters already-indexed
+      ids before matching).
     """
     from pyspark.sql import Window
 
+    if cap_mode not in ("truncate", "chained"):
+        raise ValueError(f"unknown cap_mode {cap_mode!r}")
     if new_sigs is None:
         new_sigs = minhash_index(
             new_docs, id_col, text_col, ngram, num_hashes, seed
@@ -528,13 +567,12 @@ def minhash_match_new(
     cb = band_keys(index, num_hashes, band_rows).withColumnRenamed(
         "doc_id", "corpus_id"
     )
+    chained = cap_mode == "chained" and max_bucket_size is not None
+    ranked = None
     if max_bucket_size is not None:
         w = Window.partitionBy("band_key").orderBy("corpus_id")
-        cb = (
-            cb.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= int(max_bucket_size))
-            .drop("_rk")
-        )
+        ranked = cb.withColumn("_rk", F.row_number().over(w))
+        cb = ranked.filter(F.col("_rk") <= int(max_bucket_size)).drop("_rk")
     cands = nb.join(cb, "band_key").select("new_id", "corpus_id").distinct()
     mh_new = new_sigs.select(
         F.col("doc_id").alias("new_id"),
@@ -547,7 +585,7 @@ def minhash_match_new(
     agree = sum(
         (F.col(f"a{k}") == F.col(f"b{k}")).cast("int") for k in range(num_hashes)
     )
-    return (
+    direct = (
         cands.join(mh_new, "new_id")
         .join(mh_idx, "corpus_id")
         .select(
@@ -556,6 +594,63 @@ def minhash_match_new(
             (agree / F.lit(float(num_hashes))).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
+    )
+    if not chained:
+        return direct
+
+    # chain expansion, scoped to hot buckets the BATCH touched: corpus
+    # members of those buckets get rank-gap edges, est-verified from
+    # the index signatures alone (the corpus text is never read here
+    # either), and components over direct ∪ chains expand each hit to
+    # its whole reachable cluster.
+    touched_hot = (
+        ranked.groupBy("band_key")
+        .agg(F.max("_rk").alias("_bsz"))
+        .filter(F.col("_bsz") > int(max_bucket_size))
+        .join(nb.select("band_key").distinct(), "band_key", "left_semi")
+        .select("band_key")
+    )
+    hot_members = (
+        ranked.select(F.col("corpus_id").alias("doc_id"), "band_key")
+        .join(F.broadcast(touched_hot), "band_key", "left_semi")
+    )
+    chain_raw = _rank_gap_chain_pairs(hot_members, int(max_bucket_size))
+    mh_a = index.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{k}").alias(f"a{k}") for k in range(num_hashes)],
+    )
+    mh_b = index.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{k}").alias(f"b{k}") for k in range(num_hashes)],
+    )
+    chain_ok = (
+        chain_raw.distinct()
+        .join(mh_a, "doc_a")
+        .join(mh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree / F.lit(float(num_hashes))).alias("_est"),
+        )
+        .filter(F.col("_est") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    edges = direct.select(
+        F.col("new_id").alias("doc_a"), F.col("corpus_id").alias("doc_b")
+    ).unionByName(chain_ok)
+    comp = neardup_clusters(edges)
+    new_side = comp.join(
+        new_sigs.select("doc_id"), "doc_id", "left_semi"
+    ).select(F.col("doc_id").alias("new_id"), F.col("cluster_id").alias("_c"))
+    corpus_side = comp.join(
+        index.select("doc_id"), "doc_id", "left_semi"
+    ).select(F.col("doc_id").alias("corpus_id"), F.col("cluster_id").alias("_c"))
+    expanded = new_side.join(corpus_side, "_c").select("new_id", "corpus_id")
+    return expanded.join(direct, ["new_id", "corpus_id"], "left").select(
+        "new_id",
+        "corpus_id",
+        "est_jaccard",
+        F.col("est_jaccard").isNull().alias("via_chain"),
     )
 
 

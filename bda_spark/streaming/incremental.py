@@ -8,8 +8,9 @@ Per micro-batch:
   1. signatures of the batch are computed once (one shingle pass over
      the batch only — the corpus is NEVER re-shingled),
   2. the batch is banded against the CURRENT index (pass
-     ``max_bucket_size`` to cap hot corpus posting lists — an opt-in
-     recall/fan-out trade, see ``minhash_match_new`` and the
+     ``max_bucket_size`` to cap hot corpus posting lists; with
+     ``cap_mode="chained"`` the cap is RECALL-SAFE for near-identical
+     hot clusters — see ``minhash_match_new`` and the
      ``minhash_bucket_truncation`` exposure audit) and flagged matches
      land in ``flags_path``,
   3. the batch's signatures merge into ``index_path`` so LATER batches
@@ -45,6 +46,7 @@ def stream_dedup_against_index(
     seed: int = 42,
     available_now: bool = False,
     max_bucket_size: int | None = None,
+    cap_mode: str = "truncate",
 ):
     """Start the incremental-dedup stream over ``stream_docs`` (a
     streaming DataFrame carrying ``id_col`` + ``text_col``). Returns
@@ -93,6 +95,7 @@ def stream_dedup_against_index(
                 seed=seed,
                 max_bucket_size=max_bucket_size,
                 new_sigs=fresh,
+                cap_mode=cap_mode,
             )
             idempotent_merge_parquet(
                 spark, flags, flags_path, keys=["new_id", "corpus_id"]

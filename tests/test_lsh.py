@@ -362,3 +362,55 @@ def test_match_new_uncapped_by_default_and_truncation_audit(spark):
     assert audit, "the mega-cluster must overflow at least one bucket"
     assert all(r.truncated_rows == r.bucket_size - 4 for r in audit)
     assert all(r.bucket_size > 4 for r in audit)
+
+
+def test_chained_cap_reaches_above_cap_near_dups(spark):
+    """VERDICT r8 #5: the recall-safe cap. Fixture: a near-identical
+    corpus mega-cluster whose interesting twin has the HIGHEST id, so
+    a small truncate-cap hides it from every shared bucket. The
+    truncate mode silently misses it; cap_mode="chained" reaches it
+    through verified corpus chain edges; and on this chain-connected
+    fixture the chained result equals the uncapped ground truth."""
+    from pyspark.sql import Row
+
+    from bda_spark.operators.dedup import minhash_index, minhash_match_new
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    # 99 is byte-identical to the flood, so its signature (hence EVERY
+    # band bucket) coincides with the cluster's and it ranks dead last
+    # in each posting list — the worst case for a truncate cap
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=base) for i in range(1, 9)]
+        + [Row(doc_id=99, text=base)]
+    )
+    index = minhash_index(corpus)
+    new_batch = spark.createDataFrame([Row(doc_id=101, text=base)])
+
+    uncapped = {
+        (r.new_id, r.corpus_id)
+        for r in minhash_match_new(new_batch, index, threshold=0.5).collect()
+    }
+    assert (101, 99) in uncapped
+
+    truncated = {
+        (r.new_id, r.corpus_id)
+        for r in minhash_match_new(
+            new_batch, index, threshold=0.5, max_bucket_size=4
+        ).collect()
+    }
+    assert (101, 99) not in truncated  # the silent miss being fixed
+
+    chained_rows = minhash_match_new(
+        new_batch, index, threshold=0.5, max_bucket_size=4,
+        cap_mode="chained",
+    ).collect()
+    chained = {(r.new_id, r.corpus_id) for r in chained_rows}
+    assert (101, 99) in chained
+    # chain-connected fixture: chained == uncapped ground truth
+    assert chained == uncapped
+    # direct hits carry their estimate; chain-expanded rows are flagged
+    by_pair = {(r.new_id, r.corpus_id): r for r in chained_rows}
+    assert any(not r.via_chain and r.est_jaccard is not None
+               for r in chained_rows)
+    for r in chained_rows:
+        assert r.via_chain == (r.est_jaccard is None)
