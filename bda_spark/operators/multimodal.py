@@ -212,9 +212,25 @@ def image_features(media: DataFrame) -> DataFrame:
                     # compressed codec: the library IS the decode cost,
                     # so per-image stats loop over decoded arrays (or
                     # NotImplementedError where the codec lib is absent
-                    # — the env boundary, identical to decode_image's)
+                    # — the env boundary, identical to decode_image's).
+                    # A CORRUPT buffer (or a null payload substituted
+                    # as b"") gets the same quarantine the raw branches
+                    # give under-length buffers: sentinel stats, never
+                    # a task killer — only the missing-library boundary
+                    # propagates.
                     for i in idxs:
-                        img = decode_image(payloads[i], metas[i])
+                        try:
+                            img = decode_image(payloads[i], metas[i])
+                        except NotImplementedError:
+                            raise
+                        except Exception:
+                            cols["mean_intensity"][i] = 0.0
+                            cols["std_intensity"][i] = 0.0
+                            cols["min_intensity"][i] = 0
+                            cols["max_intensity"][i] = 0
+                            cols["height"][i], cols["width"][i] = h, w
+                            cols["channels"][i] = c
+                            continue
                         cols["mean_intensity"][i] = img.mean()
                         cols["std_intensity"][i] = img.std()
                         cols["min_intensity"][i] = img.min()
@@ -334,9 +350,17 @@ def audio_features(media: DataFrame) -> DataFrame:
             for (fmt, nbytes), idxs in groups.items():
                 if fmt != RAW_AUDIO_FORMAT:
                     # container/compressed codec: decode each clip
-                    # (stdlib wav everywhere; soundfile where present)
+                    # (stdlib wav everywhere; soundfile where present).
+                    # Corrupt/null payloads quarantine to the zeroed
+                    # sentinel stats the columns start with — only the
+                    # missing-library boundary propagates.
                     for i in idxs:
-                        samples = decode_audio(payloads[i], metas[i])
+                        try:
+                            samples = decode_audio(payloads[i], metas[i])
+                        except NotImplementedError:
+                            raise
+                        except Exception:
+                            continue
                         ns = len(samples)
                         cols["n_samples"][i] = ns
                         sr = int(metas[i]["sample_rate"] or 0)
@@ -403,14 +427,23 @@ def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                 if meta["format"] != RAW_VIDEO_FORMAT:
                     # container format: av-gated frame decode (env
                     # boundary as decode_video_frames); only sampled
-                    # frames are rendered to bytes
-                    for i, frame in enumerate(
-                        decode_video_frames(
-                            buf if buf is not None else b"", meta
-                        )
-                    ):
-                        if i % every_n == 0:
-                            out.append((media_id, i, frame.tobytes()))
+                    # frames are rendered to bytes. A corrupt container
+                    # quarantines to zero frames — the same contract as
+                    # a truncated raw payload — keeping any frames
+                    # decoded before the corruption point; only the
+                    # missing-library boundary propagates.
+                    try:
+                        for i, frame in enumerate(
+                            decode_video_frames(
+                                buf if buf is not None else b"", meta
+                            )
+                        ):
+                            if i % every_n == 0:
+                                out.append((media_id, i, frame.tobytes()))
+                    except NotImplementedError:
+                        raise
+                    except Exception:
+                        pass
                     continue
                 h, w, c = int(meta["height"]), int(meta["width"]), int(meta["channels"])
                 stride = h * w * c

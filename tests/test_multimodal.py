@@ -276,3 +276,38 @@ def test_mixed_kinds_filtered_per_operator(spark):
     )
     assert image_features(df).count() == 1
     assert audio_features(df).count() == 1
+
+
+def test_corrupt_compressed_rows_quarantine_not_crash(spark):
+    """ADVICE r8: a corrupt compressed buffer (or a null payload
+    substituted as b\"\") must get the same quarantine discipline the
+    raw branches give malformed rows — sentinel stats / zero frames,
+    never a dead task — while healthy rows in the same batch still
+    produce real stats. Env-gated on pillow like the codec round-trip
+    (without the library the same rows hit the NotImplementedError
+    boundary instead, which is the documented env contract)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(img, mode="RGB").save(buf, format="PNG")
+    df = _media(
+        spark,
+        [
+            Row(media_id=1, kind="image", payload=bytearray(buf.getvalue()),
+                meta=_meta("png", w=7, h=5, c=3)),
+            Row(media_id=2, kind="image", payload=bytearray(b"not a png"),
+                meta=_meta("png", w=7, h=5, c=3)),
+            Row(media_id=3, kind="image", payload=None,
+                meta=_meta("png", w=7, h=5, c=3)),
+        ],
+    )
+    rows = {r["media_id"]: r for r in image_features(df).collect()}
+    assert len(rows) == 3
+    assert rows[1]["mean_intensity"] > 0  # healthy row unaffected
+    for mid in (2, 3):  # quarantined: sentinel stats
+        assert rows[mid]["mean_intensity"] == 0.0
+        assert rows[mid]["std_intensity"] == 0.0
+        assert rows[mid]["max_intensity"] == 0
