@@ -251,26 +251,35 @@ def _gen_manifest(
     return gen, manifest, plain
 
 
-def _read_compacted(spark: SparkSession, root: str) -> DataFrame | None:
+def _read_compacted(
+    spark: SparkSession, root: str, schema: StructType | None = None
+) -> DataFrame | None:
     """The compacted half of the table, resolved through the manifest:
     one partition-discovering read per HOLDER generation (basePath =
     that generation's dir, so hive columns come back typed), unioned.
-    None when nothing is compacted yet or the generation is empty."""
+    With ``schema``, each holder's part is cast BEFORE the union —
+    partition-type inference is per-read, so two holders' inferred
+    types could otherwise disagree (e.g. a null-only partition) and
+    fail the union. None when nothing is compacted yet or the
+    generation is empty."""
     gen, manifest, plain = _gen_manifest(spark, root)
     if gen is None:
         return None
     if not manifest:
-        return spark.read.parquet(_gen_dir(root, gen)) if plain else None
+        if not plain:
+            return None
+        df = spark.read.parquet(_gen_dir(root, gen))
+        return _cast_to(df, schema) if schema is not None else df
     by_holder: dict[int, list[str]] = {}
     for name, holder in manifest.items():
         by_holder.setdefault(holder, []).append(name)
     parts: list[DataFrame] = []
     for holder, names in sorted(by_holder.items()):
         base = _gen_dir(root, holder)
-        parts.append(
-            spark.read.option("basePath", base)
-            .parquet(*[f"{base}/{n}" for n in sorted(names)])
+        part = spark.read.option("basePath", base).parquet(
+            *[f"{base}/{n}" for n in sorted(names)]
         )
+        parts.append(_cast_to(part, schema) if schema is not None else part)
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
@@ -301,9 +310,9 @@ def read_batch_table(
     _require_batch_layout(spark, root)
     wm = compacted_watermark(spark, root)
     parts: list[DataFrame] = []
-    compacted = _read_compacted(spark, root)
+    compacted = _read_compacted(spark, root, schema)
     if compacted is not None:
-        parts.append(_cast_to(compacted, schema))
+        parts.append(compacted)
     _, with_data, _ = _classify_fresh(
         spark, root, _batch_dirs(spark, root), wm
     )
@@ -446,11 +455,9 @@ def compact_batch_dirs(
             if any(t is None for t in touched):
                 pred = pred | F.col(pcol).isNull()
             merged = fresh_df
-            old = _read_compacted(spark, root)
+            old = _read_compacted(spark, root, fresh_df.schema)
             if old is not None:
-                merged = _cast_to(old, fresh_df.schema).filter(pred).unionByName(
-                    fresh_df
-                )
+                merged = old.filter(pred).unionByName(fresh_df)
             _spread_within_partitions(merged, pcol).write.partitionBy(
                 pcol
             ).mode("overwrite").parquet(data_dir)
@@ -476,9 +483,9 @@ def compact_batch_dirs(
         else:
             # MAJOR compaction: one self-contained generation
             merged = fresh_df
-            old = _read_compacted(spark, root)
+            old = _read_compacted(spark, root, fresh_df.schema)
             if old is not None:
-                merged = _cast_to(old, fresh_df.schema).unionByName(fresh_df)
+                merged = old.unionByName(fresh_df)
             if partition_by:
                 _spread_within_partitions(
                     merged, partition_by[0] if len(partition_by) == 1 else None

@@ -1,0 +1,51 @@
+"""Scale-ladder guard (VERDICT r7 #5 / r8 #3): the superlinear-risk
+operators' runtimes must grow ~linearly with data volume, measured —
+not plan-audited. The committed 10x evidence lives in
+SCALE_LADDER.json (tools/scale_ladder.py); this per-round test runs
+the same harness at a smaller factor so a regression to quadratic
+candidate expansion (a broken hot-bucket cap, an accidental all-pairs
+join, a full-corpus KMeans) fails the suite the round it lands.
+
+The rung construction is a per-copy token bijection, so LSH pair and
+cluster OUTPUT grows exactly linearly with the factor — any
+superlinear runtime is the algorithm's own (see tools/scale_ladder.py
+module doc for why naive replication would be an unfair fixture).
+"""
+
+from __future__ import annotations
+
+import sys
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+FACTOR = 4
+SRC = "/root/testdata/sf0.1"
+
+
+def test_superlinear_risk_operators_scale_linearly(spark, tmp_path_factory):
+    from scale_ladder import build_and_measure
+
+    work = str(tmp_path_factory.mktemp("ladder"))
+    report = build_and_measure(spark, SRC, work, FACTOR)
+    failures = {
+        name: row
+        for name, row in report["queries"].items()
+        if row["ratio"] is not None and row["ratio"] > row["bound"]
+    }
+    assert not failures, (
+        f"operators scaling worse than {report}',"
+        f" failing rows: {failures}"
+    )
+    # sanity: the rung really is FACTOR x bigger (the bijection kept
+    # every copy, nothing deduplicated at write time)
+    import duckdb
+
+    n1 = duckdb.sql(
+        f"select count(*) from '{work}/rung1x/documents.parquet/*.parquet'"
+    ).fetchone()[0]
+    nf = duckdb.sql(
+        f"select count(*) from '{work}/rung{FACTOR}x/documents.parquet/*.parquet'"
+    ).fetchone()[0]
+    assert nf == FACTOR * n1

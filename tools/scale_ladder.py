@@ -1,0 +1,221 @@
+"""Scale-ladder measurement: does each superlinear-risk operator's
+runtime grow ~linearly with data volume, or does a hidden quadratic
+bite at the next order of magnitude?
+
+The driver ships sf0.001/0.01/0.1 — three rungs of the same generator —
+but every 100 TB claim in this repo rested on PLAN audits at sf0.1
+until this harness existed. It synthesizes a FACTOR x rung from the
+sf0.1 documents/embeddings tables and times the operators whose cost
+shape could plausibly be superlinear (LSH banding, chain caps,
+connected components, IVF probing, the composed corpus build) on the
+1x and FACTORx rungs, pinning time(Fx) <= RATIO_BOUND * time(1x).
+
+Rung construction (the part that must not cheat):
+
+- documents: copy k suffixes every LETTER/DIGIT RUN r -> "r" + "zq<k>"
+  (a PER-COPY TOKEN BIJECTION). Within one copy, pairwise shingle
+  overlap — hence the near-dup cluster structure LSH sees — is
+  IDENTICAL to the original corpus; across copies, shingle sets are
+  disjoint. So pair/cluster OUTPUT grows exactly linearly with the
+  factor, and any superlinear runtime is the ALGORITHM's, not an
+  artifact of replication creating quadratic duplicate clusters
+  (naive replication would do exactly that: 10 identical copies of
+  each doc = 10x data but 100x pairs, unfairly failing any
+  linear-scaling bound). The suffix attaches to alnum runs — NOT to
+  whitespace tokens — and is letters-only, so the bijection survives
+  ``canonicalize_text_col`` (lowercase + strip punctuation): a
+  punctuation-based marker would canonicalize into a constant EXTRA
+  token after every word, inflating cross-doc Jaccard inside each
+  copy and exploding LSH buckets. (Found the hard way: the first
+  fixture used "t`k" and measured dedup_corpus at 72x for 10x data —
+  entirely the fixture's quadratic, reproduced by no real operator.)
+- embeddings: copy k scales each vector by (1 + k/1000) — distinct
+  points, same geometry per copy, nearest-neighbor structure
+  preserved within a copy.
+- both rungs (including 1x) are WRITTEN by this harness so file
+  layout provenance is identical; every other table symlinks to the
+  source dir.
+
+Run as a tool to produce the committed evidence file:
+
+    python tools/scale_ladder.py            # writes SCALE_LADDER.json
+
+or through the slow pytest (tests/test_scale_ladder.py) that asserts
+the ratio bound on a smaller factor every round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+ID_STRIDE = 100_000_000
+RATIO_BOUND_PER_10X = 15.0
+
+LADDER_TABLES = ("documents", "embeddings")
+
+
+def synthesize_rung(spark, src_dir: str, out_dir: str, factor: int) -> None:
+    """Materialize one rung: `factor` structure-preserving copies of
+    documents + embeddings, symlinks for every other table."""
+    from bda_spark.sources.batch import load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name in os.listdir(src_dir):
+        if not name.endswith(".parquet"):
+            continue
+        if name.split(".")[0] in LADDER_TABLES:
+            continue
+        dst = os.path.join(out_dir, name)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(src_dir, name), dst)
+
+    docs = load_table(spark, src_dir, "documents")
+    copies = []
+    for k in range(factor):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * ID_STRIDE))
+        if k:
+            # token bijection: shingle-overlap structure preserved
+            # within the copy, disjoint across copies, and stable
+            # under canonicalization (module doc)
+            c = c.withColumn(
+                "text",
+                F.regexp_replace("text", r"([\p{L}\p{N}]+)", f"$1zq{k}"),
+            ).withColumn("n_chars", F.length("text").cast("long"))
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+
+    emb = load_table(spark, src_dir, "embeddings")
+    copies = []
+    for k in range(factor):
+        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * ID_STRIDE))
+        if k:
+            scale = 1.0 + k / 1000.0
+            c = c.withColumn(
+                "embedding",
+                F.transform(
+                    "embedding", lambda x: (x * F.lit(scale)).cast("float")
+                ),
+            )
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+
+
+def _corpus_build_fixed_benchmark(base_dir: str):
+    """corpus_build at rung scale with the BENCHMARK held at base
+    scale: real decontamination benchmarks (eval suites) are fixed-size
+    however big the corpus grows, and they broadcast by design —
+    scaling the benchmark with the rung would time a fixture artifact
+    (an ever-growing broadcast), not the operator."""
+
+    def run(spark, sf_dir):
+        from bda_spark.plans.datamix import corpus_build_pipeline
+        from bda_spark.sources.batch import load_table
+
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 7 != 0
+        )
+        benchmark = load_table(spark, base_dir, "documents").filter(
+            F.col("doc_id") % 7 == 0
+        )
+        _, _, manifest = corpus_build_pipeline(docs, benchmark)
+        return manifest
+
+    return run
+
+
+def ladder_queries(base_dir: str) -> dict:
+    """The superlinear-risk set called out in VERDICT r7/r8, each a
+    (spark, sf_dir) -> DataFrame callable."""
+    import bench
+    from bda_spark.plans.registry import get_queries
+
+    qs = get_queries()
+    return {
+        "minhash_neardup_pairs": qs["minhash_neardup_pairs"],
+        "simhash_neardup_strict": qs["simhash_neardup_strict"],
+        "neardup_clusters": qs["neardup_clusters"],
+        "ivf_sq8_topk": bench.ivf_sq8_topk_bench,
+        "corpus_build_pipeline": _corpus_build_fixed_benchmark(base_dir),
+    }
+
+
+def measure(spark, rung_dirs: dict[int, str], base_dir: str) -> dict:
+    """Time each ladder query on each rung (min of 2 runs — the shared
+    local JVM needs de-noising exactly as bench.py does) and compute
+    per-query scaling ratios against the smallest rung."""
+    queries = ladder_queries(base_dir)
+    factors = sorted(rung_dirs)
+    out: dict = {"factors": factors, "queries": {}}
+    for name, fn in queries.items():
+        row: dict = {}
+        for f in factors:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, rung_dirs[f]).count()
+                best = min(best, time.time() - t0)
+            row[f"t{f}x"] = round(best, 3)
+        base = row[f"t{factors[0]}x"]
+        top = row[f"t{factors[-1]}x"]
+        growth = factors[-1] / factors[0]
+        row["ratio"] = round(top / base, 2) if base > 0 else None
+        # normalize the bound to the measured growth so smaller test
+        # factors assert proportionally tighter
+        row["bound"] = round(RATIO_BOUND_PER_10X * growth / 10.0, 2)
+        out["queries"][name] = row
+    return out
+
+
+def build_and_measure(spark, src_dir: str, work_dir: str, factor: int) -> dict:
+    rungs = {}
+    for f in (1, factor):
+        d = os.path.join(work_dir, f"rung{f}x")
+        synthesize_rung(spark, src_dir, d, f)
+        rungs[f] = d
+    # the benchmark side of decontamination stays at BASE scale (its
+    # real-world size is fixed); everything else reads from the rungs
+    report = measure(spark, rungs, rungs[1])
+    report["src"] = src_dir
+    return report
+
+
+def main() -> None:
+    from bda_spark.session import get_spark
+
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    work = os.environ.get("SCALE_LADDER_WORK", "/tmp/scale_ladder")
+    factor = int(os.environ.get("SCALE_LADDER_FACTOR", "10"))
+    shutil.rmtree(work, ignore_errors=True)
+    # the 10x rung carries 10x-sized LSH band frames through broadcast
+    # hot-key probes; the 1g driver default is bench-sized, not
+    # ladder-sized
+    spark = get_spark("scale_ladder", extra_confs={"spark.driver.memory": "8g"})
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        report = build_and_measure(spark, src, work, factor)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "SCALE_LADDER.json"), "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
