@@ -284,15 +284,24 @@ def ivf_index(
     emb_arr = F.col("embedding").cast("array<double>").alias("e")
     target = int(train_per_centroid) * int(n_centroids)
     cap = 4 * target + 1
+    fit_rows = None
     if n_hint is not None:
         small = n_hint <= 4 * target
+        if small:
+            fit_rows = embeddings.select(emb_arr).collect()
     else:
-        # zero-data-column projection: the probe ships one tiny
-        # literal per row and stops at `cap` rows
-        small = len(embeddings.select(F.lit(1).alias("one")).take(cap)) < cap
-    if small:
-        fit_rows = embeddings.select(emb_arr).collect()
-    else:
+        # probe and fetch in ONE early-terminating job: CollectLimit
+        # stops at `cap` rows (one task at toy scale, a handful at
+        # 100 TB — never a task per file split). Under the cap, these
+        # rows ARE the whole corpus = the training set; at the cap,
+        # the corpus is large and we fall through to Bernoulli
+        # sampling. The fetch is bounded at 4x the training sample —
+        # proportionate to what the fit collects anyway.
+        probed = embeddings.select(emb_arr).limit(cap).collect()
+        small = len(probed) < cap
+        if small:
+            fit_rows = probed
+    if not small:
         n = n_hint if n_hint is not None else embeddings.count()
         # 1.05x: Bernoulli sampling undershoots the expectation about
         # half the time; the pad keeps the realized sample at/above
