@@ -229,24 +229,32 @@ def _kmeans_fit(
 
 def nearest_centroid_col(centroids: list[list[float]]) -> "F.Column":
     """0-based index of the nearest centroid (L2) for the row's
-    ``embedding`` — a pure PROJECTION over the centroid plan literal
-    (transform + aggregate + array_position), so corpus assignment is
-    one codegen map pass: no shuffle, no UDF, no vector-UDT detour.
-    Ties resolve to the lowest centroid id (array_position takes the
-    first match)."""
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
-    v = F.col("embedding").cast("array<double>")
-    dists = F.transform(
-        cent_lit,
-        lambda c: F.aggregate(
-            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    ``embedding`` — one Arrow-batched vectorized pandas UDF: the whole
+    batch assigns with a single (n x k) matmul against the closed-over
+    centroid matrix (|c|^2 - 2x.c; the |x|^2 term is constant per row
+    and cannot move the argmin). This is the justified-pandas_udf case
+    (same discipline as the SimHash signature matmul): the equivalent
+    builtin expression is a higher-order transform/aggregate chain,
+    which Catalyst evaluates INTERPRETED with per-row array
+    allocation, not codegen — measured slower than the Arrow round
+    trip. No shuffle either way: assignment stays a map pass. Ties
+    resolve to the lowest centroid id (numpy argmin takes the first
+    minimum)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C ** 2).sum(axis=1)
+
+    @pandas_udf("int")
+    def _nearest(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series([], dtype="int32")
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        d = c2[None, :] - 2.0 * (X @ C.T)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return _nearest(F.col("embedding").cast("array<double>"))
 
 
 def ivf_index(
