@@ -47,13 +47,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def neardup_clusters(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
+def neardup_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 25,
+    local_threshold: int = 500_000,
+) -> DataFrame:
     """Connected components over a near-dup pair graph: (doc_id,
     cluster_id) with cluster_id = the minimum doc_id reachable through
     pair edges — the canonicalization step a dedup pipeline runs AFTER
     pair detection (keep cluster_id, drop the rest).
 
-    Algorithm: min-label propagation with POINTER JUMPING from round 3.
+    HYBRID execution: an edge list at or below ``local_threshold``
+    (default 500k edges ≈ a broadcast-build-side worth of driver
+    memory) resolves with a DRIVER-side union-find — microseconds of
+    path-halving beat several distributed label-propagation rounds of
+    scheduler latency, the same small-side discipline as a broadcast
+    join or the IVF trainer. Above the threshold (or with
+    ``local_threshold=0``, which tests use to pin the distributed
+    loop) the pointer-jumping propagation below runs; note the edge
+    COUNT is known for free — the edge list is materialized either
+    way for the loop's reuse.
+
+    Distributed algorithm: min-label propagation with POINTER JUMPING
+    from round 3.
     Each round every vertex takes the min of its own label and its
     neighbors' labels; from the third round on it additionally
     short-circuits through its label's label (label <- label[label],
@@ -83,6 +99,8 @@ def neardup_clusters(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if local_threshold and edges.count() <= local_threshold:
+        return _cc_local(pairs.sparkSession, edges)
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))
@@ -142,6 +160,48 @@ def neardup_clusters(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
             f"with log2 of the largest component's diameter)"
         )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _cc_local(spark, edges: DataFrame) -> DataFrame:
+    """Driver-side connected components for a bounded edge list:
+    union-find with union-by-min (the minimum id IS the root, matching
+    the distributed min-label semantics exactly) and path halving.
+    Output schema and node set are identical to the distributed path:
+    one (doc_id, cluster_id) row per vertex that appears in an edge."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges.collect():
+        a, b = r["src"], r["dst"]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    id_type = edges.schema["src"].dataType
+    schema = StructType(
+        [
+            StructField("doc_id", id_type),
+            StructField("cluster_id", id_type),
+        ]
+    )
+    return spark.createDataFrame(
+        [(v, find(v)) for v in parent], schema
+    )
+
 
 MERSENNE_P = (1 << 31) - 1
 

@@ -145,9 +145,14 @@ def test_neardup_clusters_raises_when_round_budget_too_small(spark):
         [Row(doc_a=i, doc_b=i + 1) for i in range(1, 8)]  # diameter-7 chain
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        neardup_clusters(chain, max_iterations=2)
+        neardup_clusters(chain, max_iterations=2, local_threshold=0)
     # with enough rounds the same graph converges to one component
-    got = {r.cluster_id for r in neardup_clusters(chain, max_iterations=10).collect()}
+    got = {
+        r.cluster_id
+        for r in neardup_clusters(
+            chain, max_iterations=10, local_threshold=0
+        ).collect()
+    }
     assert got == {1}
 
 
@@ -195,7 +200,9 @@ def test_neardup_clusters_log_round_convergence(spark):
     )
     got = {
         r.cluster_id
-        for r in neardup_clusters(chain, max_iterations=8).collect()
+        for r in neardup_clusters(
+            chain, max_iterations=8, local_threshold=0
+        ).collect()
     }
     assert got == {1}
 
@@ -414,3 +421,27 @@ def test_chained_cap_reaches_above_cap_near_dups(spark):
                for r in chained_rows)
     for r in chained_rows:
         assert r.via_chain == (r.est_jaccard is None)
+
+
+def test_cc_local_and_distributed_paths_agree(spark):
+    """The hybrid switch must be invisible: driver union-find (small
+    graphs) and distributed pointer jumping produce identical
+    (doc_id, cluster_id) maps — same node set, same min-id labels."""
+    import random
+
+    rng = random.Random(7)
+    pairs = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(1, 30)]          # chain
+        + [Row(doc_a=100 + rng.randrange(20), doc_b=100 + rng.randrange(20))
+           for _ in range(40)]                                      # blob
+        + [Row(doc_a=999, doc_b=1000)]                              # islet
+    )
+    local = {
+        (r.doc_id, r.cluster_id)
+        for r in neardup_clusters(pairs).collect()                  # hybrid->local
+    }
+    dist = {
+        (r.doc_id, r.cluster_id)
+        for r in neardup_clusters(pairs, local_threshold=0).collect()
+    }
+    assert local == dist
