@@ -49,3 +49,28 @@ def test_superlinear_risk_operators_scale_linearly(spark, tmp_path_factory):
         f"select count(*) from '{work}/rung{FACTOR}x/documents.parquet/*.parquet'"
     ).fetchone()[0]
     assert nf == FACTOR * n1
+
+
+def test_bijection_preserves_pair_structure_exactly(spark, tmp_path_factory):
+    """The fixture's load-bearing property: the per-copy token
+    bijection must keep each copy's near-dup pair set EXACTLY the
+    original's (shingle overlap preserved within a copy, zero overlap
+    across copies) — so a 2x rung yields exactly 2x the pairs. If this
+    breaks (e.g. a canonicalization-unstable marker — the bug the
+    first fixture had), every ladder ratio becomes meaningless."""
+    from scale_ladder import synthesize_rung
+
+    from bda_spark.operators.dedup import minhash_neardup_pairs
+    from bda_spark.sources.batch import load_table
+
+    work = str(tmp_path_factory.mktemp("bij"))
+    synthesize_rung(spark, SRC, f"{work}/r1", 1)
+    synthesize_rung(spark, SRC, f"{work}/r2", 2)
+    n1 = minhash_neardup_pairs(
+        load_table(spark, f"{work}/r1", "documents"), threshold=0.5
+    ).count()
+    n2 = minhash_neardup_pairs(
+        load_table(spark, f"{work}/r2", "documents"), threshold=0.5
+    ).count()
+    assert n1 > 0
+    assert n2 == 2 * n1, (n1, n2)
