@@ -559,7 +559,7 @@ def minhash_match_new(
     seed: int = 42,
     max_bucket_size: int | None = None,
     new_sigs: DataFrame | None = None,
-    cap_mode: str = "truncate",
+    cap_mode: str = "chained",
 ) -> DataFrame:
     """Incremental near-dup detection: match a NEW batch against a
     prebuilt ``minhash_index`` (same ngram/num_hashes/seed — the hash
@@ -584,7 +584,8 @@ def minhash_match_new(
     posting list per band key to its ``max_bucket_size`` lowest
     corpus_ids (deterministic row_number over the same band_key
     partitioning the join shuffles on anyway), bounding join fan-out to
-    O(new x cap). Two cap modes:
+    O(new x cap). Two cap modes — the recall-safe ``"chained"`` is the
+    DEFAULT; ``"truncate"`` is the explicit cheaper opt-down:
 
     - ``cap_mode="truncate"``: a truncated posting entry is simply
       never compared — a genuine near-dup whose corpus_id ranks above
@@ -593,7 +594,7 @@ def minhash_match_new(
       hot-but-heterogeneous buckets (skewed band keys from short/
       low-entropy docs) lose recall. Measure the exposure FIRST with
       ``minhash_bucket_truncation(index, ...)``.
-    - ``cap_mode="chained"`` (the recall-safe cap): the direct compare
+    - ``cap_mode="chained"`` (default — the recall-safe cap): the direct compare
       set is the same bounded posting list, but each hot bucket the
       batch actually touches additionally contributes VERIFIED
       rank-gap chain edges among its corpus members (the same

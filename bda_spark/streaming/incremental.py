@@ -46,7 +46,7 @@ def stream_dedup_against_index(
     seed: int = 42,
     available_now: bool = False,
     max_bucket_size: int | None = None,
-    cap_mode: str = "truncate",
+    cap_mode: str = "chained",
 ):
     """Start the incremental-dedup stream over ``stream_docs`` (a
     streaming DataFrame carrying ``id_col`` + ``text_col``). Returns

@@ -402,7 +402,8 @@ def test_chained_cap_reaches_above_cap_near_dups(spark):
     truncated = {
         (r.new_id, r.corpus_id)
         for r in minhash_match_new(
-            new_batch, index, threshold=0.5, max_bucket_size=4
+            new_batch, index, threshold=0.5, max_bucket_size=4,
+            cap_mode="truncate",
         ).collect()
     }
     assert (101, 99) not in truncated  # the silent miss being fixed
