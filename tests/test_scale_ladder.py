@@ -29,13 +29,21 @@ def test_superlinear_risk_operators_scale_linearly(spark, tmp_path_factory):
 
     work = str(tmp_path_factory.mktemp("ladder"))
     report = build_and_measure(spark, SRC, work, FACTOR)
+    # Noise floor: in the loaded shared-JVM suite, a sub-second 1x
+    # baseline can jitter a RATIO past the bound without any real
+    # scaling problem. A genuine superlinear blowup at these volumes
+    # is unmissable in ABSOLUTE time (the fixture bug this harness
+    # caught measured 477 s at 10x); require both signals.
+    floor_s = 8.0
     failures = {
         name: row
         for name, row in report["queries"].items()
-        if row["ratio"] is not None and row["ratio"] > row["bound"]
+        if row["ratio"] is not None
+        and row["ratio"] > row["bound"]
+        and row[f"t{FACTOR}x"] >= floor_s
     }
     assert not failures, (
-        f"operators scaling worse than {report}',"
+        f"operators scaling worse than {report},"
         f" failing rows: {failures}"
     )
     # sanity: the rung really is FACTOR x bigger (the bijection kept
