@@ -607,12 +607,13 @@ def minhash_match_new(
       makes buckets hot — so enabling the cap no longer silently
       narrows recall there. (A doc similar ONLY to one above-cap
       member of a hot-but-heterogeneous bucket is still missed — the
-      identical guarantee class as the self-join chain cap.) Output
-      gains a ``via_chain`` flag; chain-expanded rows carry NULL
-      ``est_jaccard`` (the estimate exists only for directly compared
-      pairs). Requires new ids and corpus ids to be DISJOINT (the
-      incremental-dedup contract — the stream filters already-indexed
-      ids before matching).
+      identical guarantee class as the self-join chain cap.) The
+      output schema is IDENTICAL to the other modes — chain-expanded
+      rows are marked by a NULL ``est_jaccard`` (the estimate exists
+      only for directly compared pairs), so existing flags tables and
+      merges keep working across the mode switch. Requires new ids
+      and corpus ids to be DISJOINT (the incremental-dedup contract —
+      the stream filters already-indexed ids before matching).
     """
     from pyspark.sql import Window
 
@@ -658,6 +659,11 @@ def minhash_match_new(
     )
     if not chained:
         return direct
+    # the direct matches feed BOTH the component edges (materialized by
+    # neardup_clusters) and the final estimate join — pin the tiny
+    # flags-sized frame once so the corpus-signature join is not
+    # re-executed per consumer
+    direct = direct.localCheckpoint(eager=True)
 
     # chain expansion, scoped to hot buckets the BATCH touched: corpus
     # members of those buckets get rank-gap edges, est-verified from
@@ -708,10 +714,7 @@ def minhash_match_new(
     ).select(F.col("doc_id").alias("corpus_id"), F.col("cluster_id").alias("_c"))
     expanded = new_side.join(corpus_side, "_c").select("new_id", "corpus_id")
     return expanded.join(direct, ["new_id", "corpus_id"], "left").select(
-        "new_id",
-        "corpus_id",
-        "est_jaccard",
-        F.col("est_jaccard").isNull().alias("via_chain"),
+        "new_id", "corpus_id", "est_jaccard"
     )
 
 

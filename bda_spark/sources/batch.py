@@ -22,14 +22,18 @@ def read_parquet(spark: SparkSession, path: str, schema: StructType | None = Non
     """Parquet scan. Explicit schema skips footer-inference on huge dirs.
     Versioned roots (sources.versioned — tables maintained by
     optimize_table/compact_parquet with reader-atomic generations)
-    resolve transparently to their current committed generation; plain
-    dirs and files pass through untouched."""
-    from .versioned import resolve_table
+    resolve transparently to their current committed generation —
+    through the MANIFEST-AWARE reader, so generations whose partitions
+    are carried by reference (incremental compaction) read complete;
+    plain dirs and files pass through untouched."""
+    from .versioned import is_versioned, read_versioned
 
+    if is_versioned(spark, path):
+        return read_versioned(spark, path)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.parquet(resolve_table(spark, path))
+    return reader.parquet(path)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -92,13 +92,18 @@ def idempotent_merge_parquet(
     ``versioned.DEFAULT_MAINTENANCE_MIN_AGE_SECONDS`` (10 min) — a
     reader that resolved a generation always gets at least that long
     to finish its scan no matter how fast merges land. Batch callers
-    that want immediate reclamation pass 0.0 explicitly.
+    that want immediate reclamation pass 0.0 explicitly. The flip
+    side is STORAGE: the grace retains one superseded full-table copy
+    PER MERGE inside the window (grace / merge-period generations), so
+    a fast trigger merging a large versioned table should opt DOWN to
+    roughly its slowest expected scan — or use the partition-scoped /
+    batch-dir sinks, which are the right shape for that rate anyway.
     """
     from .versioned import (
         DEFAULT_MAINTENANCE_MIN_AGE_SECONDS,
         commit_generation,
         is_versioned,
-        resolve_table,
+        read_versioned,
         vacuum_versions,
     )
 
@@ -112,7 +117,10 @@ def idempotent_merge_parquet(
                 "generation commits don't compose); use a plain dir for "
                 "partitioned tables or merge whole-table"
             )
-        existing = spark.read.parquet(resolve_table(spark, path))
+        # manifest-aware: a generation carrying partitions by reference
+        # reads complete, and the merged rewrite below collapses the
+        # reference chain into a self-contained generation
+        existing = read_versioned(spark, path)
         kept = existing.join(
             updates.select(*keys).distinct(), on=keys, how="left_anti"
         )

@@ -224,10 +224,77 @@ def resolve_table(
     return root if not chain else _gen_dir(root, chain[-1][0])
 
 
+def generation_manifest(
+    spark: SparkSession, root: str, gen: int
+) -> tuple[dict[str, int], bool]:
+    """(manifest, plain) for one generation: manifest maps each hive
+    entry name -> the generation PHYSICALLY holding it (the
+    generation's own ``key=value`` dirs plus its ``_refs`` carries —
+    always resolved directly to the holder, never through a chain);
+    ``plain`` = the generation also holds non-hive data files (an
+    unpartitioned layout, read as one dir)."""
+    gen_dir = _gen_dir(root, int(gen))
+    fs, gen_p = _hadoop_path(spark, gen_dir)
+    manifest: dict[str, int] = {}
+    plain = False
+    for st in fs.listStatus(gen_p):
+        name = st.getPath().getName()
+        if st.isDirectory() and "=" in name:
+            manifest[name] = int(gen)
+        elif not name.startswith(("_", ".")):
+            plain = True
+    for name, holder in read_generation_refs(spark, root, int(gen)).items():
+        manifest.setdefault(name, int(holder))
+    return manifest, plain
+
+
 def read_versioned(
     spark: SparkSession, root: str, generation: int | None = None
 ) -> DataFrame:
-    return spark.read.parquet(resolve_table(spark, root, generation))
+    """Read a versioned table (or a specific committed generation) —
+    MANIFEST-AWARE: a generation produced by incremental maintenance
+    (streaming.batchdir partition-scoped compaction) may hold some
+    partitions only BY REFERENCE in its ``_refs`` sidecar; this reader
+    resolves the manifest and unions one partition-discovering read
+    per holder generation (basePath = that holder's dir, so hive
+    columns keep their types and partition-filter pruning power). A
+    bare ``spark.read.parquet(resolve_table(...))`` would silently
+    drop every referenced partition — use this reader (or
+    ``sources.batch.read_parquet``) for versioned roots."""
+    path = resolve_table(spark, root, generation)
+    gen = (
+        int(generation)
+        if generation is not None
+        else current_generation(spark, root)
+    )
+    if gen is None:  # plain, non-versioned dir passthrough
+        return spark.read.parquet(path)
+    manifest, plain = generation_manifest(spark, root, gen)
+    if all(holder == gen for holder in manifest.values()):
+        # self-contained (unpartitioned, hive-with-no-refs, or empty):
+        # one read of the generation dir is complete and keeps the
+        # single-scan plan
+        return spark.read.parquet(path)
+    if plain:
+        raise IOError(
+            f"generation {gen} of {root} mixes root-level data files "
+            f"with referenced hive partitions — unreadable layout"
+        )
+    by_holder: dict[int, list[str]] = {}
+    for name, holder in manifest.items():
+        by_holder.setdefault(holder, []).append(name)
+    parts: list[DataFrame] = []
+    for holder, names in sorted(by_holder.items()):
+        base = _gen_dir(root, holder)
+        parts.append(
+            spark.read.option("basePath", base).parquet(
+                *[f"{base}/{n}" for n in sorted(names)]
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
 
 
 def commit_generation(

@@ -170,6 +170,26 @@ def legacy_layout_entries(spark: SparkSession, root: str) -> list[str]:
     return sorted(out)
 
 
+def _require_success_markers(spark: SparkSession) -> None:
+    """The batch-dir protocol RELIES on the committer's ``_SUCCESS``
+    marker (readers skip uncommitted dirs; compaction never absorbs
+    past one). With ``mapreduce.fileoutputcommitter.marksuccessfuljobs``
+    disabled — a setting some cloud deployments flip — every dir would
+    read as in-flight forever: reads silently empty, the watermark
+    frozen, batch dirs accumulating unboundedly. Fail LOUDLY at write
+    time instead; an in-memory conf lookup, nothing filesystem-side."""
+    conf = spark._jsc.hadoopConfiguration()
+    val = conf.get("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+    if str(val).lower() == "false":
+        raise IOError(
+            "streaming.batchdir requires _SUCCESS markers, but "
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs=false in "
+            "this session's Hadoop configuration — re-enable it (the "
+            "marker is one empty file per micro-batch) or use a "
+            "different sink"
+        )
+
+
 def _require_batch_layout(spark: SparkSession, root: str) -> None:
     legacy = legacy_layout_entries(spark, root)
     if legacy:
@@ -214,6 +234,7 @@ def write_batch_dir(df: DataFrame, root: str, batch_id: int) -> bool:
     splitting: read-optimized layout is COMPACTION's job, not the
     ingest path's."""
     spark = df.sparkSession
+    _require_success_markers(spark)
     _require_batch_layout(spark, root)
     if int(batch_id) <= compacted_watermark(spark, root):
         return False
@@ -233,21 +254,12 @@ def _gen_manifest(
     because compaction resolves references fully when it writes them).
     ``plain`` = the generation is unpartitioned parquet (no hive
     entries), read as one dir."""
+    from ..sources.versioned import generation_manifest
+
     gen = current_generation(spark, root)
     if gen is None:
         return None, {}, False
-    gen_dir = _gen_dir(root, gen)
-    fs, gen_p = _hadoop_path(spark, gen_dir)
-    manifest: dict[str, int] = {}
-    plain = False
-    for st in fs.listStatus(gen_p):
-        name = st.getPath().getName()
-        if st.isDirectory() and "=" in name:
-            manifest[name] = gen
-        elif not name.startswith(("_", ".")):
-            plain = True
-    for name, holder in read_generation_refs(spark, root, gen).items():
-        manifest.setdefault(name, int(holder))
+    manifest, plain = generation_manifest(spark, root, gen)
     return gen, manifest, plain
 
 
@@ -334,17 +346,25 @@ def read_batch_table(
     return df
 
 
-def _spread_within_partitions(df: DataFrame, pcol: str | None) -> DataFrame:
-    """Range-distribute rows so one hive partition value does NOT
-    funnel through one task: ranging on (pcol, row-hash) keeps each
-    value's rows contiguous (each task writes ~1 file per value it
-    covers — no tasks×values fragment explosion) while a hot value
-    spans as many tasks as its volume needs. No explicit partition
-    count, so AQE coalesces the shuffle at small volumes and widens it
-    at scale."""
-    others = [c for c in df.columns if c != pcol]
-    if pcol is None:
+def _spread_within_partitions(
+    df: DataFrame, partition_by: list[str] | None
+) -> DataFrame:
+    """Pre-write shuffle for a hive-partitioned layout. Single column:
+    range-distribute on (pcol, row-hash) so one hot partition value
+    does NOT funnel through one task — each value's rows stay
+    contiguous (each task writes ~1 file per value it covers, no
+    tasks×values fragment explosion) while a hot value spans as many
+    tasks as its volume needs; no explicit partition count, so AQE
+    coalesces the shuffle at small volumes and widens it at scale.
+    Multiple columns: hash-cluster on the partition tuple (~one file
+    per value combination — the bounded-file-count baseline; the range
+    spread needs a single orderable leading key)."""
+    if not partition_by:
         return df
+    if len(partition_by) > 1:
+        return df.repartition(*partition_by)
+    pcol = partition_by[0]
+    others = [c for c in df.columns if c != pcol]
     if not others:
         return df.repartition(F.col(pcol))
     return df.repartitionByRange(F.col(pcol), F.xxhash64(*others))
@@ -408,9 +428,18 @@ def compact_batch_dirs(
         # their writer (live stream or crash-replay) to commit
         committed = {b: p for b, p in committed.items() if b < blocked}
         with_data = {b: p for b, p in with_data.items() if b < blocked}
+    cur_gen, manifest, plain_gen = _gen_manifest(spark, root)
+    has_refs = any(g != cur_gen for g in manifest.values())
     if not committed:
-        return wm
-    new_wm = max(committed)
+        if not (full and has_refs):
+            return wm
+        # MAJOR compaction with nothing fresh still has work: collapse
+        # the reference chain (an idle stream must not leave holder
+        # generations pinned forever — that IS the unbounded growth
+        # full=True exists to stop)
+        new_wm = wm
+    else:
+        new_wm = max(committed)
 
     fresh_df: DataFrame | None = None
     if with_data:
@@ -420,7 +449,6 @@ def compact_batch_dirs(
             .drop("batch")
         )
 
-    cur_gen, manifest, plain_gen = _gen_manifest(spark, root)
     if fresh_df is None and plain_gen:
         # only empty-committed dirs atop an UNPARTITIONED generation:
         # nothing can carry by reference (no hive entries) and a full
@@ -458,7 +486,7 @@ def compact_batch_dirs(
             old = _read_compacted(spark, root, fresh_df.schema)
             if old is not None:
                 merged = old.filter(pred).unionByName(fresh_df)
-            _spread_within_partitions(merged, pcol).write.partitionBy(
+            _spread_within_partitions(merged, [pcol]).write.partitionBy(
                 pcol
             ).mode("overwrite").parquet(data_dir)
             # entries this generation now holds physically supersede
@@ -474,21 +502,28 @@ def compact_batch_dirs(
             }
             if refs:
                 write_generation_refs(spark, data_dir, refs)
-        elif fresh_df is None:
+        elif fresh_df is None and not full:
             # only empty-but-committed batches: nothing to rewrite —
             # carry the whole manifest forward and advance the mark
             fs.mkdirs(data_p)
             if manifest:
                 write_generation_refs(spark, data_dir, manifest)
         else:
-            # MAJOR compaction: one self-contained generation
-            merged = fresh_df
-            old = _read_compacted(spark, root, fresh_df.schema)
-            if old is not None:
+            # MAJOR compaction: one self-contained generation (refs
+            # collapse; with no fresh data the old table rewrites
+            # alone)
+            old = _read_compacted(
+                spark, root, fresh_df.schema if fresh_df is not None else None
+            )
+            if fresh_df is None:
+                merged = old
+            elif old is not None:
                 merged = old.unionByName(fresh_df)
+            else:
+                merged = fresh_df
             if partition_by:
                 _spread_within_partitions(
-                    merged, partition_by[0] if len(partition_by) == 1 else None
+                    merged, partition_by
                 ).write.partitionBy(*partition_by).mode("overwrite").parquet(
                     data_dir
                 )
@@ -566,7 +601,7 @@ def migrate_batch_layout(
         def _write_rows(data_dir: str) -> None:
             if partition_by:
                 _spread_within_partitions(
-                    merged, partition_by[0] if len(partition_by) == 1 else None
+                    merged, partition_by
                 ).write.mode("overwrite").partitionBy(*partition_by).parquet(
                     data_dir
                 )

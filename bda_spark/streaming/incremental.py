@@ -47,6 +47,7 @@ def stream_dedup_against_index(
     available_now: bool = False,
     max_bucket_size: int | None = None,
     cap_mode: str = "chained",
+    vacuum_min_age_seconds: float | None = None,
 ):
     """Start the incremental-dedup stream over ``stream_docs`` (a
     streaming DataFrame carrying ``id_col`` + ``text_col``). Returns
@@ -98,9 +99,18 @@ def stream_dedup_against_index(
                 cap_mode=cap_mode,
             )
             idempotent_merge_parquet(
-                spark, flags, flags_path, keys=["new_id", "corpus_id"]
+                spark, flags, flags_path, keys=["new_id", "corpus_id"],
+                vacuum_min_age_seconds=vacuum_min_age_seconds,
             )
-        idempotent_merge_parquet(spark, sigs, index_path, keys=["doc_id"])
+        # vacuum_min_age_seconds matters on a VERSIONED index: each
+        # micro-batch merge commits a full new generation, so the
+        # 10-min reader-grace default retains (grace / trigger-period)
+        # superseded copies — a fast trigger on a big index should opt
+        # down to roughly its slowest expected scan instead
+        idempotent_merge_parquet(
+            spark, sigs, index_path, keys=["doc_id"],
+            vacuum_min_age_seconds=vacuum_min_age_seconds,
+        )
 
     writer = (
         stream_docs.writeStream.foreachBatch(_process)

@@ -171,7 +171,15 @@ class TickPipeline:
         reg_param: float = 0.01,
         elastic_net_param: float = 0.5,
         historical_store: ModelStore | None = None,
+        labels_vacuum_min_age_seconds: float | None = None,
     ):
+        # reader grace for the per-micro-batch labels merge when the
+        # labels table is VERSIONED: None = the sinks module's 10-min
+        # default. The labels table is one row per window — hundreds
+        # of retained generations are kilobytes — so the default is
+        # safe here; the knob exists for operators who want immediate
+        # reclamation (tests pass 0.0 via sinks directly).
+        self.labels_vacuum_min_age_seconds = labels_vacuum_min_age_seconds
         self.spark = spark
         self.symbol = symbol
         self.feature_cols = feature_cols or SYMBOL_FEATURES[symbol]
@@ -321,6 +329,7 @@ class TickPipeline:
             idempotent_merge_parquet(
                 self.spark, batch_df, self.labels_path,
                 keys=["symbol", "window_start"],
+                vacuum_min_age_seconds=self.labels_vacuum_min_age_seconds,
             )
         finally:
             batch_df.unpersist()
@@ -359,6 +368,7 @@ class TickPipeline:
             idempotent_merge_parquet(
                 self.spark, labels, self.labels_path,
                 keys=["symbol", "window_start"],
+                vacuum_min_age_seconds=self.labels_vacuum_min_age_seconds,
             )
         finally:
             windowed.unpersist()

@@ -468,3 +468,60 @@ def test_manifest_read_partition_prunes(spark, tmp_path):
                 sizes.append(kv._2().value())
     assert len(sizes) == 2, sizes  # one scan per holder generation
     assert sorted(x > 0 for x in sizes) == [False, True], sizes
+
+
+def test_full_compaction_collapses_refs_even_when_idle(spark, tmp_path):
+    """Code-review r9: an idle stream (everything already absorbed)
+    must still be able to collapse the reference chain with a
+    full=True major compaction — otherwise holder generations stay
+    pinned forever and reads keep paying one scan per holder."""
+    from bda_spark.sources.versioned import read_generation_refs
+
+    root = str(tmp_path / "idlefull")
+    write_batch_dir(_day_batch(spark, 0, "d0"), root, 0)
+    write_batch_dir(_day_batch(spark, 1, "d1"), root, 1)
+    compact_batch_dirs(spark, root, partition_by=["day"])          # gen1
+    write_batch_dir(_day_batch(spark, 2, "d1"), root, 2)
+    compact_batch_dirs(spark, root, partition_by=["day"])          # gen2: d0 by ref
+    assert read_generation_refs(spark, root, 2) == {"day=d0": 1}
+    before = _rows(spark, root)
+
+    # idle: nothing fresh — the major compaction must still collapse
+    wm = compact_batch_dirs(spark, root, partition_by=["day"], full=True)
+    assert wm == 2  # watermark unchanged: nothing was absorbed
+    assert read_generation_refs(spark, root, 3) == {}
+    gen3 = os.path.join(root, "_versions", f"gen-{3:08d}")
+    assert os.path.exists(os.path.join(gen3, "day=d0"))
+    assert os.path.exists(os.path.join(gen3, "day=d1"))
+    assert _rows(spark, root) == before
+    # a second idle full run is a no-op (self-contained already)
+    assert compact_batch_dirs(
+        spark, root, partition_by=["day"], full=True
+    ) == 2
+    assert not os.path.exists(
+        os.path.join(root, "_versions", f"gen-{4:08d}")
+    )
+
+
+def test_versioned_readers_resolve_refs(spark, tmp_path):
+    """Code-review r9: the versioned module's OWN readers
+    (read_versioned / sources.batch.read_parquet) must resolve the
+    _refs manifest — a reader that scans only the generation dir would
+    silently drop every referenced partition."""
+    from bda_spark.sources.batch import read_parquet
+    from bda_spark.sources.versioned import read_versioned
+
+    root = str(tmp_path / "refread")
+    write_batch_dir(_day_batch(spark, 0, "d0"), root, 0)
+    write_batch_dir(_day_batch(spark, 1, "d1"), root, 1)
+    compact_batch_dirs(spark, root, partition_by=["day"])          # gen1
+    write_batch_dir(_day_batch(spark, 2, "d1"), root, 2)
+    compact_batch_dirs(spark, root, partition_by=["day"])          # gen2: d0 by ref
+    # sweep grace dirs so only the compacted table remains
+    compact_batch_dirs(spark, root, partition_by=["day"])
+    expect = {(r.k, r.v, r.day) for r in read_batch_table(spark, root, SCHEMA).collect()}
+    assert {r["day"] for r in read_versioned(spark, root).collect()} == {"d0", "d1"}
+    got = {(r["k"], r["v"], r["day"]) for r in read_versioned(spark, root).collect()}
+    assert got == expect
+    got2 = {(r["k"], r["v"], r["day"]) for r in read_parquet(spark, root).collect()}
+    assert got2 == expect
