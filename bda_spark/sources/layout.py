@@ -244,18 +244,36 @@ def optimize_table(
         raise ValueError("give zorder_cols OR range_col, not both")
     from .sinks import _hadoop_path
     from .versioned import (
+        _gen_dir,
         commit_generation,
+        current_generation,
+        generation_manifest,
         is_versioned,
+        read_versioned,
         resolve_table,
         vacuum_versions,
     )
 
     if is_versioned(spark, path):
+        # manifest-aware: a generation produced by incremental
+        # compaction may carry partitions by reference — a bare read of
+        # the generation dir would rewrite the table WITHOUT them
+        # (silent data loss). read_versioned resolves the refs, and the
+        # self-contained rewrite below collapses the reference chain
+        # (optimize doubles as a major compaction).
+        gen = current_generation(spark, path)
+        manifest, _plain = generation_manifest(spark, path, gen)
         src = resolve_table(spark, path)
         fs, src_p = _hadoop_path(spark, src)
         total = fs.getContentSummary(src_p).getLength()
+        for name, holder in manifest.items():
+            if holder != gen:
+                _, ref_p = _hadoop_path(
+                    spark, f"{_gen_dir(path, holder)}/{name}"
+                )
+                total += fs.getContentSummary(ref_p).getLength()
         n_files = max(1, -(-total // target_file_bytes))
-        df = spark.read.parquet(src)
+        df = read_versioned(spark, path)
 
         def _write(data_path: str) -> None:
             if zorder_cols:

@@ -525,3 +525,30 @@ def test_versioned_readers_resolve_refs(spark, tmp_path):
     assert got == expect
     got2 = {(r["k"], r["v"], r["day"]) for r in read_parquet(spark, root).collect()}
     assert got2 == expect
+
+
+def test_optimize_table_preserves_referenced_partitions(spark, tmp_path):
+    """Code-review r9 follow-up: optimize_table on a refs-bearing
+    versioned table must rewrite the WHOLE logical table (manifest
+    resolved), never just the generation dir's physical partitions —
+    and its self-contained output collapses the reference chain."""
+    from bda_spark.sources.layout import optimize_table
+    from bda_spark.sources.versioned import (
+        current_generation,
+        read_generation_refs,
+    )
+
+    root = str(tmp_path / "opt")
+    write_batch_dir(_day_batch(spark, 0, "d0"), root, 0)
+    write_batch_dir(_day_batch(spark, 1, "d1"), root, 1)
+    compact_batch_dirs(spark, root, partition_by=["day"])          # gen1
+    write_batch_dir(_day_batch(spark, 2, "d1"), root, 2)
+    compact_batch_dirs(spark, root, partition_by=["day"])          # gen2: d0 by ref
+    compact_batch_dirs(spark, root, partition_by=["day"])          # sweep grace
+    before = _rows(spark, root)
+    assert read_generation_refs(spark, root, 2) == {"day=d0": 1}
+
+    optimize_table(spark, root, range_col="k")
+    gen = current_generation(spark, root)
+    assert read_generation_refs(spark, root, gen) == {}
+    assert _rows(spark, root) == before
