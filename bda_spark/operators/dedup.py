@@ -632,9 +632,21 @@ def minhash_match_new(
     chained = cap_mode == "chained" and max_bucket_size is not None
     ranked = None
     if max_bucket_size is not None:
+        # rank AND bucket size in one pass over one band_key exchange:
+        # the capped postings, the touched-hot-bucket probe, and the
+        # chain-member selection below are all filters over this same
+        # frame, so the planner's ReuseExchange collapses their scans
+        # to a single banding shuffle (a groupBy-based size probe would
+        # be a second, non-reusable aggregation of the whole index)
         w = Window.partitionBy("band_key").orderBy("corpus_id")
-        ranked = cb.withColumn("_rk", F.row_number().over(w))
-        cb = ranked.filter(F.col("_rk") <= int(max_bucket_size)).drop("_rk")
+        wall = Window.partitionBy("band_key")
+        ranked = cb.withColumn("_rk", F.row_number().over(w)).withColumn(
+            "_bsz", F.count("*").over(wall)
+        )
+        cb = (
+            ranked.filter(F.col("_rk") <= int(max_bucket_size))
+            .drop("_rk", "_bsz")
+        )
     cands = nb.join(cb, "band_key").select("new_id", "corpus_id").distinct()
     mh_new = new_sigs.select(
         F.col("doc_id").alias("new_id"),
@@ -671,14 +683,14 @@ def minhash_match_new(
     # either), and components over direct ∪ chains expand each hit to
     # its whole reachable cluster.
     touched_hot = (
-        ranked.groupBy("band_key")
-        .agg(F.max("_rk").alias("_bsz"))
-        .filter(F.col("_bsz") > int(max_bucket_size))
-        .join(nb.select("band_key").distinct(), "band_key", "left_semi")
+        ranked.filter(F.col("_bsz") > int(max_bucket_size))
         .select("band_key")
+        .distinct()
+        .join(nb.select("band_key").distinct(), "band_key", "left_semi")
     )
     hot_members = (
-        ranked.select(F.col("corpus_id").alias("doc_id"), "band_key")
+        ranked.filter(F.col("_bsz") > int(max_bucket_size))
+        .select(F.col("corpus_id").alias("doc_id"), "band_key")
         .join(F.broadcast(touched_hot), "band_key", "left_semi")
     )
     chain_raw = _rank_gap_chain_pairs(hot_members, int(max_bucket_size))

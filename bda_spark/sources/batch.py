@@ -29,7 +29,7 @@ def read_parquet(spark: SparkSession, path: str, schema: StructType | None = Non
     from .versioned import is_versioned, read_versioned
 
     if is_versioned(spark, path):
-        return read_versioned(spark, path)
+        return read_versioned(spark, path, schema=schema)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)

@@ -275,6 +275,8 @@ def optimize_table(
         n_files = max(1, -(-total // target_file_bytes))
         df = read_versioned(spark, path)
 
+        from .versioned import _read_small_file, _write_small_file
+
         def _write(data_path: str) -> None:
             if zorder_cols:
                 write_zorder(
@@ -291,6 +293,14 @@ def optimize_table(
                 for k, v in bloom_filter_options(bloom_filter_cols).items():
                     writer = writer.option(k, v)
                 writer.parquet(data_path)
+            # carry protocol sidecars forward: a batch-dir table's
+            # _watermark records which batch ids are absorbed — losing
+            # it would reset the watermark to -1, resurrect grace dirs
+            # (double counts) and un-skip checkpoint replays. _refs is
+            # deliberately NOT carried: this rewrite is self-contained.
+            wm = _read_small_file(spark, f"{src}/_watermark")
+            if wm is not None:
+                _write_small_file(spark, f"{data_path}/_watermark", wm)
 
         commit_generation(spark, path, _write)
         # keep >= 2 leaves the previous committed generation for

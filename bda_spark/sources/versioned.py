@@ -249,7 +249,10 @@ def generation_manifest(
 
 
 def read_versioned(
-    spark: SparkSession, root: str, generation: int | None = None
+    spark: SparkSession,
+    root: str,
+    generation: int | None = None,
+    schema=None,
 ) -> DataFrame:
     """Read a versioned table (or a specific committed generation) —
     MANIFEST-AWARE: a generation produced by incremental maintenance
@@ -260,7 +263,26 @@ def read_versioned(
     columns keep their types and partition-filter pruning power). A
     bare ``spark.read.parquet(resolve_table(...))`` would silently
     drop every referenced partition — use this reader (or
-    ``sources.batch.read_parquet``) for versioned roots."""
+    ``sources.batch.read_parquet``) for versioned roots.
+
+    ``schema`` (optional StructType) aligns every holder's part to the
+    declared columns/types before the union — partition-type inference
+    is per-read, so two holders could otherwise infer differently
+    (e.g. a null-only partition) and fail the union; without it the
+    FIRST holder's inferred schema is the alignment target. A
+    committed generation holding NO data at all (an empty-stream
+    absorb) returns an empty frame of ``schema`` when given, instead
+    of failing schema inference."""
+    from pyspark.sql import functions as _F
+
+    def _cast(df: DataFrame, target) -> DataFrame:
+        return df.select(
+            *[
+                _F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in target.fields
+            ]
+        )
+
     path = resolve_table(spark, root, generation)
     gen = (
         int(generation)
@@ -268,13 +290,17 @@ def read_versioned(
         else current_generation(spark, root)
     )
     if gen is None:  # plain, non-versioned dir passthrough
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        return _cast(df, schema) if schema is not None else df
     manifest, plain = generation_manifest(spark, root, gen)
+    if not manifest and not plain and schema is not None:
+        # committed but data-less (empty-stream absorb): typed empty
+        return spark.createDataFrame([], schema)
     if all(holder == gen for holder in manifest.values()):
-        # self-contained (unpartitioned, hive-with-no-refs, or empty):
-        # one read of the generation dir is complete and keeps the
-        # single-scan plan
-        return spark.read.parquet(path)
+        # self-contained (unpartitioned, hive-with-no-refs): one read
+        # of the generation dir is complete and keeps the single scan
+        df = spark.read.parquet(path)
+        return _cast(df, schema) if schema is not None else df
     if plain:
         raise IOError(
             f"generation {gen} of {root} mixes root-level data files "
@@ -291,6 +317,8 @@ def read_versioned(
                 *[f"{base}/{n}" for n in sorted(names)]
             )
         )
+    target = schema if schema is not None else parts[0].schema
+    parts = [_cast(p, target) for p in parts]
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)

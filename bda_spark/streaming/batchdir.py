@@ -266,36 +266,16 @@ def _gen_manifest(
 def _read_compacted(
     spark: SparkSession, root: str, schema: StructType | None = None
 ) -> DataFrame | None:
-    """The compacted half of the table, resolved through the manifest:
-    one partition-discovering read per HOLDER generation (basePath =
-    that generation's dir, so hive columns come back typed), unioned.
-    With ``schema``, each holder's part is cast BEFORE the union —
-    partition-type inference is per-read, so two holders' inferred
-    types could otherwise disagree (e.g. a null-only partition) and
-    fail the union. None when nothing is compacted yet or the
-    generation is empty."""
+    """The compacted half of the table — ``versioned.read_versioned``
+    (the shared manifest-resolving reader) behind batchdir's
+    conventions: None when nothing is compacted yet or the current
+    generation holds no data at all (an empty-stream absorb)."""
+    from ..sources.versioned import read_versioned
+
     gen, manifest, plain = _gen_manifest(spark, root)
-    if gen is None:
+    if gen is None or (not manifest and not plain):
         return None
-    if not manifest:
-        if not plain:
-            return None
-        df = spark.read.parquet(_gen_dir(root, gen))
-        return _cast_to(df, schema) if schema is not None else df
-    by_holder: dict[int, list[str]] = {}
-    for name, holder in manifest.items():
-        by_holder.setdefault(holder, []).append(name)
-    parts: list[DataFrame] = []
-    for holder, names in sorted(by_holder.items()):
-        base = _gen_dir(root, holder)
-        part = spark.read.option("basePath", base).parquet(
-            *[f"{base}/{n}" for n in sorted(names)]
-        )
-        parts.append(_cast_to(part, schema) if schema is not None else part)
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p)
-    return df
+    return read_versioned(spark, root, schema=schema)
 
 
 def _cast_to(df: DataFrame, schema: StructType) -> DataFrame:
@@ -466,6 +446,19 @@ def compact_batch_dirs(
     incremental = (
         not full and pcol is not None and fresh_df is not None and not plain_gen
     )
+    if incremental and any(
+        not name.startswith(f"{pcol}=") for name in manifest
+    ):
+        # a changed partition column would rewrite touched rows under
+        # the new layout while the refs still carry the OLD layout's
+        # entries holding the same rows — silent double counting; the
+        # layout change must be an explicit full rewrite
+        raise IOError(
+            f"compact_batch_dirs: existing generation of {root} is "
+            f"partitioned by {sorted(manifest)[:3]}..., not "
+            f"{pcol!r} — pass the original partition_by, or "
+            f"full=True to re-layout the whole table"
+        )
 
     def _write(data_dir: str) -> None:
         _, data_p = _hadoop_path(spark, data_dir)

@@ -47,7 +47,7 @@ def stream_dedup_against_index(
     available_now: bool = False,
     max_bucket_size: int | None = None,
     cap_mode: str = "chained",
-    vacuum_min_age_seconds: float | None = None,
+    vacuum_min_age_seconds: float = 60.0,
 ):
     """Start the incremental-dedup stream over ``stream_docs`` (a
     streaming DataFrame carrying ``id_col`` + ``text_col``). Returns
@@ -102,11 +102,14 @@ def stream_dedup_against_index(
                 spark, flags, flags_path, keys=["new_id", "corpus_id"],
                 vacuum_min_age_seconds=vacuum_min_age_seconds,
             )
-        # vacuum_min_age_seconds matters on a VERSIONED index: each
+        # vacuum grace on a VERSIONED index is a storage trade: each
         # micro-batch merge commits a full new generation, so the
-        # 10-min reader-grace default retains (grace / trigger-period)
-        # superseded copies — a fast trigger on a big index should opt
-        # down to roughly its slowest expected scan instead
+        # retained-copy count is (grace / trigger-period). The module's
+        # 10-min maintenance default would hold ~600 full index copies
+        # at a 1 s trigger; this sink defaults to 60 s — longer than
+        # any sane scan of a micro-batch-merged table, bounded at ~60
+        # retained copies worst-case — and exposes the knob for slow
+        # dashboard readers (raise it) or offline runs (0.0)
         idempotent_merge_parquet(
             spark, sigs, index_path, keys=["doc_id"],
             vacuum_min_age_seconds=vacuum_min_age_seconds,
