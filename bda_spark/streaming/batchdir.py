@@ -76,7 +76,6 @@ from ..sources.versioned import (
     _write_small_file,
     commit_generation,
     current_generation,
-    read_generation_refs,
     vacuum_versions,
     write_generation_refs,
 )
