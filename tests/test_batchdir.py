@@ -548,7 +548,17 @@ def test_optimize_table_preserves_referenced_partitions(spark, tmp_path):
     before = _rows(spark, root)
     assert read_generation_refs(spark, root, 2) == {"day=d0": 1}
 
+    # leave a grace dir in place (absorbed, <= watermark, not yet
+    # swept) — exactly what optimize must not resurrect
+    _day_batch(spark, 1, "d1").write.mode("overwrite").parquet(
+        os.path.join(root, "batch=1")
+    )
     optimize_table(spark, root, range_col="k")
     gen = current_generation(spark, root)
     assert read_generation_refs(spark, root, gen) == {}
+    assert _rows(spark, root) == before
+    # the _watermark sidecar carried through the rewrite: the grace
+    # dir stays invisible and an absorbed batch id still skips
+    assert compacted_watermark(spark, root) == 2
+    assert not write_batch_dir(_day_batch(spark, 2, "d1"), root, 2)
     assert _rows(spark, root) == before
