@@ -296,7 +296,18 @@ def ivf_index(
     if n_hint is not None:
         small = n_hint <= 4 * target
         if small:
-            fit_rows = embeddings.select(emb_arr).collect()
+            # the hint is advisory, never trusted with an unbounded
+            # collect: a stale small hint over a since-grown corpus
+            # would otherwise pull the whole table onto the driver.
+            # limit(cap) bounds the fetch; hitting the cap falsifies
+            # the hint and falls through to Bernoulli sampling (with
+            # the hint discarded — the exact count re-prices it).
+            probed = embeddings.select(emb_arr).limit(cap).collect()
+            if len(probed) < cap:
+                fit_rows = probed
+            else:
+                small = False
+                n_hint = None
     else:
         # probe and fetch in ONE early-terminating job: CollectLimit
         # stops at `cap` rows (one task at toy scale, a handful at

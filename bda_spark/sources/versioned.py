@@ -283,12 +283,17 @@ def read_versioned(
             ]
         )
 
-    path = resolve_table(spark, root, generation)
-    gen = (
-        int(generation)
-        if generation is not None
-        else current_generation(spark, root)
-    )
+    # resolve the generation ONCE and derive the path from it — calling
+    # resolve_table and current_generation separately leaves a window
+    # where a commit lands between the two and path/manifest describe
+    # DIFFERENT generations (a stale mix, or a self-contained check
+    # against the wrong dir)
+    if generation is not None:
+        path = resolve_table(spark, root, generation)
+        gen: int | None = int(generation)
+    else:
+        gen = current_generation(spark, root)
+        path = root if gen is None else _gen_dir(root, gen)
     if gen is None:  # plain, non-versioned dir passthrough
         df = spark.read.parquet(path)
         return _cast(df, schema) if schema is not None else df

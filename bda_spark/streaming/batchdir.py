@@ -119,6 +119,42 @@ def _inspect_batch_dir(
     return committed, has_data, hive
 
 
+def _probe_batch_dirs(
+    spark: SparkSession, root: str, dirs: dict[int, str]
+) -> dict[int, tuple[bool, bool, bool]]:
+    """(committed, has_data, hive) for EVERY batch dir in ONE metadata
+    round-trip: a single ``globStatus(batch=*/*)`` instead of one
+    listStatus per dir — a dashboard polling a 1 s-trigger table
+    between compactions would otherwise pay O(batches-since-compaction)
+    object-store RPCs per query. A dir with no children yet (writer
+    mid-create) simply contributes no entries and reads as
+    uncommitted, exactly as the per-dir probe classified it."""
+    if not dirs:
+        return {}
+    fs, _ = _hadoop_path(spark, root)
+    jvm = spark.sparkContext._jvm
+    glob = jvm.org.apache.hadoop.fs.Path(
+        f"{root.rstrip('/')}/{BATCH_PREFIX}*/*"
+    )
+    out = {bid: [False, False, False] for bid in dirs}
+    for st in fs.globStatus(glob) or []:
+        parent = st.getPath().getParent().getName()
+        bid_s = parent[len(BATCH_PREFIX):]
+        if not (parent.startswith(BATCH_PREFIX) and bid_s.isdigit()):
+            continue
+        flags = out.get(int(bid_s))
+        if flags is None:
+            continue
+        name = st.getPath().getName()
+        if name == "_SUCCESS":
+            flags[0] = True
+        elif st.isDirectory() and "=" in name:
+            flags[2] = True
+        elif not name.startswith(("_", ".")):
+            flags[1] = True
+    return {bid: tuple(flags) for bid, flags in out.items()}
+
+
 def _classify_fresh(
     spark: SparkSession, root: str, dirs: dict[int, str], wm: int
 ) -> tuple[dict[int, str], dict[int, str], int | None]:
@@ -128,10 +164,10 @@ def _classify_fresh(
     committed: dict[int, str] = {}
     with_data: dict[int, str] = {}
     blocked: int | None = None
-    for bid in sorted(dirs):
-        if bid <= wm:
-            continue
-        ok, has_data, hive = _inspect_batch_dir(spark, dirs[bid])
+    fresh = {bid: p for bid, p in dirs.items() if bid > wm}
+    probed = _probe_batch_dirs(spark, root, fresh)
+    for bid in sorted(fresh):
+        ok, has_data, hive = probed[bid]
         if hive:
             raise IOError(
                 f"{dirs[bid]} uses the legacy nested layout "
@@ -144,9 +180,9 @@ def _classify_fresh(
             if blocked is None:
                 blocked = bid
             continue
-        committed[bid] = dirs[bid]
+        committed[bid] = fresh[bid]
         if has_data:
-            with_data[bid] = dirs[bid]
+            with_data[bid] = fresh[bid]
     return committed, with_data, blocked
 
 
@@ -513,6 +549,17 @@ def compact_batch_dirs(
                 merged = old.unionByName(fresh_df)
             else:
                 merged = fresh_df
+            if merged is None:
+                # nothing to merge anywhere (only empty-committed
+                # batch dirs atop no generation / a data-less carry):
+                # a scheduled full=True must still commit — an empty
+                # carry generation, not an AttributeError that fails
+                # every cycle until data arrives
+                fs.mkdirs(data_p)
+                if manifest:
+                    write_generation_refs(spark, data_dir, manifest)
+                _write_watermark(spark, data_dir, new_wm)
+                return
             if partition_by:
                 _spread_within_partitions(
                     merged, partition_by

@@ -562,3 +562,38 @@ def test_optimize_table_preserves_referenced_partitions(spark, tmp_path):
     assert compacted_watermark(spark, root) == 2
     assert not write_batch_dir(_day_batch(spark, 2, "d1"), root, 2)
     assert _rows(spark, root) == before
+
+
+def _empty_committed_dir(root, bid):
+    """An empty-but-committed batch dir exactly as an empty micro-batch
+    leaves it: only the committer's _SUCCESS marker."""
+    d = os.path.join(root, f"batch={bid}")
+    os.makedirs(d, exist_ok=True)
+    open(os.path.join(d, "_SUCCESS"), "w").close()
+
+
+def test_full_compaction_with_nothing_to_merge_commits_empty_carry(
+    spark, tmp_path
+):
+    """A scheduled full=True major compaction over ONLY empty-committed
+    batch dirs (no generation yet) must commit an empty carry
+    generation and advance the watermark — not crash on merged=None
+    and then fail every cycle until data arrives (ADVICE r9 medium)."""
+    root = str(tmp_path / "emptyfull")
+    _empty_committed_dir(root, 0)
+    _empty_committed_dir(root, 1)
+    wm = compact_batch_dirs(spark, root, partition_by=["day"], full=True)
+    assert wm == 1
+    assert compacted_watermark(spark, root) == 1
+    got = read_batch_table(spark, root, SCHEMA)
+    assert got.count() == 0 and got.schema == SCHEMA
+    # a second scheduled major compaction atop the data-less carry
+    # generation is the other half of the crash window
+    _empty_committed_dir(root, 2)
+    wm = compact_batch_dirs(spark, root, partition_by=["day"], full=True)
+    assert wm == 2
+    # and the table recovers normally once real data lands
+    write_batch_dir(_day_batch(spark, 3, "d0"), root, 3)
+    wm = compact_batch_dirs(spark, root, partition_by=["day"], full=True)
+    assert wm == 3
+    assert len(_rows(spark, root)) == 6

@@ -313,3 +313,26 @@ def test_index_append_drift_trigger_fires_on_skew(spark, tmp_path):
     drift = ivf_sq8_index_append(spark, path, blob)
     assert drift["cells_touched"] == 1  # the whole blob shares one cell
     assert drift["skew"] > 4.0 and drift["needs_retrain"], drift
+
+
+def test_ivf_index_stale_small_hint_never_full_collects(spark):
+    """A stale n_hint claiming the corpus is small must NOT trigger an
+    unbounded full-corpus collect on the driver (ADVICE r9): the
+    hinted fetch is capped at the same 4x-training bound as the
+    no-hint probe, and hitting the cap falsifies the hint and falls
+    back to Bernoulli sampling. The index built under the lying hint
+    must still be a working index over the FULL corpus."""
+    from bda_spark.operators.similarity import ivf_index
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    # train_per_centroid=2, k=4 -> target 8, cap 33 << corpus size;
+    # the hint lies that the corpus fits under 4x target
+    assigned, centroids = ivf_index(
+        emb, n_centroids=4, train_per_centroid=2, n_hint=5
+    )
+    assert len(centroids) == 4
+    # every corpus vector got assigned — the lying hint didn't shrink
+    # the index to the capped sample
+    assert assigned.count() == n
+    assert assigned.select("centroid_id").distinct().count() >= 2
