@@ -12,6 +12,23 @@ shared query drifted 1.3-1.9x with identical plans; min-of-2 makes the
 number the plan's, not the session's). Spark caches no results across
 actions, so the second run re-executes the full plan — only JVM
 warm-up, not work, is elided.
+
+SELF-CALIBRATING (r10): min-of-2 de-noises within a session but cannot
+detect the machine itself being slower than last round's machine (the
+r9 bench drifted a uniform ~1.4x on queries whose code had ZERO diffs,
+and nothing in the output could prove it was environment, not code). So
+the bench now:
+  - times a FIXED-COST, data-independent calibration job (pinned
+    range->hash->groupBy aggregate) first and last; "drift_pct" >> 10%
+    between the two means the machine shifted mid-run and the round's
+    numbers deserve suspicion;
+  - emits "normalized" per-query seconds (raw / calibration) — the
+    unit is "calibrations", a machine-speed-free number comparable
+    across rounds;
+  - if a previous BENCH_r*.json with a calibration row exists in the
+    repo, emits "vs_prev" drift-normalized ratios per query:
+    (t/cal) / (t_prev/cal_prev) — ~1.0 means the PLAN is unchanged
+    regardless of what the machine did between rounds.
 """
 
 from __future__ import annotations
@@ -172,6 +189,69 @@ def events_approx_distinct(spark, sf_dir):
     )
 
 
+def calibration_sec(spark) -> float:
+    """One fixed-cost, data-independent probe of this machine+session's
+    current speed: a pinned range -> hash -> groupBy aggregate that
+    exercises codegen, shuffle, and the driver collect path, with ZERO
+    dependence on sf_dir. min-of-2, same de-noising policy as the
+    queries. The absolute number is meaningless; the RATIO between two
+    measurements of it (start vs end of a run, round N vs round N-1)
+    isolates machine drift from plan changes."""
+
+    def _run():
+        # 250M rows: compute-dominated (a 50M probe is ~half fixed
+        # job-scheduling overhead, whose run-to-run noise is ±20%)
+        (
+            spark.range(0, 250_000_000, 1, 32)
+            .select(F.pmod(F.hash("id"), F.lit(997)).alias("k"), "id")
+            .groupBy("k")
+            .agg(F.sum("id").alias("s"), F.avg("id").alias("a"))
+            .orderBy("k")
+            .collect()
+        )
+
+    # Warm-6 + min-of-5 at BOTH measurement points: the probe's JIT
+    # steady state needs several executions on a fresh JVM (C2 tiered
+    # compilation lands late), and a pre-C2 "pre" against a post-C2
+    # "post" would read as 30-50% machine drift that never happened.
+    # Symmetric policy so pre and post measure the same thing.
+    for _ in range(6):
+        _run()
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.time()
+        _run()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def previous_bench() -> tuple[int | None, dict | None]:
+    """(round, parsed) of the newest BENCH_r*.json beside this script,
+    or (None, None). Read-only, best-effort — the bench must keep its
+    output contract even on a checkout without history."""
+    import glob as _glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, best = None, None
+    for p in _glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = _re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if best_n is not None and n <= best_n:
+            continue
+        try:
+            with open(p) as f:
+                d = json.load(f)
+            parsed = d.get("parsed", d)
+            if isinstance(parsed, dict) and "queries" in parsed:
+                best_n, best = n, parsed
+        except (OSError, ValueError):
+            continue
+    return best_n, best
+
+
 BENCH_TICKERS = ["BP", "COP", "SHEL", "XOM"]
 
 
@@ -305,6 +385,8 @@ def main() -> None:
     # Warmup: JVM + codegen + parquet footer caches.
     qs["grand_totals"](spark, sf_dir).collect()
 
+    cal_pre = calibration_sec(spark)
+
     timings: dict[str, float] = {}
 
     def timed(name: str, run) -> None:
@@ -372,18 +454,46 @@ def main() -> None:
     assert n_preds > 0, "streaming bench produced no predictions"
     shutil.rmtree(work, ignore_errors=True)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    cal_post = calibration_sec(spark)
+    cal = min(cal_pre, cal_post)
+    drift_pct = round(100.0 * abs(cal_post - cal_pre) / cal, 1)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calibration": {
+            "pre": round(cal_pre, 3),
+            "post": round(cal_post, 3),
+            "sec": round(cal, 3),
+            "drift_pct": drift_pct,
+        },
+        # machine-speed-free per-query numbers (unit: calibrations)
+        "normalized": {k: round(v / cal, 3) for k, v in timings.items()},
+    }
+    prev_n, prev = previous_bench()
+    if prev is not None and prev.get("sf") != out["sf"]:
+        prev = None  # a different scale factor is not comparable
+    if prev is not None:
+        prev_cal = (prev.get("calibration") or {}).get("sec")
+        pq = prev.get("queries", {})
+        ratios = {}
+        for k, v in timings.items():
+            if not pq.get(k):
+                continue
+            r = v / pq[k]
+            if prev_cal:  # drift-normalized when the prev round has a row
+                r *= prev_cal / cal
+            ratios[k] = round(r, 3)
+        out["vs_prev"] = {
+            "round": prev_n,
+            "prev_calibration": prev_cal,
+            "normalized": bool(prev_cal),
+            "ratios": ratios,
+        }
+    print(json.dumps(out))
     spark.stop()
 
 
