@@ -65,6 +65,19 @@ DRIVER_ROW_CAP = 50
 #     events_json_extract in the tail + pytest round-trip inverse)
 #   docs_train_val_split     -> docs_token_budget_sample (Knuth-hash
 #     sampling family held in-window by docs_stratified_sample)
+#
+# ROUND-10 REFRESH (continuing the rotation): three more in-window
+# twins ceded their rows to never-driver-verified unique components —
+#   orders_rollup_totals  -> orders_grouping_sets_margins (ROLLUP is a
+#     special case of GROUPING SETS; the grouping-analytics family
+#     keeps orders_cube_customers in-window, rollup stays
+#     oracle-verified in the tail)
+#   suppliers_with_orders -> events_interval_join_firstday (the
+#     existence-join family keeps its anti half in-window via
+#     orders_without_lineitems; the semi half stays oracle-verified)
+#   regex_token_stats     -> events_mode_daily (token-counting family
+#     held in-window by keyword_counts + doc_quality_scores; the regex
+#     tokenizer stays oracle-verified in the tail)
 DRIVER_WINDOW = [
     "doc_decontaminate",
     "docs_stratified_sample",
@@ -80,7 +93,7 @@ DRIVER_WINDOW = [
     "ivf_topk",
     "media_image_features",
     "media_video_frame_sample",
-    "orders_rollup_totals",
+    "orders_grouping_sets_margins",
     "orders_cube_customers",
     "events_pivot_daily",
     "docs_unpivot_stats",
@@ -91,7 +104,7 @@ DRIVER_WINDOW = [
     "gold_daily_orders",
     "regional_order_stats",
     "orders_without_lineitems",
-    "suppliers_with_orders",
+    "events_interval_join_firstday",
     "customer_order_coalesce",
     "conditional_repair",
     "orders_recent_window",
@@ -100,7 +113,7 @@ DRIVER_WINDOW = [
     "doc_langid",
     "keyword_counts",
     "doc_quality_scores",
-    "regex_token_stats",
+    "events_mode_daily",
     "doc_tfidf_terms",
     "exact_dedup_keyset",
     "ngram_jaccard_pairs",
@@ -148,12 +161,9 @@ DEFERRED_TAIL = [
     # to keep the 50-row window stable across rounds.
     "csv_tick_ingest",          # CSV encode/decode round-trip; profile ⊂ events aggs
     "keyword_counts_sketch",    # Misra-Gries twin of keyword_counts (exact regime)
-    "orders_grouping_sets_margins",  # explicit GROUPING SETS ⊂ rollup/cube family
-    "events_mode_daily",        # deterministic mode(); argmax-family twin
     "events_distinct_sketch_rollup",  # HLL sketch-table rollup (exact regime)
     "events_expectations_metrics",  # declarative gate ⊃ validate_ticks (D8)
     "doc_canonical_fingerprints",  # normalization layer; md5 family twin
-    "events_interval_join_firstday",  # bucketed range-join; as-of family sibling
     "events_variant_extract",   # Spark-4 VARIANT decode; oracle = JSON-text twin
     "customer_balance_ntiles",  # ntile(4) quartiles; window family w/ orders_rank_topk
     "docs_listagg_sources",     # Spark-4 listagg WITHIN GROUP; deterministic ordered concat
@@ -164,6 +174,10 @@ DEFERRED_TAIL = [
     "doc_rolling_fingerprints", # rolling-hash family: doc_fingerprints twin
     "features_json_roundtrip",  # JSON path twin of events_json_extract + pytest inverse
     "docs_train_val_split",     # Knuth-hash split; family row docs_stratified_sample
+    # Ceded their driver rows in the ROUND-10 REFRESH (see DRIVER_WINDOW):
+    "orders_rollup_totals",     # ROLLUP c GROUPING SETS; cube row stays in-window
+    "suppliers_with_orders",    # semi half; anti twin orders_without_lineitems stays
+    "regex_token_stats",        # token-count family: keyword_counts stays in-window
 ]
 
 

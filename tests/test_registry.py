@@ -49,6 +49,10 @@ MUST_BE_IN_WINDOW = [
     "doc_tfidf_terms",
     "events_trailing_7d",
     "docs_token_budget_sample",
+    # round-10 window refresh: three more promotions
+    "orders_grouping_sets_margins",
+    "events_interval_join_firstday",
+    "events_mode_daily",
 ]
 
 
@@ -72,9 +76,9 @@ def test_driver_window_keys_are_frozen():
     module import order, a forgotten DEFERRED_TAIL entry) silently
     swaps which operators get driver verification. The window is pinned
     by registry.DRIVER_WINDOW; this test asserts the runtime order
-    matches the pin AND that the delta vs the long-stable r05–r08
-    window is EXACTLY the three deliberate round-9 swaps — any other
-    drift is an accident."""
+    matches the pin AND that the delta vs the r9-recorded window is
+    EXACTLY the three deliberate round-10 swaps — any other drift is
+    an accident."""
     import json
     import os
 
@@ -82,17 +86,17 @@ def test_driver_window_keys_are_frozen():
 
     got = list(get_queries())[:DRIVER_ROW_CAP]
     assert got == DRIVER_WINDOW
-    r5 = os.path.join(os.path.dirname(os.path.dirname(__file__)), "CORRECTNESS_r05.json")
-    old = set(json.load(open(r5)))
+    r9 = os.path.join(os.path.dirname(os.path.dirname(__file__)), "CORRECTNESS_r09.json")
+    old = set(json.load(open(r9)))
     assert old - set(got) == {
-        "doc_rolling_fingerprints",
-        "features_json_roundtrip",
-        "docs_train_val_split",
+        "orders_rollup_totals",
+        "suppliers_with_orders",
+        "regex_token_stats",
     }
     assert set(got) - old == {
-        "doc_tfidf_terms",
-        "events_trailing_7d",
-        "docs_token_budget_sample",
+        "orders_grouping_sets_margins",
+        "events_interval_join_firstday",
+        "events_mode_daily",
     }
 
 
