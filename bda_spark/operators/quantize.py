@@ -182,8 +182,10 @@ def ivf_sq8_topk(
     is both levers at once — the FAISS ``IVF+SQ8`` index expressed as
     DataFrame joins.
 
-    Contract matches ``ivf_topk``: ``queries`` is a subset of
-    ``embeddings`` rows; returns (query_id, neighbor_id, cosine, rk).
+    Contract matches ``ivf_topk``: ``queries`` carries its own
+    (id, embedding) — external query vectors (ids absent from the
+    corpus) are first-class; returns (query_id, neighbor_id, cosine,
+    rk).
     With ``n_probe = n_centroids`` and a large ``oversample`` the
     result is exactly brute force (the pinned-correctness regime);
     partial probing trades recall for probe fan-out, bounded in pytest.

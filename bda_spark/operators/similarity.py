@@ -339,14 +339,20 @@ def ivf_index(
 
 
 def _topk_rescore(
-    cands: DataFrame, embeddings: DataFrame, k: int
+    cands: DataFrame, queries: DataFrame, embeddings: DataFrame, k: int
 ) -> DataFrame:
     """Shared tail of every ANN family: exact-cosine rescore of
-    (query_id, neighbor_id) candidates against the float corpus and a
-    deterministic per-query rank window — one body so the tie-break
-    and the zero-norm convention cannot drift between families."""
+    (query_id, neighbor_id) candidates and a deterministic per-query
+    rank window — one body so the tie-break and the zero-norm
+    convention cannot drift between families. Query vectors come from
+    the QUERIES frame (broadcast — the query set is small by
+    contract, same shape as ``quantize.ivf_sq8_search``), neighbor
+    vectors from the corpus: an external query whose vec_id is absent
+    from the corpus is first-class, not silently dropped."""
     v = F.col("embedding").cast("array<double>")
-    q = embeddings.select(F.col("vec_id").alias("query_id"), v.alias("va"))
+    q = F.broadcast(
+        queries.select(F.col("vec_id").alias("query_id"), v.alias("va"))
+    )
     c = embeddings.select(F.col("vec_id").alias("neighbor_id"), v.alias("vb"))
     scored = (
         cands.join(q, "query_id")
@@ -402,11 +408,11 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-style ANN top-k: assign the corpus to KMeans cells once,
     probe each query's ``n_probe`` nearest cells, exact-cosine rerank
-    only the vectors in probed cells. ``queries`` must be a subset of
-    ``embeddings`` rows (vec_id, embedding) — the rerank stage joins
-    the query vector back from ``embeddings`` by vec_id (same contract
-    as ``simhash_topk``), so external query vectors whose vec_id is
-    absent from the corpus would be silently dropped; pass corpus rows.
+    only the vectors in probed cells. ``queries`` carries its own
+    (vec_id, embedding) — EXTERNAL query vectors (vec_ids absent from
+    the corpus) are first-class, the same contract as every other ANN
+    family (``sq8_topk``, ``ivf_sq8_search``, ``simhash_topk``); a
+    corpus row naturally never matches itself.
     The second bucketed ANN family
     next to SimHash: LSH buckets by random projection, IVF by learned
     partition — at 100 TB IVF wins when the corpus is clustered (cells
@@ -427,7 +433,7 @@ def ivf_topk(
         .filter(F.col("query_id") != F.col("vec_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    return _topk_rescore(cands, embeddings, k)
+    return _topk_rescore(cands, queries, embeddings, k)
 
 
 def simhash_topk(
@@ -441,8 +447,9 @@ def simhash_topk(
 ) -> DataFrame:
     """Top-k nearest neighbors for each query vector: SimHash candidate
     generation (query side x corpus bucket join), exact cosine rerank,
-    rank window per query. ``queries`` is a subset of ``embeddings``
-    rows (vec_id, embedding).
+    rank window per query. ``queries`` carries its own (vec_id,
+    embedding) — external query vectors are first-class, the same
+    contract as every other ANN family.
 
     Banding is wider than the near-dup path (r = 4 vs 6): a query's
     k-th neighbor can sit at cosine ~0.25 (p ~= 0.58), where r = 6
@@ -455,4 +462,4 @@ def simhash_topk(
         .withColumnRenamed("id_a", "query_id")
         .withColumnRenamed("id_b", "neighbor_id")
     )
-    return _topk_rescore(cands, embeddings, k)
+    return _topk_rescore(cands, queries, embeddings, k)

@@ -450,3 +450,64 @@ def test_cc_local_and_distributed_paths_agree(spark):
         for r in neardup_clusters(pairs, local_threshold=0).collect()
     }
     assert local == dist
+
+
+def test_external_queries_are_first_class_across_all_ann_families(spark):
+    """r9 VERDICT #3: every ANN family must answer EXTERNAL query
+    vectors (vec_ids absent from the corpus) — ivf_topk/simhash_topk
+    used to join the query vector back from the corpus by vec_id and
+    silently dropped them. Each family must return exactly k ranked
+    neighbors per external query, and (for the exact-regime probes)
+    agree with brute force on the top-1."""
+    import numpy as np
+    from bda_spark.operators.quantize import ivf_sq8_topk, sq8_topk
+    from bda_spark.operators.similarity import ivf_topk, simhash_topk
+    from bda_spark.sources.batch import load_table
+
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    # external queries: copies of three corpus vectors under vec_ids
+    # far outside the corpus id space (plus a tiny nudge on one)
+    base = {r["vec_id"]: list(r["embedding"]) for r in emb.filter(
+        F.col("vec_id").isin([0, 1, 2])).collect()}
+    rows = [
+        (1_000_000 + i, [float(x) + (0.001 if i == 2 else 0.0) for x in v])
+        for i, v in enumerate(base.values())
+    ]
+    queries = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    k = 4
+
+    results = {
+        "simhash_topk": simhash_topk(emb, queries, k=k, dim=dim),
+        "ivf_topk": ivf_topk(
+            emb, queries, k=k, n_centroids=8, n_probe=8, train_per_centroid=32
+        ),
+        "sq8_topk": sq8_topk(emb, queries, k=k),
+        "ivf_sq8_topk": ivf_sq8_topk(
+            emb, queries, k=k, n_centroids=8, n_probe=8, oversample=8
+        ),
+    }
+    # brute-force top-1 per query for the exact-regime check
+    X = np.array([r["embedding"] for r in emb.orderBy("vec_id").collect()])
+    ids = [r["vec_id"] for r in emb.orderBy("vec_id").collect()]
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    expect_top1 = {}
+    for qid, qv in rows:
+        q = np.array(qv); q = q / np.linalg.norm(q)
+        expect_top1[qid] = ids[int(np.argmax(Xn @ q))]
+    for fam, df in results.items():
+        got = df.collect()
+        per_q = {}
+        for r in got:
+            per_q.setdefault(r["query_id"], []).append(r)
+        assert set(per_q) == {qid for qid, _ in rows}, fam
+        for qid, rs in per_q.items():
+            assert len(rs) == k, (fam, qid, len(rs))
+            assert sorted(r["rk"] for r in rs) == list(range(1, k + 1)), fam
+        if fam in ("ivf_topk", "ivf_sq8_topk", "sq8_topk"):
+            # full-probe / full-scan regimes: top-1 must equal brute force
+            for qid, rs in per_q.items():
+                top1 = min(rs, key=lambda r: r["rk"])["neighbor_id"]
+                assert top1 == expect_top1[qid], (fam, qid, top1)
