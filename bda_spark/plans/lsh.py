@@ -203,8 +203,10 @@ def ivf_topk_q(spark, sf_dir):
     queries = e.filter(F.col("vec_id") < 5)
     # Full probe is exact whatever the centroids, so the quantizer only
     # needs enough iterations to partition the space — 2, not the
-    # quality-tuned 10 the partial-probe regime uses (each extra KMeans
-    # iteration is a full corpus pass).
+    # quality-tuned 10 the partial-probe regime uses. (Since the r9
+    # driver-side sample trainer, extra iterations cost driver-local
+    # microseconds, not corpus passes — 2 just keeps this row's plan
+    # minimal.)
     topk = ivf_topk(e, queries, k=5, n_centroids=16, n_probe=16, max_iter=2)
     return topk.select(
         "query_id", "neighbor_id", r6(F.col("cosine")).alias("cosine"), "rk"
