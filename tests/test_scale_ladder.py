@@ -59,6 +59,24 @@ def test_superlinear_risk_operators_scale_linearly(spark, tmp_path_factory):
     assert nf == FACTOR * n1
 
 
+def test_maintenance_cost_tracks_new_data_not_history(spark, tmp_path_factory):
+    """VERDICT r9 #2 — the O(new data + touched partitions) compaction
+    claim, TIMED (r9 pinned it structurally: untouched partitions
+    byte-identical). Two deep-history tables, identical hot partition
+    and identical fresh batch, the big one dragging FACTORx more
+    partitions of accumulated history; the land-batch-then-compact
+    cycle must stay near-FLAT (bound does not scale with the factor —
+    an O(accumulated-table) rewrite would show near-FACTORx). Noise
+    guard mirrors the operator ladder: only fail when the big table's
+    absolute cycle time is also past the floor."""
+    from scale_ladder import MAINT_FLAT_BOUND, measure_maintenance
+
+    work = str(tmp_path_factory.mktemp("maint"))
+    row = measure_maintenance(spark, work, FACTOR)
+    assert row["ratio"] is not None
+    assert row["ratio"] <= MAINT_FLAT_BOUND or row[f"t{FACTOR}x"] < 8.0, row
+
+
 def test_bijection_preserves_pair_structure_exactly(spark, tmp_path_factory):
     """The fixture's load-bearing property: the per-copy token
     bijection must keep each copy's near-dup pair set EXACTLY the
@@ -82,3 +100,52 @@ def test_bijection_preserves_pair_structure_exactly(spark, tmp_path_factory):
     ).count()
     assert n1 > 0
     assert n2 == 2 * n1, (n1, n2)
+
+
+def test_embedding_rotation_preserves_copy_geometry(spark, tmp_path_factory):
+    """The embeddings fixture's load-bearing property (the r9 ladder
+    bug): each copy's orthogonal transform must keep within-copy
+    cosines EXACTLY the original's, while cross-copy vectors stay
+    decorrelated — so pair output grows linearly with the factor. The
+    first fixture scaled copies by (1 + k/1000), forgot cosine is
+    scale-invariant, and put a factor-sized clique of parallel twins
+    in every SimHash bucket (pair output quadratic in the factor:
+    measured 4.22x runtime at 10x for simhash_neardup_strict, all of
+    it fixture)."""
+    from scale_ladder import ID_STRIDE, synthesize_rung
+
+    from bda_spark.operators.similarity import simhash_neardup_pairs
+    from bda_spark.sources.batch import load_table
+    from pyspark.sql import functions as F
+
+    work = str(tmp_path_factory.mktemp("emb"))
+    synthesize_rung(spark, "/root/testdata/sf0.01", f"{work}/r1s", 1)
+    synthesize_rung(spark, "/root/testdata/sf0.01", f"{work}/r3s", 3)
+    e1 = load_table(spark, f"{work}/r1s", "embeddings")
+    e3 = load_table(spark, f"{work}/r3s", "embeddings")
+    # strict regime: no pairs at 1x => exactly none at 3x (the broken
+    # fixture produced n_vecs * C(3,2) cosine-1.0 cross-copy pairs)
+    s1 = simhash_neardup_pairs(
+        e1, threshold=0.9, band_rows=16, num_bands=64
+    ).count()
+    s3 = simhash_neardup_pairs(
+        e3, threshold=0.9, band_rows=16, num_bands=64
+    ).count()
+    assert s3 == 3 * s1, (s1, s3)
+    # within-copy geometry preserved EXACTLY: copy 2's weak-threshold
+    # pair set, id-shifted back, equals the original's
+    p1 = {
+        (r.id_a, r.id_b)
+        for r in simhash_neardup_pairs(e1, threshold=0.45)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    p2 = {
+        (r.id_a - 2 * ID_STRIDE, r.id_b - 2 * ID_STRIDE)
+        for r in simhash_neardup_pairs(
+            e3.filter(F.col("vec_id") >= 2 * ID_STRIDE), threshold=0.45
+        )
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert p1 and p1 == p2

@@ -889,3 +889,127 @@ def test_encode_ticks_round_trips_through_decode(spark, tick_dir):
     want = sorted(map(tuple, typed.collect()))
     got = sorted(map(tuple, decode_ticks(enc).collect()))
     assert got == want
+
+
+# ----------------------------------------------------- full-surface soak (T8)
+def test_soak_all_surfaces_concurrent_with_maintenance(
+    spark, tmp_path_factory
+):
+    """VERDICT r9 #5 — the all-surfaces-concurrent integration gap:
+    fused trainer+backfiller AND predictor AND the stream-stream
+    correlation join, all on processingTime triggers against a growing
+    source, while ``compact_predictions`` (incremental AND a mid-soak
+    ``full=True`` chain collapse, each with its generation vacuum) and
+    the correlation table's ``compact`` fire repeatedly MID-STREAM.
+    Prior tests pinned writer-vs-compactor in isolation
+    (test_batchdir.py); this pins the composition:
+
+    - at every sampled instant, ``predictions()`` is EXACT-so-far —
+      no duplicate (symbol, timestamp) ever, whatever mix of
+      generations/refs/batch dirs the read resolved mid-compaction;
+    - every correlation row is the true per-batch value (the feeds are
+      globally linear, so any batch with >= 2 buckets must read 1.0);
+    - final state is exactly the written ticks, every label correct;
+    - the predictions file count is BOUNDED across cycles (compaction
+      absorbs the per-batch dirs instead of letting them accrete).
+    """
+    d = tmp_path_factory.mktemp("soak")
+    src = d / "src"
+    src.mkdir()
+
+    def land(batch: int, n: int = 10) -> None:
+        # write-then-rename: the file source must never see a partial
+        # file from the concurrently polling stream
+        tmp, dst = src / f".t{batch}.tmp", src / f"t{batch}.jsonl"
+        with open(tmp, "w") as f:
+            for i in range(batch * n, batch * n + n):
+                f.write(json.dumps(_bp_tick(i)) + "\n")
+                f.write(json.dumps(_eth_tick(i)) + "\n")
+        os.rename(tmp, dst)
+
+    land(0)
+    ticks = file_replay_tick_stream(spark, str(src))
+    pipe = TickPipeline(spark, ticks, "BP", str(d / "work"))
+    corr = CorrelationPipeline(
+        spark,
+        file_replay_tick_stream(spark, str(src)).filter("symbol = 'BP'"),
+        file_replay_tick_stream(spark, str(src)).filter(
+            "symbol = 'ETHEREUM'"
+        ),
+        str(d / "corr"),
+        value_col_a="price",
+        value_col_b="ask",
+        pair_name="BP-ETH",
+    )
+    # warm-start the model so the live predictor scores from batch one
+    _drain(pipe.start_trainer_and_backfiller(available_now=True))
+    queries = pipe.start_all(
+        triggers={"trainer": "1 second", "predictor": "1 second"},
+        fuse_backfiller=True,
+    ) + [corr.start(available_now=False, processing_time="1 second")]
+    n_batches = 5
+    try:
+        for batch in range(1, n_batches):
+            land(batch)
+            time.sleep(2)
+            # maintenance racing the live writers: incremental cycles
+            # with one full (chain-collapsing) cycle mid-soak; keep=2
+            # gives any in-flight reader its one-cycle grace while the
+            # soak actually exercises generation deletion
+            pipe.compact_predictions(
+                vacuum_min_age_seconds=0.0, full=(batch == 3)
+            )
+            corr.compact(vacuum_min_age_seconds=0.0)
+            # sampled-instant exactness: whatever subset of ticks has
+            # surfaced, it surfaced exactly once
+            rows = pipe.predictions().select("symbol", "timestamp").collect()
+            assert len(rows) == len(set(rows)), (
+                f"duplicate predictions mid-soak at batch {batch}"
+            )
+        want = n_batches * 10
+        deadline = time.time() + 120
+        done = False
+        while not done and time.time() < deadline:
+            rows = pipe.predictions().collect()
+            done = len(rows) == want and all(
+                r.label is not None for r in rows
+            )
+            if not done:
+                time.sleep(2)
+    finally:
+        for q in queries:
+            q.stop()
+        stuck = [q.name for q in queries if not q.awaitTermination(120)]
+    assert not stuck, f"queries stuck after stop(): {stuck}"
+    # final exactness: every tick exactly once, with its window's label
+    pipe.compact_predictions(vacuum_min_age_seconds=0.0)
+    rows = pipe.predictions().collect()
+    assert len(rows) == want
+    assert len({(r.symbol, r.timestamp) for r in rows}) == want
+    for r in rows:
+        widx = (r.timestamp - BASE_MS) // (10 * 60_000)
+        lo = 100.0 + widx * 10
+        n_in_window = min(want - widx * 10, 10)
+        assert r.label == pytest.approx(lo + (n_in_window - 1) / 2.0)
+    # correlation rows: per-batch summaries of a globally linear pair
+    crows = corr.correlations().collect()
+    assert crows, "no correlation batch ever emitted"
+    for r in crows:
+        assert r.correlation == pytest.approx(1.0, abs=1e-6)
+    # bounded file count: compaction kept absorbing the per-batch dirs
+    n_parquet = sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for _, _, files in os.walk(pipe.predictions_path)
+    )
+    n_batch_dirs = len(
+        [
+            n
+            for n in os.listdir(pipe.predictions_path)
+            if n.startswith("batch=")
+        ]
+    )
+    # watermark-swept + at most one grace cycle of absorbed dirs plus
+    # any dirs the final seconds of the stream landed after the last
+    # compaction (bounded by the poll loop's duration, not the soak's)
+    assert n_batch_dirs <= 25, n_batch_dirs
+    assert n_parquet <= 120, n_parquet
