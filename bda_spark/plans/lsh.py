@@ -140,7 +140,19 @@ def simhash_neardup_strict_q(spark, sf_dir):
     above 0.60, so both engines return empty; end-to-end recall at a
     populated threshold is proven by the simhash_neardup_pairs entry
     (0.45, a deliberately weak-signal regime where LSH degenerates to
-    near-all-pairs — see operators.similarity docstring)."""
+    near-all-pairs — see operators.similarity docstring).
+
+    Scale-ladder note (r10): this operator's EXPECTED cost carries one
+    quadratic term — the ~b * 2^-r * n^2 / 2 random-collision
+    candidates any sign-random-hyperplane banding emits on
+    near-orthogonal non-pairs, each then exact-rescored and rejected.
+    At r=16 the constant is ~1e-3, so the term is negligible until n
+    grows orders of magnitude; the production knob is r itself (e.g.
+    r=20 cuts the constant 16x at a ~6% recall cost at cosine 0.9).
+    SCALE_LADDER.json pins the measured 10x ratio under a per-operator
+    8x bound (3.51x measured after the r10 fixture fix; the r9 4.22x
+    was entirely a parallel-copy fixture artifact — see
+    tools/scale_ladder.py module doc)."""
     e = t(spark, sf_dir, "embeddings")
     pairs = simhash_neardup_pairs(e, threshold=0.9, band_rows=16, num_bands=64)
     return pairs.select(
