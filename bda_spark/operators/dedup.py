@@ -762,3 +762,128 @@ def minhash_bucket_truncation(
             ),
         )
     )
+
+
+def duplicate_passages(
+    docs: DataFrame,
+    n: int = 8,
+    min_span_tokens: int = 12,
+    max_gram_occurrences: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document EXACT duplicate-passage spans — the substring-
+    level dedup of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (2022), re-expressed as DataFrame ops
+    (their suffix-array formulation is a single-machine algorithm; the
+    distributed equivalent is positional n-gram matching + diagonal
+    run-merging, one shuffle each).
+
+    Where MinHash/SimHash answer "are these two DOCUMENTS near-dups?",
+    this answers "which exact PASSAGES (>= min_span_tokens whitespace
+    tokens) appear verbatim in both?" — the operator that catches
+    boilerplate licenses, quoted articles, and copy-pasted passages
+    inside otherwise-distinct documents, which document-level
+    signatures dilute below threshold.
+
+    Plan (all JVM-side, two shuffles + one window — an inverted
+    INDEX, not a self-join: a self-join would evaluate the gram
+    pipeline once per side, and the identical subtrees do NOT collapse
+    via ReuseExchange because higher-order-function lambda variables
+    defeat plan canonicalization — verified on this exact plan):
+      1. positional n-grams: transform over an index sequence +
+         posexplode -> (doc_id, pos, xxhash64(gram)) (8 bytes of
+         shuffle per gram instead of the ~n*6-byte string; the 2^-64
+         collision rate is the same accepted policy as the MinHash
+         banding above).
+      2. inverted index: ONE groupBy(hash) collects each gram's
+         bounded posting list; buckets larger than
+         ``max_gram_occurrences`` (true boilerplate) are dropped
+         whole — the MAX_SHINGLE_DF discipline from
+         ngram_jaccard_pairs, as a size filter instead of a window,
+         bounding per-bucket pair fan-out at cap^2. A capped gram
+         INSIDE a long shared passage splits its span in two; spans
+         are conservative under the cap, never inflated.
+      3. pair expansion: cross-doc (doc_a < doc_b) ordered pairs
+         enumerated INSIDE each bucket array (nested transform +
+         flatten — pure codegen expressions, no second shuffle, no
+         recompute of the gram pipeline).
+      4. diagonal run-merge: matches of one shared passage lie on one
+         diagonal (pos_a - pos_b constant) at consecutive pos_a; the
+         gaps-and-islands window (pos_a - row_number over the
+         diagonal) groups each maximal run, span_tokens =
+         run_length + n - 1; the final aggregate reuses the window's
+         partitioning (grouping on a superset of its keys).
+
+    100 TB: output is linear in truly duplicated content; the cap
+    bounds skew; no driver-side state. Raise ``n`` to cut the random-
+    collision constant (n tokens must match verbatim to seed a
+    candidate), ``min_span_tokens`` to keep only passages long enough
+    to matter for training leakage."""
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    sz = F.size("t")
+    grams = F.transform(
+        F.sequence(F.lit(0), sz - n),
+        lambda i: F.xxhash64(
+            F.concat_ws(" ", F.slice(F.col("t"), i + 1, n))
+        ),
+    )
+    positioned = (
+        base.filter(sz >= n)
+        .select("doc_id", F.posexplode(grams).alias("pos", "gh"))
+    )
+    buckets = (
+        positioned.groupBy("gh")
+        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("ms"))
+        .filter(F.size("ms") <= int(max_gram_occurrences))
+    )
+    ms = F.col("ms")
+
+    def ordered_pair(x, y):
+        fwd = x["doc_id"] < y["doc_id"]
+        return F.when(
+            x["doc_id"] != y["doc_id"],
+            F.struct(
+                F.when(fwd, x["doc_id"]).otherwise(y["doc_id"]).alias("doc_a"),
+                F.when(fwd, x["pos"]).otherwise(y["pos"]).alias("pos_a"),
+                F.when(fwd, y["doc_id"]).otherwise(x["doc_id"]).alias("doc_b"),
+                F.when(fwd, y["pos"]).otherwise(x["pos"]).alias("pos_b"),
+            ),
+        )
+
+    pairs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(ms, i + 2, F.size(ms)),
+                    lambda y: ordered_pair(x, y),
+                ),
+                lambda p: p.isNotNull(),
+            ),
+        )
+    )
+    matches = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.*")
+        .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+    )
+    run = F.col("pos_a") - F.row_number().over(
+        Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    )
+    return (
+        matches.withColumn("run", run)
+        .groupBy("doc_a", "doc_b", "diag", "run")
+        .agg(
+            # long, not posexplode's int: the DuckDB oracle's BIGINT
+            # positions must hash-compare equal at the schema level
+            F.min("pos_a").cast("long").alias("pos_a"),
+            F.min("pos_b").cast("long").alias("pos_b"),
+            (F.count("*") + n - 1).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= int(min_span_tokens))
+        .select("doc_a", "doc_b", "pos_a", "pos_b", "span_tokens")
+    )

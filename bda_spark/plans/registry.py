@@ -66,7 +66,7 @@ DRIVER_ROW_CAP = 50
 #   docs_train_val_split     -> docs_token_budget_sample (Knuth-hash
 #     sampling family held in-window by docs_stratified_sample)
 #
-# ROUND-10 REFRESH (continuing the rotation): three more in-window
+# ROUND-10 REFRESH (continuing the rotation): four more in-window
 # twins ceded their rows to never-driver-verified unique components —
 #   orders_rollup_totals  -> orders_grouping_sets_margins (ROLLUP is a
 #     special case of GROUPING SETS; the grouping-analytics family
@@ -78,6 +78,10 @@ DRIVER_ROW_CAP = 50
 #   regex_token_stats     -> events_mode_daily (token-counting family
 #     held in-window by keyword_counts + doc_quality_scores; the regex
 #     tokenizer stays oracle-verified in the tail)
+#   ngram_jaccard_pairs   -> doc_duplicate_passages (the exact all-pairs
+#     Jaccard IS the in-window minhash_neardup_pairs oracle — the same
+#     redundancy that deferred cosine_topk; its row funds the NEW
+#     substring-level dedup operator, never driver-verified before)
 DRIVER_WINDOW = [
     "doc_decontaminate",
     "docs_stratified_sample",
@@ -116,7 +120,7 @@ DRIVER_WINDOW = [
     "events_mode_daily",
     "doc_tfidf_terms",
     "exact_dedup_keyset",
-    "ngram_jaccard_pairs",
+    "doc_duplicate_passages",
     "doc_repetition_scores",
     "doc_pii_scan",
     "events_windowed_10min",
@@ -148,6 +152,7 @@ DEFERRED_TAIL = [
     "simhash_neardup_pairs",   # weak-threshold twin of simhash_neardup_strict
     "events_json_extract",     # JSON path twin of features_json_roundtrip
     "cosine_topk",             # cosine_topk_bucketed's oracle IS this brute force
+    "ngram_jaccard_pairs",     # exact all-pairs Jaccard IS minhash_neardup_pairs' oracle
     "events_5s_resample",      # time-bucket agg twin of events_windowed_10min
     "dedup_by_key",            # key-dedup semantics proven by exact_dedup_keyset
     "report_rmse_naive",       # KPI twin of events_daily_kpis/report_corr_matrix

@@ -826,3 +826,56 @@ def doc_compression_ratio(spark, sf_dir):
 
     Registered in the DEFERRED_TAIL (driver window frozen at 50 rows)."""
     return compression_ratios(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_duplicate_passages",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, u.pos, u.gram FROM (
+        SELECT doc_id,
+               unnest([{'pos': i - 1,
+                        'gram': list_aggregate(t[i:i+7], 'string_agg', ' ')}
+                       FOR i IN range(1, greatest(len(t) - 7, 0) + 1)]) AS u
+        FROM toks)
+    ), capped AS (
+      SELECT doc_id, pos, gram FROM (
+        SELECT *, count(*) OVER (PARTITION BY gram) AS occ FROM grams
+      ) WHERE occ <= 50
+    ), m AS (
+      SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+             b.doc_id AS doc_b, b.pos AS pos_b,
+             a.pos - b.pos AS diag
+      FROM capped a JOIN capped b
+        ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ), isl AS (
+      SELECT *, pos_a - row_number() OVER (
+               PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS run
+      FROM m
+    )
+    SELECT doc_a, doc_b, min(pos_a) AS pos_a, min(pos_b) AS pos_b,
+           count(*) + 7 AS span_tokens
+    FROM isl GROUP BY doc_a, doc_b, diag, run
+    HAVING count(*) + 7 >= 12
+    ORDER BY doc_a, doc_b, pos_a, pos_b
+    """,
+)
+def doc_duplicate_passages(spark, sf_dir):
+    """Substring-level dedup (Lee et al. 2022): exact shared passages
+    of >= 12 whitespace tokens across distinct documents, located by
+    position on both sides — the leakage/boilerplate detector that
+    document-level MinHash/SimHash signatures dilute below threshold.
+    Positional 8-gram hash join + diagonal run-merge; oracle is the
+    identical computation on gram STRINGS (the Spark side joins on
+    xxhash64 — 8 bytes of shuffle per gram; identical output modulo a
+    2^-64 collision). See operators.dedup.duplicate_passages for the
+    scale analysis."""
+    from ..operators.dedup import duplicate_passages
+
+    d = t(spark, sf_dir, "documents")
+    return duplicate_passages(
+        d, n=8, min_span_tokens=12, max_gram_occurrences=50
+    ).orderBy("doc_a", "doc_b", "pos_a", "pos_b")

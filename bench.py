@@ -69,6 +69,7 @@ HEADLINE = [
     "doc_quality_scores",
     "exact_dedup_keyset",
     "ngram_jaccard_pairs",
+    "doc_duplicate_passages",
     "cosine_topk",
     # round-2 surface: bucketed near-dup/ANN scale paths, interpolation,
     # reporting views, language ID, multimodal decode

@@ -511,3 +511,70 @@ def test_external_queries_are_first_class_across_all_ann_families(spark):
             for qid, rs in per_q.items():
                 top1 = min(rs, key=lambda r: r["rk"])["neighbor_id"]
                 assert top1 == expect_top1[qid], (fam, qid, top1)
+
+
+# ---------------------------------------------------- duplicate passages
+def test_duplicate_passages_exact_span_and_positions(spark):
+    """Planted 15-token passage shared by two docs at different
+    offsets: the diagonal run-merge must report exactly one span with
+    exact positions and length (8-gram runs of a 15-token passage =
+    8 consecutive matches -> span_tokens = 8 + 8 - 1 = 15)."""
+    from bda_spark.operators.dedup import duplicate_passages
+
+    passage = " ".join(f"p{i}" for i in range(15))
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(5)) + " " + passage + " "
+         + " ".join(f"z{i}" for i in range(5))),
+        (2, " ".join(f"b{i}" for i in range(3)) + " " + passage + " "
+         + " ".join(f"y{i}" for i in range(4))),
+        (3, " ".join(f"c{i}" for i in range(30))),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = duplicate_passages(docs, n=8, min_span_tokens=12).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.doc_a, r.doc_b, r.pos_a, r.pos_b, r.span_tokens) == (
+        1, 2, 5, 3, 15,
+    )
+
+
+def test_duplicate_passages_occurrence_cap_drops_boilerplate(spark):
+    """A passage stamped into MORE docs than the occurrence cap is
+    boilerplate: every one of its grams exceeds the cap, so no spans
+    emit (fan-out stays bounded instead of cap^2-exploding); the same
+    corpus under a higher cap reports every pair."""
+    from bda_spark.operators.dedup import duplicate_passages
+
+    passage = " ".join(f"q{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(i, f"u{i}x u{i}y " + passage) for i in range(10)],
+        ["doc_id", "text"],
+    )
+    capped = duplicate_passages(
+        docs, n=8, min_span_tokens=12, max_gram_occurrences=9
+    )
+    assert capped.count() == 0
+    uncapped = duplicate_passages(
+        docs, n=8, min_span_tokens=12, max_gram_occurrences=100
+    )
+    assert uncapped.count() == 45  # all C(10,2) pairs
+
+
+def test_duplicate_passages_short_docs_and_min_span(spark):
+    """Docs shorter than n produce no grams (no crash); shared runs
+    below min_span_tokens are filtered."""
+    from bda_spark.operators.dedup import duplicate_passages
+
+    shared10 = " ".join(f"s{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, "tiny doc"),
+            (2, shared10 + " " + "tail1 tail2"),
+            (3, shared10 + " " + "other1 other2"),
+        ],
+        ["doc_id", "text"],
+    )
+    # 10-token shared run: span_tokens = 10 < 12 -> filtered
+    assert duplicate_passages(docs, n=8, min_span_tokens=12).count() == 0
+    got = duplicate_passages(docs, n=8, min_span_tokens=10).collect()
+    assert len(got) == 1 and got[0].span_tokens == 10

@@ -42,7 +42,7 @@ MUST_BE_IN_WINDOW = [
     "media_image_features",
     "doc_langid",
     "exact_dedup_keyset",
-    "ngram_jaccard_pairs",
+    "doc_duplicate_passages",
     "doc_repetition_scores",
     "doc_pii_scan",
     # round-9 window refresh: the three promoted driver-unverified rows
@@ -77,7 +77,7 @@ def test_driver_window_keys_are_frozen():
     swaps which operators get driver verification. The window is pinned
     by registry.DRIVER_WINDOW; this test asserts the runtime order
     matches the pin AND that the delta vs the r9-recorded window is
-    EXACTLY the three deliberate round-10 swaps — any other drift is
+    EXACTLY the four deliberate round-10 swaps — any other drift is
     an accident."""
     import json
     import os
@@ -92,11 +92,13 @@ def test_driver_window_keys_are_frozen():
         "orders_rollup_totals",
         "suppliers_with_orders",
         "regex_token_stats",
+        "ngram_jaccard_pairs",
     }
     assert set(got) - old == {
         "orders_grouping_sets_margins",
         "events_interval_join_firstday",
         "events_mode_daily",
+        "doc_duplicate_passages",
     }
 
 

@@ -185,6 +185,11 @@ def ladder_queries(base_dir: str) -> dict:
     qs = get_queries()
     return {
         "minhash_neardup_pairs": qs["minhash_neardup_pairs"],
+        # r10: substring-level dedup — positional-gram self-join, the
+        # newest superlinear-risk shape (the doc fixture's token
+        # bijection keeps cross-copy gram sets disjoint, so span
+        # output grows exactly linearly with the factor)
+        "doc_duplicate_passages": qs["doc_duplicate_passages"],
         "simhash_neardup_strict": qs["simhash_neardup_strict"],
         "neardup_clusters": qs["neardup_clusters"],
         "ivf_sq8_topk": bench.ivf_sq8_topk_bench,
