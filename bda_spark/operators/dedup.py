@@ -764,6 +764,32 @@ def minhash_bucket_truncation(
     )
 
 
+def positional_grams(
+    docs: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos, gh): every position's whitespace n-gram as an
+    xxhash64 — the shared front half of duplicate_passages and
+    contamination_spans. One narrow codegen pass (transform over an
+    index sequence + posexplode), 8 bytes per gram on any downstream
+    shuffle; the 2^-64 hash-collision rate is the same accepted policy
+    as the MinHash banding above."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    sz = F.size("t")
+    grams = F.transform(
+        F.sequence(F.lit(0), sz - n),
+        lambda i: F.xxhash64(
+            F.concat_ws(" ", F.slice(F.col("t"), i + 1, n))
+        ),
+    )
+    return base.filter(sz >= n).select(
+        "doc_id", F.posexplode(grams).alias("pos", "gh")
+    )
+
+
 def duplicate_passages(
     docs: DataFrame,
     n: int = 8,
@@ -822,19 +848,7 @@ def duplicate_passages(
     to matter for training leakage."""
     from pyspark.sql import Window
 
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
-    sz = F.size("t")
-    grams = F.transform(
-        F.sequence(F.lit(0), sz - n),
-        lambda i: F.xxhash64(
-            F.concat_ws(" ", F.slice(F.col("t"), i + 1, n))
-        ),
-    )
-    positioned = (
-        base.filter(sz >= n)
-        .select("doc_id", F.posexplode(grams).alias("pos", "gh"))
-    )
+    positioned = positional_grams(docs, n, id_col=id_col, text_col=text_col)
     buckets = (
         positioned.groupBy("gh")
         .agg(F.collect_list(F.struct("doc_id", "pos")).alias("ms"))

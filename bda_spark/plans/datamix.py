@@ -699,3 +699,95 @@ def docs_token_budget_sample(spark, sf_dir):
     return sample_to_token_budget(
         t(spark, sf_dir, "documents"), budget_tokens=2000
     )
+
+
+def contamination_spans(
+    docs,
+    benchmark,
+    n: int = DECONTAM_NGRAM,
+    min_span_tokens: int | None = None,
+    broadcast_benchmark: bool = True,
+):
+    """Span-LEVEL decontamination: WHERE each benchmark overlap sits —
+    (doc_id, pos, span_tokens) for every maximal run of contaminated
+    n-grams, so a pipeline can REDACT the leaked passage and keep the
+    rest of the document instead of dropping it whole (the GPT-3
+    appendix-C move: they cut the overlapping window plus margin, not
+    the document; ``contamination_hits`` is the doc-level flag twin).
+
+    Plan: positional grams of the corpus (operators.dedup.
+    positional_grams — one narrow codegen pass), LEFT SEMI join
+    against the benchmark's distinct gram hashes (broadcast by
+    default: a real eval suite is tiny vs the corpus, so the corpus
+    is never shuffled by the join), then the same gaps-and-islands
+    run-merge as duplicate_passages, per document over consecutive
+    positions: span_tokens = run_length + n - 1. The one shuffle is
+    the per-doc window; output is linear in contaminated content."""
+    from pyspark.sql import Window as W
+
+    from ..operators.dedup import positional_grams
+
+    if min_span_tokens is None:
+        min_span_tokens = n
+    g = positional_grams(docs, n)
+    bg = positional_grams(benchmark, n).select("gh").distinct()
+    if broadcast_benchmark:
+        bg = F.broadcast(bg)
+    hits = g.join(bg, "gh", "left_semi")
+    run = F.col("pos") - F.row_number().over(
+        W.partitionBy("doc_id").orderBy("pos")
+    )
+    return (
+        hits.withColumn("run", run)
+        .groupBy("doc_id", "run")
+        .agg(
+            F.min("pos").cast("long").alias("pos"),
+            (F.count("*") + n - 1).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= int(min_span_tokens))
+        .select("doc_id", "pos", "span_tokens")
+    )
+
+
+@query(
+    "doc_contamination_spans",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), grams AS (
+      SELECT doc_id, u.pos, u.g FROM (
+        SELECT doc_id,
+               unnest([{{'pos': i - 1,
+                        'g': array_to_string(tk[i:i+{DECONTAM_NGRAM - 1}], ' ')}}
+                       FOR i IN range(1, greatest(len(tk) - {DECONTAM_NGRAM - 1}, 0) + 1)]) AS u
+        FROM toks)
+    ), bench AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0
+    ), hits AS (
+      SELECT c.doc_id, c.pos FROM grams c
+      WHERE c.doc_id % 7 <> 0 AND c.g IN (SELECT g FROM bench)
+    ), isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run
+      FROM hits
+    )
+    SELECT doc_id, min(pos) AS pos,
+           count(*) + {DECONTAM_NGRAM - 1} AS span_tokens
+    FROM isl GROUP BY doc_id, run
+    ORDER BY doc_id, pos
+    """,
+)
+def doc_contamination_spans(spark, sf_dir):
+    """Span-level decontamination over the same self-contained
+    benchmark stand-in as doc_decontaminate (doc_id % 7 == 0 rows):
+    for each contaminated training doc, the exact positions and
+    lengths of its leaked 13-gram runs — the redact-don't-drop
+    variant. Registered in the DEFERRED_TAIL (driver window frozen at
+    50 rows); oracle-verified every pytest run by
+    test_oracle_queries."""
+    docs = t(spark, sf_dir, "documents")
+    return contamination_spans(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        broadcast_benchmark=False,
+    ).orderBy("doc_id", "pos")

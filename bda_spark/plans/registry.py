@@ -153,6 +153,7 @@ DEFERRED_TAIL = [
     "events_json_extract",     # JSON path twin of features_json_roundtrip
     "cosine_topk",             # cosine_topk_bucketed's oracle IS this brute force
     "ngram_jaccard_pairs",     # exact all-pairs Jaccard IS minhash_neardup_pairs' oracle
+    "doc_contamination_spans", # span-level twin of in-window doc_decontaminate
     "events_5s_resample",      # time-bucket agg twin of events_windowed_10min
     "dedup_by_key",            # key-dedup semantics proven by exact_dedup_keyset
     "report_rmse_naive",       # KPI twin of events_daily_kpis/report_corr_matrix

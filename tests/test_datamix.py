@@ -424,3 +424,29 @@ def test_token_budget_sample_meets_budget_deterministically(spark, sf_dir, docs_
         assert kept.get(source, set()) == want, source
         total = sum(n for _k, d, n in order if d in want)
         assert total >= min(budget, sum(n for *_x, n in order))
+
+
+def test_contamination_spans_positions_and_redaction(spark):
+    """Planted leak: a benchmark 13-gram sequence inside a training doc
+    must be located at its exact position with its exact length; a doc
+    with no overlap emits nothing; two separated leaks in one doc are
+    two spans."""
+    from bda_spark.plans.datamix import contamination_spans
+
+    leak = " ".join(f"l{i}" for i in range(15))  # 15 tokens -> 3 grams
+    filler = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [
+            (1, filler("a", 4) + " " + leak + " " + filler("b", 5)),
+            (2, filler("c", 20)),
+            (3, leak + " " + filler("d", 13) + " " + leak),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, leak)], ["doc_id", "text"])
+    got = sorted(
+        (r.doc_id, r.pos, r.span_tokens)
+        for r in contamination_spans(docs, bench, n=13).collect()
+    )
+    # doc 1: leak at token offset 4, 15 tokens; doc 3: offsets 0 and 28
+    assert got == [(1, 4, 15), (3, 0, 15), (3, 28, 15)]
