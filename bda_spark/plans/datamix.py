@@ -791,3 +791,55 @@ def doc_contamination_spans(spark, sf_dir):
         docs.filter(F.col("doc_id") % 7 == 0),
         broadcast_benchmark=False,
     ).orderBy("doc_id", "pos")
+
+
+def redact_spans(docs, spans, margin: int = 0):
+    """Apply span-level decontamination: drop every token covered by a
+    (pos, span_tokens) row of ``spans`` (plus ``margin`` tokens each
+    side — GPT-3's appendix C cuts the overlapping window AND a
+    surrounding margin), keeping the rest of the document. Returns
+    (doc_id, text, n_redacted_tokens); documents with no spans pass
+    through byte-identical.
+
+    Plan: spans collect per doc (collect_list of tiny structs — a few
+    per contaminated doc, never corpus-scale state), LEFT join back to
+    the corpus (broadcast-eligible: contaminated docs are a sliver of
+    the corpus), then one codegen pass filters each token by position
+    against the doc's own span array (exists() over a few structs per
+    token — no shuffle beyond the spans aggregation)."""
+    doc_spans = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                (F.col("pos") - margin).alias("lo"),
+                (F.col("pos") + F.col("span_tokens") + margin).alias("hi"),
+            )
+        ).alias("_spans")
+    )
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    covered = lambda i: F.exists(
+        F.col("_spans"),
+        lambda s: (i >= s["lo"]) & (i < s["hi"]),
+    )
+    kept = F.filter(
+        F.transform(toks, lambda x, i: F.struct(x.alias("tok"), i.alias("i"))),
+        lambda p: ~covered(p["i"]),
+    )
+    return (
+        docs.join(doc_spans, "doc_id", "left")
+        .withColumn(
+            "_kept",
+            F.when(F.col("_spans").isNull(), None).otherwise(
+                F.transform(kept, lambda p: p["tok"])
+            ),
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("_spans").isNull(), F.col("text"))
+            .otherwise(F.concat_ws(" ", F.col("_kept")))
+            .alias("text"),
+            F.when(F.col("_spans").isNull(), F.lit(0))
+            .otherwise(F.size(toks) - F.size("_kept"))
+            .cast("long")
+            .alias("n_redacted_tokens"),
+        )
+    )

@@ -450,3 +450,31 @@ def test_contamination_spans_positions_and_redaction(spark):
     )
     # doc 1: leak at token offset 4, 15 tokens; doc 3: offsets 0 and 28
     assert got == [(1, 4, 15), (3, 0, 15), (3, 28, 15)]
+
+
+def test_redact_spans_cuts_leak_and_margin_keeps_rest(spark):
+    """End-to-end redaction: contaminated tokens (plus margin)
+    disappear, every other token survives in order, clean docs pass
+    through byte-identical (trailing/extra whitespace included)."""
+    from bda_spark.plans.datamix import contamination_spans, redact_spans
+
+    leak = " ".join(f"l{i}" for i in range(15))
+    pre = " ".join(f"a{i}" for i in range(4))
+    post = " ".join(f"b{i}" for i in range(5))
+    clean_text = "keep me  exactly   as-is "
+    docs = spark.createDataFrame(
+        [(1, f"{pre} {leak} {post}"), (2, clean_text)],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, leak)], ["doc_id", "text"])
+    spans = contamination_spans(docs, bench, n=13)
+    got = {r.doc_id: r for r in redact_spans(docs, spans).collect()}
+    assert got[1].text == f"{pre} {post}"
+    assert got[1].n_redacted_tokens == 15
+    assert got[2].text == clean_text and got[2].n_redacted_tokens == 0
+    # margin widens the cut one token each side
+    m = {r.doc_id: r for r in redact_spans(docs, spans, margin=1).collect()}
+    assert m[1].text == " ".join(f"a{i}" for i in range(3)) + " " + " ".join(
+        f"b{i}" for i in range(1, 5)
+    )
+    assert m[1].n_redacted_tokens == 17
