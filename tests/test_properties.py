@@ -279,3 +279,66 @@ def test_histogram_sketch_additivity_any_partition(spark, vals, split):
         lo.unionByName(hi), bounds, [0.5]
     ).collect()[0]["q_0_5"]
     assert merged == whole
+
+
+# ------------------------------------------- duplicate-passage spans
+def _py_duplicate_spans(docs, n, min_span):
+    """Brute-force reference: all cross-doc positional n-gram matches,
+    merged per diagonal into maximal runs."""
+    toks = {d: [t for t in s.split(" ") if t] for d, s in docs}
+    grams = {
+        d: [tuple(tk[i : i + n]) for i in range(len(tk) - n + 1)]
+        for d, tk in toks.items()
+    }
+    out = set()
+    ids = sorted(grams)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1 :]:
+            by_diag = {}
+            for i, ga in enumerate(grams[a]):
+                for j, gb in enumerate(grams[b]):
+                    if ga == gb:
+                        by_diag.setdefault(i - j, []).append(i)
+            for diag, pos in by_diag.items():
+                pos.sort()
+                run_start = prev = pos[0]
+                for p in pos[1:] + [None]:
+                    if p is not None and p == prev + 1:
+                        prev = p
+                        continue
+                    length = prev - run_start + 1 + n - 1
+                    if length >= min_span:
+                        out.add((a, b, run_start, run_start - diag, length))
+                    if p is not None:
+                        run_start = prev = p
+    return out
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=24).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_duplicate_passages_matches_bruteforce(spark, texts):
+    """The diagonal gaps-and-islands merge against a brute-force
+    reference, on a 3-token alphabet chosen to force heavy gram
+    collisions (within-doc repeats, multiple diagonals, adjacent
+    runs). Cap set above any possible bucket so only the merge
+    semantics are under test."""
+    from bda_spark.operators.dedup import duplicate_passages
+
+    n, min_span = 3, 4
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b, r.pos_a, r.pos_b, r.span_tokens)
+        for r in duplicate_passages(
+            df, n=n, min_span_tokens=min_span, max_gram_occurrences=10_000
+        ).collect()
+    }
+    assert got == _py_duplicate_spans(docs, n, min_span)
