@@ -463,3 +463,154 @@ def simhash_topk(
         .withColumnRenamed("id_b", "neighbor_id")
     )
     return _topk_rescore(cands, queries, embeddings, k)
+
+
+def semantic_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 64,
+    seed: int = 42,
+    max_iter: int = 10,
+    n_hint: int | None = None,
+    max_cell_size: int = 256,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs via LEARNED k-means cells — the
+    candidate-generation half of SemDeDup (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication", 2023): cluster the corpus with the sample-trained
+    IVF quantizer, enumerate pairs only WITHIN each cell, exact-cosine
+    verify. Returns (id_a, id_b, cosine), id_a < id_b, cosine >=
+    ``threshold``.
+
+    The third candidate-generation family next to SimHash (random
+    hyperplanes) and MinHash (shingle banding): learned cells adapt to
+    the corpus's actual density, so on clustered real-world embeddings
+    the same recall costs fewer candidates than data-oblivious
+    projections — the reason the paper scales to web crawls. The
+    trade: a duplicate pair STRADDLING a cell boundary is missed
+    (the paper accepts this; near-identical vectors almost surely
+    co-assign because assignment is a deterministic argmin over
+    L2 and their distance is ~0), and ``n_centroids = 1`` recovers the
+    exact all-pairs regime — the oracle-verified correctness anchor,
+    same discipline as IVF's full-probe regime.
+
+    Plan shape (the 100 TB design): centroids train driver-side on a
+    bounded sample (``ivf_index``), ride into the plan as a literal;
+    assignment is one Arrow-batched matmul map pass (no shuffle); the
+    within-cell self-join shuffles once on the cell id; hot cells
+    (k > ``max_cell_size``) degrade to rank-gap chain edges exactly
+    like MinHash's hot band-buckets (``dedup._banded_candidates`` — one
+    shared implementation, O(k * cap) bounded comparisons, candidate
+    graph stays connected so downstream components still merge), and
+    every emitted pair is exact-cosine verified, so the cap can only
+    lose recall on hot-but-heterogeneous cells, never admit a false
+    positive. At scale, grow ``n_centroids`` with the corpus so the
+    expected cell stays constant-sized: total pair work is then linear
+    in n."""
+    from .dedup import _banded_candidates
+
+    if centroids is None:
+        _, centroids = ivf_index(
+            embeddings,
+            n_centroids=n_centroids,
+            seed=seed,
+            max_iter=max_iter,
+            n_hint=n_hint,
+        )
+    cells = embeddings.select(
+        F.col("vec_id").alias("doc_id"),
+        nearest_centroid_col(centroids).alias("band_key"),
+    )
+    cands = _banded_candidates(cells, max_cell_size).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    return _rescored(cands, embeddings).filter(
+        F.col("cosine") >= float(threshold)
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 64,
+    seed: int = 42,
+    max_iter: int = 10,
+    n_hint: int | None = None,
+    max_cell_size: int = 256,
+    keep: str = "min_id",
+) -> DataFrame:
+    """Full SemDeDup: semantic near-dup pairs -> connected components
+    -> one keeper per duplicate group. Returns every corpus row as
+    (vec_id, cluster_id, is_kept int) — singletons are their own
+    cluster and always kept, so ``filter(is_kept = 1)`` IS the
+    deduplicated corpus and the dropped fraction is auditable per
+    cluster.
+
+    ``keep`` picks the group representative:
+      - "min_id" (default): the minimum vec_id — deterministic,
+        engine-independent, SQL-expressible (the oracle-verified
+        regime; same canonicalization as ``dedup.neardup_clusters``).
+      - "far_from_centroid": the member with the LOWEST cosine
+        similarity to its own k-means cell centroid — the paper's
+        choice (keeping low-similarity examples preserves the tail of
+        the semantic distribution instead of the prototype). Ties
+        break on vec_id. Requires the learned centroids, so it is
+        pinned by pytest rather than a SQL oracle.
+
+    Components resolve with the shared hybrid union-find /
+    pointer-jumping CC (``dedup.neardup_clusters``); the keeper window
+    partitions by cluster_id — one extra shuffle on a frame that is
+    one row per corpus vector, nothing pairwise."""
+    from .dedup import neardup_clusters
+
+    _, centroids = ivf_index(
+        embeddings,
+        n_centroids=n_centroids,
+        seed=seed,
+        max_iter=max_iter,
+        n_hint=n_hint,
+    )
+    pairs = semantic_neardup_pairs(
+        embeddings,
+        threshold=threshold,
+        max_cell_size=max_cell_size,
+        centroids=centroids,
+    )
+    comp = neardup_clusters(
+        pairs.select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        )
+    ).select(F.col("doc_id").alias("vec_id"), "cluster_id")
+    labeled = (
+        embeddings.select("vec_id", "embedding")
+        .join(comp, "vec_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "vec_id"))
+    )
+    if keep == "min_id":
+        return labeled.select(
+            "vec_id",
+            "cluster_id",
+            (F.col("cluster_id") == F.col("vec_id"))
+            .cast("int")
+            .alias("is_kept"),
+        )
+    if keep != "far_from_centroid":
+        raise ValueError(f"keep must be min_id|far_from_centroid: {keep!r}")
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    own = F.element_at(cent_lit, nearest_centroid_col(centroids) + 1)
+    sim = cosine_similarity_col(
+        F.col("embedding").cast("array<double>"), own
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_csim").asc(), F.col("vec_id").asc()
+    )
+    return (
+        labeled.withColumn("_csim", sim)
+        .withColumn(
+            "is_kept", (F.row_number().over(w) == 1).cast("int")
+        )
+        .select("vec_id", "cluster_id", "is_kept")
+    )

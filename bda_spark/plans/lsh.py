@@ -12,7 +12,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.dedup import minhash_neardup_pairs, neardup_clusters
-from ..operators.similarity import ivf_topk, simhash_neardup_pairs, simhash_topk
+from ..operators.similarity import (
+    ivf_topk,
+    semantic_dedup,
+    semantic_neardup_pairs,
+    simhash_neardup_pairs,
+    simhash_topk,
+)
 from .registry import query, r6, t
 from .vectorops import _COS_SQL
 
@@ -158,6 +164,78 @@ def simhash_neardup_strict_q(spark, sf_dir):
     return pairs.select(
         "id_a", "id_b", r6(F.col("cosine")).alias("cosine")
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "semantic_dedup_pairs",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS_SQL}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.45
+    ORDER BY id_a, id_b
+    """,
+)
+def semantic_dedup_pairs_q(spark, sf_dir):
+    """SemDeDup candidate half (k-means-cell-bucketed embedding
+    near-dup, operators.similarity.semantic_neardup_pairs) in its
+    EXACT regime: n_centroids=1 puts the whole corpus in one cell and
+    the cap off, so the within-cell enumeration IS all-pairs and the
+    oracle is the brute-force cosine join — the same correctness
+    anchor as IVF's full-probe regime. The multi-cell scale path
+    (learned cells, rank-gap hot-cell cap) is pinned by
+    tests/test_semdedup.py against this regime plus planted-duplicate
+    recall."""
+    e = t(spark, sf_dir, "embeddings")
+    pairs = semantic_neardup_pairs(
+        e, threshold=0.45, n_centroids=1, max_cell_size=1024
+    )
+    return pairs.select(
+        "id_a", "id_b", r6(F.col("cosine")).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "semantic_dedup_keepers",
+    f"""
+    WITH RECURSIVE p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {_COS_SQL} >= 0.45
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM p
+      UNION
+      SELECT id_b, id_a FROM p
+    ), reach AS (
+      SELECT a AS id, b AS r FROM edges
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ), labels AS (
+      SELECT id AS vec_id, least(id, min(r)) AS cluster_id
+      FROM reach GROUP BY id
+    )
+    SELECT e.vec_id,
+           coalesce(l.cluster_id, e.vec_id) AS cluster_id,
+           CASE WHEN coalesce(l.cluster_id, e.vec_id) = e.vec_id
+                THEN 1 ELSE 0 END AS is_kept
+    FROM embeddings e LEFT JOIN labels l ON l.vec_id = e.vec_id
+    ORDER BY e.vec_id
+    """,
+)
+def semantic_dedup_keepers_q(spark, sf_dir):
+    """Full SemDeDup fate table (operators.similarity.semantic_dedup):
+    every corpus vector with its duplicate-group id and keeper flag,
+    exact regime (one cell), keep="min_id". Oracle: recursive-CTE
+    transitive closure over the exact cosine pair graph — proving both
+    the pair recall and that the hybrid CC converged to true
+    components, the same double-check as neardup_clusters. The
+    paper's keep="far_from_centroid" representative rule depends on
+    the learned centroids, so it is pinned by pytest instead."""
+    e = t(spark, sf_dir, "embeddings")
+    fate = semantic_dedup(
+        e, threshold=0.45, n_centroids=1, max_cell_size=1024
+    )
+    return fate.orderBy("vec_id")
 
 
 @query(

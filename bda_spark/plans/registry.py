@@ -176,6 +176,8 @@ DEFERRED_TAIL = [
     "events_spearman_approx",   # binned-rank sketch twin of events_spearman (rows-only)
     "events_quantile_sketch_rollup",  # histogram sketch-table twin of the HLL rollup
     "doc_compression_ratio",    # zlib quality signal (rows-only: no zlib in DuckDB)
+    "semantic_dedup_pairs",     # SemDeDup candidates, exact (1-cell) regime
+    "semantic_dedup_keepers",   # SemDeDup fate table; recursive-CTE CC oracle
     # Ceded their driver rows in the ROUND-9 REFRESH (see DRIVER_WINDOW):
     "doc_rolling_fingerprints", # rolling-hash family: doc_fingerprints twin
     "features_json_roundtrip",  # JSON path twin of events_json_extract + pytest inverse

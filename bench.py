@@ -175,6 +175,18 @@ def cosine_topk_sq8(spark, sf_dir):
     return sq8_topk(emb, emb.filter(SF.col("vec_id") < 5), k=5, oversample=4)
 
 
+def semantic_dedup_bench(spark, sf_dir):
+    """Bench-only MULTI-CELL regime of SemDeDup (the oracle-verified
+    semantic_dedup_keepers row runs the exact 1-cell regime): learned
+    k-means cells, within-cell candidates, hot-cell rank-gap cap, CC,
+    keeper per group — the plan shape that runs at 100 TB. Recall and
+    cap behavior pinned in tests/test_semdedup.py."""
+    from bda_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.45, n_centroids=16, seed=42)
+
+
 def events_approx_distinct(spark, sf_dir):
     """Bench-only scale twin of the exact count-distinct measures
     (count_distinct_custkeys, orders_cube_customers): at 100 TB exact
@@ -412,6 +424,10 @@ def main() -> None:
     )
     timed("cosine_topk_sq8", lambda: cosine_topk_sq8(spark, sf_dir).collect())
     timed("ivf_sq8_topk", lambda: ivf_sq8_topk_bench(spark, sf_dir).collect())
+    timed(
+        "semantic_dedup",
+        lambda: semantic_dedup_bench(spark, sf_dir).collect(),
+    )
     timed(
         "corpus_build_pipeline",
         lambda: corpus_build_bench(spark, sf_dir).collect(),

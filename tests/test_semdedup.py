@@ -1,0 +1,179 @@
+"""SemDeDup (embedding-level semantic dedup) — multi-cell scale path.
+
+The exact (1-cell) regime is oracle-verified every pytest run via
+test_oracle_queries (semantic_dedup_pairs / semantic_dedup_keepers);
+these tests pin what the oracle can't: learned-cell candidate recall,
+the hot-cell rank-gap degradation, the paper's far-from-centroid
+representative rule, and the plan shape (no cartesian product)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bda_spark.operators.similarity import (
+    semantic_dedup,
+    semantic_neardup_pairs,
+)
+
+DIM = 16
+
+
+def _embeddings(spark, rows):
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """60 well-separated base vectors + a planted near-identical twin
+    for every 4th one: 15 true duplicate pairs at cosine ~1, everything
+    else near-orthogonal (random gaussian, dim 16)."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, DIM))
+    rows = [(i, base[i]) for i in range(60)]
+    pairs = []
+    for i in range(0, 60, 4):
+        twin_id = 1000 + i
+        rows.append((twin_id, base[i] + rng.normal(scale=1e-3, size=DIM)))
+        pairs.append((i, twin_id))
+    return _embeddings(spark, rows), sorted(pairs)
+
+
+def test_multicell_recalls_planted_twins(spark, planted):
+    emb, truth = planted
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in semantic_neardup_pairs(
+            emb, threshold=0.95, n_centroids=8, seed=3, max_iter=8
+        ).collect()
+    )
+    # a twin sits within 1e-3 of its base, so nearest-centroid argmin
+    # co-assigns them (their L2 gap is orders below any cell margin);
+    # no other pair reaches 0.95 on gaussian vectors at dim 16
+    assert got == truth
+
+
+def test_multicell_matches_exact_regime_on_found_pairs(spark, planted):
+    """Multi-cell output is a SUBSET of the exact regime (cells can
+    only drop straddling pairs, never invent one) and every surviving
+    pair's cosine is bit-identical (same rescore body)."""
+    emb, _ = planted
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in semantic_neardup_pairs(
+            emb, threshold=0.95, n_centroids=1, max_cell_size=1024
+        ).collect()
+    }
+    multi = {
+        (r.id_a, r.id_b): r.cosine
+        for r in semantic_neardup_pairs(
+            emb, threshold=0.95, n_centroids=8, seed=3, max_iter=8
+        ).collect()
+    }
+    assert set(multi) <= set(exact)
+    for k, v in multi.items():
+        assert v == exact[k]
+
+
+def test_hot_cell_cap_still_resolves_one_cluster(spark):
+    """A 40-member near-identical mega-cluster in ONE cell with
+    max_cell_size=6: the rank-gap chain emits O(k*cap) pairs, not
+    O(k^2), yet connected components still reach every member — one
+    cluster, one keeper. (n_centroids=1 isolates the CAP property:
+    with k>1, k-means legitimately splits a blob of near-identical
+    points across cells and each fragment dedups independently — the
+    paper's accepted within-cluster-only semantics, pinned below.)"""
+    rng = np.random.default_rng(11)
+    proto = rng.normal(size=DIM)
+    rows = [(i, proto + rng.normal(scale=1e-4, size=DIM)) for i in range(40)]
+    emb = _embeddings(spark, rows)
+    pairs = semantic_neardup_pairs(
+        emb, threshold=0.99, n_centroids=1, seed=5, max_cell_size=6
+    )
+    n_pairs = pairs.count()
+    assert 0 < n_pairs < 40 * 39 / 2  # capped below all-pairs
+    fate = semantic_dedup(
+        emb, threshold=0.99, n_centroids=1, seed=5, max_cell_size=6
+    ).collect()
+    assert {r.cluster_id for r in fate} == {0}
+    assert sum(r.is_kept for r in fate) == 1
+    assert next(r for r in fate if r.is_kept).vec_id == 0
+
+
+def test_cell_split_dedups_each_fragment(spark):
+    """The accepted approximation, pinned as BEHAVIOR: when k-means
+    splits one duplicate blob across cells, each fragment resolves to
+    its own cluster with its own keeper — members are never dropped
+    without a surviving representative, and the kept set still covers
+    every fragment (conservation: n_kept == n_clusters, every member
+    labeled)."""
+    rng = np.random.default_rng(11)
+    proto = rng.normal(size=DIM)
+    rows = [(i, proto + rng.normal(scale=1e-4, size=DIM)) for i in range(40)]
+    emb = _embeddings(spark, rows)
+    fate = semantic_dedup(
+        emb, threshold=0.99, n_centroids=2, seed=5, max_cell_size=6
+    ).collect()
+    assert len(fate) == 40
+    clusters = {r.cluster_id for r in fate}
+    assert sum(r.is_kept for r in fate) == len(clusters)
+    for r in fate:
+        assert r.cluster_id in clusters
+
+
+def test_far_from_centroid_keeps_lowest_centroid_sim(spark, planted):
+    """Paper rule: within each duplicate group keep the member least
+    similar to its own cell centroid; singletons always kept; exactly
+    one keeper per cluster either way."""
+    emb, truth = planted
+    fate = semantic_dedup(
+        emb,
+        threshold=0.95,
+        n_centroids=8,
+        seed=3,
+        max_iter=8,
+        keep="far_from_centroid",
+    ).collect()
+    n = emb.count()
+    assert len(fate) == n
+    by_cluster: dict[int, list] = {}
+    for r in fate:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert sum(len(v) for v in by_cluster.values()) == n
+    for members in by_cluster.values():
+        assert sum(r.is_kept for r in members) == 1
+    # every planted pair collapsed into one cluster
+    for a, b in truth:
+        ca = next(r.cluster_id for r in fate if r.vec_id == a)
+        cb = next(r.cluster_id for r in fate if r.vec_id == b)
+        assert ca == cb == a  # min-id labels the component
+    # min_id regime on the same fixture keeps the minimum instead —
+    # the two rules diverge only in WHICH member survives
+    fate_min = semantic_dedup(
+        emb, threshold=0.95, n_centroids=8, seed=3, max_iter=8
+    ).collect()
+    keepers_min = {r.vec_id for r in fate_min if r.is_kept}
+    for a, b in truth:
+        assert a in keepers_min and b not in keepers_min
+
+
+def test_invalid_keep_mode_raises(spark, planted):
+    emb, _ = planted
+    with pytest.raises(ValueError, match="keep"):
+        semantic_dedup(emb, keep="first").collect()
+
+
+def test_plan_has_no_cartesian_product(spark, planted):
+    """The within-cell enumeration is a hash self-join on the cell id —
+    a cartesian product anywhere in the plan means the bucketing
+    silently degenerated to all-pairs crossing."""
+    emb, _ = planted
+    plan = semantic_neardup_pairs(
+        emb, threshold=0.95, n_centroids=8, seed=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
