@@ -614,3 +614,166 @@ def semantic_dedup(
         )
         .select("vec_id", "cluster_id", "is_kept")
     )
+
+
+def semantic_index_build(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 64,
+    seed: int = 42,
+    max_iter: int = 10,
+    n_hint: int | None = None,
+) -> None:
+    """Persist the SemDeDup corpus index — the embedding twin of
+    ``dedup.minhash_index`` and the float sibling of
+    ``quantize.ivf_sq8_index_build``: a 100 TB corpus is KMeans-fit
+    and cell-assigned ONCE; daily increments then dedup against it
+    without re-scanning or re-assigning the corpus.
+
+    Layout under ``path``:
+      ``cells/`` — (vec_id, embedding) HIVE-partitioned by
+                   ``centroid_id``, so matching a new batch scans ONLY
+                   the cells the batch probes (static partition
+                   pruning) and maintenance rewrites only touched
+                   cells. Float embeddings, not SQ8 codes: dedup
+                   thresholding wants exact cosine, and the read set
+                   per batch is a few cells, not the corpus.
+      ``meta/``  — single row: the centroid list.
+
+    ``semantic_match_new`` is the read side,
+    ``semantic_index_append`` the live-corpus maintenance."""
+    _, centroids = ivf_index(
+        embeddings,
+        n_centroids=n_centroids,
+        seed=seed,
+        max_iter=max_iter,
+        n_hint=n_hint,
+    )
+    cells = embeddings.select(
+        "vec_id",
+        "embedding",
+        nearest_centroid_col(centroids).alias("centroid_id"),
+    )
+    base = path.rstrip("/")
+    cells.repartition("centroid_id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(f"{base}/cells")
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(centroids,)], "centroids array<array<double>>"
+    ).write.mode("overwrite").parquet(f"{base}/meta")
+
+
+def _index_centroids(spark, path: str) -> list[list[float]]:
+    meta = spark.read.parquet(f"{path.rstrip('/')}/meta").collect()[0]
+    return [list(c) for c in meta["centroids"]]
+
+
+def semantic_match_new(
+    spark,
+    path: str,
+    new_embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Incremental semantic dedup: match a NEW batch of (vec_id,
+    embedding) against a persisted ``semantic_index_build`` artifact.
+    Returns (new_id, corpus_id, cosine) for exact cosines at/above
+    ``threshold`` — the embedding twin of ``dedup.minhash_match_new``:
+    the corpus is never self-joined, never re-assigned, and only the
+    cells the batch probes are READ at all (their ids collect to a
+    list bounded by n_centroids — driver state the plan already holds
+    as the centroid literal — and prune the hive scan statically).
+
+    ``n_probe`` is the recall knob for cell-boundary straddle: with 1
+    (the paper's within-cluster semantics) a twin assigned to the
+    adjacent cell is missed; 2-3 probes check the runner-up cells at
+    proportional extra read cost. A corpus vector lives in exactly one
+    cell, so multi-probe never duplicates a pair."""
+    base = path.rstrip("/")
+    centroids = _index_centroids(spark, base)
+    new_embeddings = new_embeddings.select("vec_id", "embedding")
+    probes = probe_cells(new_embeddings, centroids, n_probe=n_probe)
+    touched = [
+        r[0] for r in probes.select("centroid_id").distinct().collect()
+    ]
+    if not touched:
+        return spark.createDataFrame(
+            [], "new_id long, corpus_id long, cosine double"
+        )
+    corpus = spark.read.parquet(f"{base}/cells").filter(
+        F.col("centroid_id").isin(touched)
+    )
+    q = probes.join(
+        new_embeddings.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("va"),
+        ),
+        "query_id",
+    )
+    c = corpus.select(
+        "centroid_id",
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    return (
+        q.join(c, "centroid_id")
+        .withColumn(
+            "cosine", cosine_similarity_col(F.col("va"), F.col("vb"))
+        )
+        .filter(F.col("cosine") >= float(threshold))
+        .select(
+            F.col("query_id").alias("new_id"), "corpus_id", "cosine"
+        )
+    )
+
+
+def semantic_index_append(
+    spark,
+    path: str,
+    new_embeddings: DataFrame,
+    skew_threshold: float = 4.0,
+) -> dict:
+    """Live-corpus maintenance for ``semantic_index_build`` — same
+    contract as ``quantize.ivf_sq8_index_append``: nearest EXISTING
+    centroid (no retrain), partition-scoped idempotent upsert (only
+    touched cells rewrite — O(batch + touched cells), never O(index)),
+    then a cell-size skew probe. Appends keep old centroids, so a
+    distribution shift concentrates new vectors into few cells and
+    within-cell matching degrades toward hot-cell scans;
+    ``needs_retrain=True`` past ``skew_threshold`` tells the CALLER to
+    schedule ``semantic_index_build`` over the full corpus — this
+    function never silently does a full-corpus pass. Replay-safe:
+    re-appending the same batch upserts by vec_id into the same
+    deterministic cell."""
+    from ..sources.sinks import idempotent_merge_parquet
+
+    base = path.rstrip("/")
+    centroids = _index_centroids(spark, base)
+    new_embeddings = new_embeddings.select("vec_id", "embedding")
+    updates = new_embeddings.withColumn(
+        "centroid_id", nearest_centroid_col(centroids)
+    )
+    appended = updates.count()
+    idempotent_merge_parquet(
+        spark,
+        updates,
+        f"{base}/cells",
+        keys=["vec_id"],
+        partition_col="centroid_id",
+    )
+    sizes = (
+        spark.read.parquet(f"{base}/cells")
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("mx"), F.avg("n").alias("mean"))
+        .collect()[0]
+    )
+    skew = float(sizes["mx"]) / float(sizes["mean"]) if sizes["mean"] else 0.0
+    touched = updates.select("centroid_id").distinct().count()
+    return {
+        "appended": int(appended),
+        "cells_touched": int(touched),
+        "skew": round(skew, 3),
+        "needs_retrain": bool(skew > float(skew_threshold)),
+    }

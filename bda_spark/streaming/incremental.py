@@ -122,3 +122,78 @@ def stream_dedup_against_index(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_semantic_dedup_against_index(
+    stream_embeddings: DataFrame,
+    index_path: str,
+    flags_path: str,
+    checkpoint: str,
+    threshold: float = 0.9,
+    n_probe: int = 1,
+    n_centroids: int = 64,
+    seed: int = 42,
+    available_now: bool = False,
+    vacuum_min_age_seconds: float = 60.0,
+):
+    """The SemDeDup twin of ``stream_dedup_against_index``: match each
+    micro-batch of (vec_id, embedding) against the persisted
+    ``semantic_index_build`` artifact, land (new_id, corpus_id,
+    cosine) flags, then upsert the batch into the index so LATER
+    batches dedup against everything seen. Same restart-safety
+    contract: both writes are keyed idempotent merges, already-indexed
+    ids are filtered before matching (a replayed batch re-flags
+    nothing), duplicates within one micro-batch collapse by id.
+
+    Bootstrap: a missing index trains centroids on the FIRST batch
+    (production pre-builds from the landed corpus instead — a batch-
+    sized sample prices cells exactly like the sample-trained IVF
+    fit, but a skewed first batch starts skewed). Drift: the append
+    reports cell-size skew; when ``needs_retrain`` fires this sink
+    keeps going — within-cell matching stays correct, only hot-cell
+    read cost degrades — and the CALLER schedules the off-peak
+    ``semantic_index_build`` rebuild, the same division of labor as
+    ``ivf_sq8_index_append``."""
+    from ..operators.similarity import (
+        semantic_index_append,
+        semantic_index_build,
+        semantic_match_new,
+    )
+
+    spark = stream_embeddings.sparkSession
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.select("vec_id", "embedding").dropDuplicates(
+            ["vec_id"]
+        )
+        fs, cells_p = _hadoop_path(spark, f"{index_path.rstrip('/')}/cells")
+        if not fs.exists(cells_p):
+            semantic_index_build(
+                batch, index_path, n_centroids=n_centroids, seed=seed
+            )
+            return
+        indexed = read_parquet(
+            spark, f"{index_path.rstrip('/')}/cells"
+        ).select("vec_id")
+        fresh = batch.join(indexed, "vec_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        flags = semantic_match_new(
+            spark, index_path, fresh, threshold=threshold, n_probe=n_probe
+        )
+        idempotent_merge_parquet(
+            spark,
+            flags,
+            flags_path,
+            keys=["new_id", "corpus_id"],
+            vacuum_min_age_seconds=vacuum_min_age_seconds,
+        )
+        semantic_index_append(spark, index_path, fresh)
+
+    writer = (
+        stream_embeddings.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

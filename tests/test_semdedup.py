@@ -177,3 +177,184 @@ def test_plan_has_no_cartesian_product(spark, planted):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- persisted index: build / match / append / streaming ------------
+
+
+@pytest.fixture()
+def built_index(spark, planted, tmp_path):
+    emb, _ = planted
+    from bda_spark.operators.similarity import semantic_index_build
+
+    path = str(tmp_path / "semidx")
+    semantic_index_build(emb, path, n_centroids=8, seed=3, max_iter=8)
+    return emb, path
+
+
+def test_index_match_flags_planted_twin_and_skips_novel(spark, built_index):
+    from bda_spark.operators.similarity import semantic_match_new
+
+    emb, path = built_index
+    rng = np.random.default_rng(23)
+    base0 = np.asarray(
+        emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    )
+    batch = _embeddings(
+        spark,
+        [
+            (5000, base0 + rng.normal(scale=1e-3, size=DIM)),  # twin of 0
+            (5001, rng.normal(size=DIM)),  # novel
+        ],
+    )
+    flags = semantic_match_new(spark, path, batch, threshold=0.95).collect()
+    # vec 1000 is ITSELF the fixture's planted twin of vec 0, so a new
+    # twin of base0 correctly matches both corpus members
+    assert {(r.new_id, r.corpus_id) for r in flags} == {(5000, 0), (5000, 1000)}
+    assert all(r.cosine >= 0.95 for r in flags)
+
+
+def test_index_match_multiprobe_superset(spark, built_index):
+    from bda_spark.operators.similarity import semantic_match_new
+
+    emb, path = built_index
+    batch = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding"
+    )
+    one = {
+        (r.new_id, r.corpus_id)
+        for r in semantic_match_new(
+            spark, path, batch, threshold=0.95, n_probe=1
+        ).collect()
+    }
+    two = {
+        (r.new_id, r.corpus_id)
+        for r in semantic_match_new(
+            spark, path, batch, threshold=0.95, n_probe=2
+        ).collect()
+    }
+    assert one <= two
+    # each batch row IS an indexed vector shifted by id: its exact
+    # copy lives in its own nearest cell, so 1-probe already finds it
+    assert {(i + 9000, i) for i in range(20)} <= one
+
+
+def test_index_match_scan_is_partition_pruned(spark, built_index):
+    """The cells scan must carry the touched-cell list as a static
+    PartitionFilter — reading every cell for a one-cell batch is the
+    O(index) read the layout exists to avoid."""
+    from bda_spark.operators.similarity import semantic_match_new
+
+    emb, path = built_index
+    batch = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 7000).alias("vec_id"), "embedding"
+    )
+    plan = (
+        semantic_match_new(spark, path, batch, threshold=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "centroid_id IN" in plan or "centroid_id#" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+
+
+def test_index_append_idempotent_and_drift(spark, built_index):
+    from bda_spark.operators.similarity import (
+        semantic_index_append,
+        semantic_match_new,
+    )
+
+    emb, path = built_index
+    n0 = spark.read.parquet(f"{path}/cells").count()
+    rng = np.random.default_rng(29)
+    novel = _embeddings(spark, [(6000, rng.normal(size=DIM))])
+    r1 = semantic_index_append(spark, path, novel)
+    assert r1["appended"] == 1 and r1["cells_touched"] == 1
+    assert spark.read.parquet(f"{path}/cells").count() == n0 + 1
+    # replay: same batch upserts, no growth
+    semantic_index_append(spark, path, novel)
+    assert spark.read.parquet(f"{path}/cells").count() == n0 + 1
+    # later batches match against the appended vector
+    twin = _embeddings(
+        spark, [(6001, novel.collect()[0].embedding)]
+    )
+    flags = semantic_match_new(spark, path, twin, threshold=0.99).collect()
+    assert (6001, 6000) in {(r.new_id, r.corpus_id) for r in flags}
+    # drift: 200 copies of one point concentrate one cell -> skew fires
+    flood = _embeddings(
+        spark,
+        [
+            (7000 + i, np.asarray(novel.collect()[0].embedding) * (1 + i * 1e-6))
+            for i in range(200)
+        ],
+    )
+    r2 = semantic_index_append(spark, path, flood)
+    assert r2["needs_retrain"] is True and r2["skew"] > 4.0
+
+
+def test_stream_semantic_dedup_cross_batch(spark, tmp_path):
+    """File-replay twin of test_stream_dedup_flags_cross_batch_near_dup:
+    batch 1 bootstraps the index, batch 2's twin of a batch-1 vector is
+    flagged, the novel vector is not; a full rerun from a fresh
+    checkpoint duplicates nothing (keyed merges)."""
+    import json as _json
+
+    from bda_spark.streaming.incremental import (
+        stream_semantic_dedup_against_index,
+    )
+
+    rng = np.random.default_rng(31)
+    v1, v2 = rng.normal(size=DIM), rng.normal(size=DIM)
+    d = tmp_path / "emb"
+    d.mkdir()
+    with open(d / "b1.jsonl", "w") as f:
+        for vid, v in [(1, v1), (2, v2)]:
+            f.write(
+                _json.dumps(
+                    {"vec_id": vid, "embedding": [float(x) for x in v]}
+                )
+                + "\n"
+            )
+    with open(d / "b2.jsonl", "w") as f:
+        twin = v1 + rng.normal(scale=1e-3, size=DIM)
+        for vid, v in [(101, twin), (102, rng.normal(size=DIM))]:
+            f.write(
+                _json.dumps(
+                    {"vec_id": vid, "embedding": [float(x) for x in v]}
+                )
+                + "\n"
+            )
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(d))
+        )
+        q = stream_semantic_dedup_against_index(
+            stream,
+            str(tmp_path / "semidx"),
+            str(tmp_path / "flags"),
+            checkpoint=str(tmp_path / ckpt),
+            threshold=0.95,
+            n_centroids=2,
+            available_now=True,
+        )
+        assert q.awaitTermination(300), "semantic dedup stream wedged"
+        assert q.exception() is None, q.exception()
+
+    run("ckpt1")
+    cells = spark.read.parquet(str(tmp_path / "semidx" / "cells"))
+    assert {r.vec_id for r in cells.select("vec_id").collect()} == {
+        1, 2, 101, 102,
+    }
+    flags = spark.read.parquet(str(tmp_path / "flags")).collect()
+    assert {(r.new_id, r.corpus_id) for r in flags} == {(101, 1)}
+    run("ckpt2")  # fresh checkpoint, same sinks: nothing duplicates
+    assert spark.read.parquet(str(tmp_path / "semidx" / "cells")).count() == 4
+    again = spark.read.parquet(str(tmp_path / "flags")).collect()
+    assert {(r.new_id, r.corpus_id) for r in again} == {(101, 1)}
+    assert len(again) == 1
