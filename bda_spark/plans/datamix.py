@@ -365,6 +365,7 @@ def contamination_hits(
     benchmark,
     n: int = DECONTAM_NGRAM,
     broadcast_benchmark: bool = True,
+    benchmark_shingles=None,
 ):
     """The library form of ``doc_decontaminate``: flag rows of ``docs``
     sharing any n-token shingle with an EXTERNAL ``benchmark`` frame
@@ -376,9 +377,19 @@ def contamination_hits(
     ``broadcast_benchmark=False`` when the benchmark is a meaningful
     fraction of the corpus (as in the self-contained registry query)
     and AQE picks the join side. Shingling is shared with the MinHash
-    pipeline (operators.dedup.shingles)."""
+    pipeline (operators.dedup.shingles).
+
+    ``benchmark_shingles`` (a (shingle) frame, e.g. a localCheckpoint
+    of ``shingles(benchmark, n).select("shingle").distinct()``) skips
+    the benchmark shingling — the STREAMING ingest computes it once at
+    stream start instead of once per micro-batch; ``benchmark`` is
+    ignored when it is given (pass None)."""
     g = shingles(docs, n=n)
-    bg = shingles(benchmark, n=n).select("shingle").distinct()
+    bg = (
+        benchmark_shingles
+        if benchmark_shingles is not None
+        else shingles(benchmark, n=n).select("shingle").distinct()
+    )
     if broadcast_benchmark:
         bg = F.broadcast(bg)
     return (
@@ -462,6 +473,30 @@ def quality_percentile_filter(
         .filter(F.col("_pr") <= keep_frac)
         .drop("_pr")
     )
+
+
+def quality_cutoff(
+    scored,
+    score_col: str,
+    keep_frac: float = 0.9,
+    accuracy: int = 10_000,
+) -> float:
+    """The global (1 - keep_frac) quantile of ``score_col`` over a
+    HISTORICAL corpus, as one scalar — the fixed gate a STREAMING
+    ingest applies per micro-batch. A micro-batch has no stable corpus
+    distribution to rank against (its own percentile would make the
+    gate's meaning drift batch to batch), so the streaming loop prices
+    the cutoff ONCE here against the landed corpus and re-prices on
+    its own schedule — the same frozen-vs-live division as the
+    sample-trained IVF centroids. Same mergeable-sketch plan as the
+    batch gate: one percentile_approx aggregate, the corpus is never
+    sorted."""
+    row = scored.agg(
+        F.percentile_approx(
+            score_col, F.lit(1.0 - float(keep_frac)), F.lit(int(accuracy))
+        ).alias("c")
+    ).collect()[0]
+    return float(row["c"]) if row["c"] is not None else float("-inf")
 
 
 def quality_threshold_filter_approx(

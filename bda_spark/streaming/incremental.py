@@ -25,6 +25,7 @@ the rest of the streaming layer follows.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..operators.dedup import minhash_index, minhash_match_new
 from ..sources.batch import read_parquet
@@ -192,6 +193,163 @@ def stream_semantic_dedup_against_index(
 
     writer = (
         stream_embeddings.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_corpus_ingest(
+    stream_docs: DataFrame,
+    benchmark: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    fates_path: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+    min_quality: float = 0.0,
+    decontam_ngram: int = 13,
+    ngram: int = 3,
+    num_hashes: int = 64,
+    band_rows: int = 2,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+    cap_mode: str = "chained",
+    available_now: bool = False,
+    vacuum_min_age_seconds: float = 60.0,
+):
+    """The STREAMING twin of ``plans.datamix.corpus_build_pipeline`` —
+    the full training-data ingest loop as one foreachBatch pipeline.
+    Each micro-batch of (doc_id, text) runs the same stage order as
+    the batch build, and every document lands EXACTLY ONE fate row:
+
+        near-dup vs the growing KEPT-corpus MinHash index -> "neardup"
+        fixed quality gate (score < ``min_quality``)      -> "quality"
+        benchmark n-gram overlap                          -> "contaminated"
+        survivors                                         -> "kept"
+
+    Kept docs merge into ``corpus_path``; their signatures merge into
+    ``index_path`` so later batches dedup against the corpus so far;
+    fates merge into ``fates_path`` (the audit trail — every ingested
+    byte that fails to reach training is attributable to a stage).
+
+    Deliberate streaming-vs-batch deltas, each the principled choice:
+
+    - The index holds KEPT docs only. A later twin of a REMOVED doc is
+      judged on its own merits — its twin never entered the corpus, so
+      flagging it as a duplicate would drop content the training set
+      does not contain. (Quality/contamination verdicts are
+      doc-local, so the twin of a gated doc fails the same gate by
+      itself whenever it is close enough to matter.)
+    - The quality gate is a FIXED threshold, not the batch build's
+      corpus-relative percentile — price it from the landed corpus
+      with ``plans.datamix.quality_cutoff`` and re-price on your own
+      schedule; a micro-batch has no stable distribution to rank
+      against. Default 0.0 = gate off.
+    - Benchmark shingles are computed ONCE at stream start (broadcast
+      into every batch's join) — the eval suite does not change per
+      micro-batch.
+    - Intra-batch near-dups are not flagged against each other (both
+      may be kept) — same contract as ``stream_dedup_against_index``;
+      run the batch ``dedup_corpus`` over the landed corpus for a
+      final intra-corpus collapse, or keep micro-batches small.
+
+    Restart safety: all three writes are keyed idempotent merges and
+    already-INDEXED (kept) ids skip reprocessing; a replayed batch
+    re-derives identical fates for removed docs and upserts them — a
+    no-op in content."""
+    from ..operators.dedup import shingles
+    from ..plans.datamix import contamination_hits
+
+    spark = stream_docs.sparkSession
+    bench_shingles = (
+        shingles(benchmark, n=decontam_ngram)
+        .select("shingle")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.select("doc_id", "text").dropDuplicates(["doc_id"])
+        sigs = minhash_index(
+            batch, "doc_id", "text", ngram, num_hashes, seed
+        ).localCheckpoint(eager=True)
+        fs, index_p = _hadoop_path(spark, index_path)
+        have_index = is_versioned(spark, index_path) or fs.exists(index_p)
+        if have_index:
+            index = read_parquet(spark, index_path)
+            fresh_sigs = sigs.join(
+                index.select("doc_id"), "doc_id", "left_anti"
+            )
+            fresh = batch.join(index.select("doc_id"), "doc_id", "left_anti")
+            flags = minhash_match_new(
+                fresh,
+                index,
+                threshold=threshold,
+                ngram=ngram,
+                num_hashes=num_hashes,
+                band_rows=band_rows,
+                seed=seed,
+                max_bucket_size=max_bucket_size,
+                new_sigs=fresh_sigs,
+                cap_mode=cap_mode,
+            )
+            dup_ids = (
+                flags.select(F.col("new_id").alias("doc_id"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        else:
+            fresh, fresh_sigs = batch, sigs
+            dup_ids = spark.createDataFrame([], "doc_id long")
+        survivors = fresh.join(dup_ids, "doc_id", "left_anti")
+        toks = F.filter(F.split("text", " "), lambda x: x != "")
+        score = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+            F.size(toks), F.lit(1)
+        )
+        low_ids = (
+            survivors.filter(score < float(min_quality))
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        survivors = survivors.join(low_ids, "doc_id", "left_anti")
+        hit_ids = (
+            contamination_hits(
+                survivors,
+                None,
+                n=decontam_ngram,
+                benchmark_shingles=bench_shingles,
+            )
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        kept = survivors.join(hit_ids, "doc_id", "left_anti")
+        kept_ids = kept.select("doc_id").localCheckpoint(eager=True)
+        fates = (
+            dup_ids.withColumn("fate", F.lit("neardup"))
+            .unionByName(low_ids.withColumn("fate", F.lit("quality")))
+            .unionByName(hit_ids.withColumn("fate", F.lit("contaminated")))
+            .unionByName(kept_ids.withColumn("fate", F.lit("kept")))
+        )
+        idempotent_merge_parquet(
+            spark, kept, corpus_path, keys=["doc_id"],
+            vacuum_min_age_seconds=vacuum_min_age_seconds,
+        )
+        idempotent_merge_parquet(
+            spark, fates, fates_path, keys=["doc_id"],
+            vacuum_min_age_seconds=vacuum_min_age_seconds,
+        )
+        idempotent_merge_parquet(
+            spark,
+            fresh_sigs.join(kept_ids, "doc_id", "left_semi"),
+            index_path,
+            keys=["doc_id"],
+            vacuum_min_age_seconds=vacuum_min_age_seconds,
+        )
+
+    writer = (
+        stream_docs.writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint)
     )
     if available_now:

@@ -91,3 +91,98 @@ def test_stream_dedup_flags_cross_batch_near_dup(spark, doc_stream_dir, tmp_path
     again = spark.read.parquet(flags_path).collect()
     assert {(r["new_id"], r["corpus_id"]) for r in again} == {(101, 1)}
     assert len(again) == 1
+
+
+# ------------------------------------------------ full ingest loop
+BENCH_PASSAGE = (
+    "the quick brown fox jumps over the lazy dog near the old river bank "
+    "while seventeen sleepy owls watch quietly"
+)
+WORDS = [f"w{i}" for i in range(40)]
+
+
+def test_stream_corpus_ingest_fates_and_growth(spark, tmp_path):
+    """Two-batch replay of the full streaming training-data ingest:
+    every doc gets exactly one fate, kept docs land + index, a
+    cross-batch near-dup of a KEPT doc is flagged while the twin of a
+    REMOVED doc is judged on its own merits, and a fresh-checkpoint
+    rerun changes nothing (keyed merges)."""
+    from bda_spark.streaming.incremental import stream_corpus_ingest
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    a_text = " ".join(WORDS)
+    _write_batch(
+        str(d), "b1.jsonl",
+        [
+            {"doc_id": 1, "text": a_text},                      # kept
+            {"doc_id": 2, "text": "spam " * 40},                # quality
+            {"doc_id": 3, "text": BENCH_PASSAGE + " " + " ".join(
+                f"x{i}" for i in range(20))},                   # contaminated
+        ],
+    )
+    _write_batch(
+        str(d), "b2.jsonl",
+        [
+            {"doc_id": 101, "text": a_text + " tiny tail edit"},  # neardup of 1
+            {"doc_id": 102, "text": " ".join(f"y{i}" for i in range(35))},  # kept
+            # twin of the REMOVED doc 3: its own grams overlap the
+            # benchmark, so it is contaminated BY ITSELF, not a dup
+            {"doc_id": 103, "text": BENCH_PASSAGE + " " + " ".join(
+                f"z{i}" for i in range(20))},
+        ],
+    )
+    benchmark = spark.createDataFrame(
+        [(9000, BENCH_PASSAGE)], "doc_id long, text string"
+    )
+    paths = dict(
+        corpus_path=str(tmp_path / "corpus"),
+        index_path=str(tmp_path / "index"),
+        fates_path=str(tmp_path / "fates"),
+    )
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(d))
+        )
+        q = stream_corpus_ingest(
+            stream,
+            benchmark,
+            checkpoint=str(tmp_path / ckpt),
+            threshold=0.5,
+            min_quality=0.2,
+            available_now=True,
+            **paths,
+        )
+        assert q.awaitTermination(300), "ingest stream wedged"
+        assert q.exception() is None, q.exception()
+
+    run("ckpt1")
+    fates = {
+        r.doc_id: r.fate
+        for r in spark.read.parquet(paths["fates_path"]).collect()
+    }
+    assert fates == {
+        1: "kept", 2: "quality", 3: "contaminated",
+        101: "neardup", 102: "kept", 103: "contaminated",
+    }
+    corpus_ids = {
+        r.doc_id for r in spark.read.parquet(paths["corpus_path"]).collect()
+    }
+    assert corpus_ids == {1, 102}
+    index_ids = {
+        r.doc_id
+        for r in spark.read.parquet(paths["index_path"])
+        .select("doc_id").collect()
+    }
+    assert index_ids == {1, 102}
+
+    run("ckpt2")  # fresh checkpoint, same sinks
+    assert {
+        r.doc_id: r.fate
+        for r in spark.read.parquet(paths["fates_path"]).collect()
+    } == fates
+    assert spark.read.parquet(paths["corpus_path"]).count() == 2
+    assert spark.read.parquet(paths["index_path"]).count() == 2
