@@ -130,13 +130,39 @@ def _coarse_then_rerank(
     filter, and the rounding policy cannot diverge): coarse-rank
     probed candidates on dequantized int8 codes, keep k x oversample
     per query, exact-rerank against the float vectors."""
+    # dequantize + norms hoisted BEFORE the probe join: an index row
+    # is matched by every query probing its cell, so inline _cos would
+    # re-dequantize and re-aggregate its norm once per (query, row)
+    # pair; hoisted, each runs once per row and the pair-level work is
+    # one dot + one divide. Same expressions in the same order as
+    # _cos — bit-identical sims, pinned by the full-probe ≡ brute
+    # force pytest and the r6 oracle hashes.
     deq = sq8_dequantize_col("codes", lo, hi)
+    norm = lambda a: F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    hcos = lambda a, b, na, nb: F.when(na * nb == 0.0, F.lit(0.0)).otherwise(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (na * nb)
+    )
+    idx = index.withColumn("_dv", deq).withColumn("_dn", norm(F.col("_dv")))
+    qn = qside.withColumn("_qn", norm(F.col("qv")))
     coarse = (
-        probes.join(index, "centroid_id")
+        probes.join(idx, "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .join(qside, "query_id")
+        .join(qn, "query_id")
         .select(
-            "query_id", "neighbor_id", _cos(F.col("qv"), deq).alias("sim_q")
+            "query_id",
+            "neighbor_id",
+            hcos(
+                F.col("qv"), F.col("_dv"), F.col("_qn"), F.col("_dn")
+            ).alias("sim_q"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_q"), "neighbor_id")
@@ -145,13 +171,22 @@ def _coarse_then_rerank(
         .filter(F.col("crk") <= int(k) * int(oversample))
         .select("query_id", "neighbor_id")
     )
+    ex = exact.withColumn("_en", norm(F.col("nv_exact")))
     reranked = (
-        candidates.join(exact, "neighbor_id")
-        .join(qside, "query_id")
+        candidates.join(ex, "neighbor_id")
+        .join(qn, "query_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_cos(F.col("qv"), F.col("nv_exact")), 6).alias("cosine"),
+            F.round(
+                hcos(
+                    F.col("qv"),
+                    F.col("nv_exact"),
+                    F.col("_qn"),
+                    F.col("_en"),
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-from ..functions.vectors import cosine_similarity_col
+from ..functions.vectors import cosine_similarity_col, dot_col, l2_norm_col
 
 
 def simhash_band_udf(dim: int, band_rows: int = 6, num_bands: int = 96,
@@ -122,15 +122,36 @@ def _candidates(
 
 
 def _rescored(candidates: DataFrame, embeddings: DataFrame) -> DataFrame:
-    """Exact cosine for each candidate pair (JVM-side zip_with dot)."""
+    """Exact cosine for each candidate pair (JVM-side zip_with dot).
+
+    Norms are computed ONCE PER ROW on each join input and carried
+    through the exchange, so per-PAIR work is one dot + one divide —
+    ``cosine_similarity_col`` inline would re-aggregate both 64-element
+    norms per pair (and the when() guard duplicates its den subtree:
+    these HOF aggregates evaluate interpreted, so that's ~5x the
+    arithmetic on the candidate-pair hot path). Same expressions in
+    the same order, just hoisted — bit-identical results, pinned by
+    the unchanged r6 oracle hashes."""
     v = F.col("embedding").cast("array<double>")
-    a = embeddings.select(F.col("vec_id").alias("id_a"), v.alias("va"))
-    b = embeddings.select(F.col("vec_id").alias("id_b"), v.alias("vb"))
+    a = embeddings.select(
+        F.col("vec_id").alias("id_a"),
+        v.alias("va"),
+        l2_norm_col(v).alias("_na"),
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("id_b"),
+        v.alias("vb"),
+        l2_norm_col(v).alias("_nb"),
+    )
+    den = F.col("_na") * F.col("_nb")
+    cos = F.when(den == 0.0, F.lit(0.0)).otherwise(
+        dot_col(F.col("va"), F.col("vb")) / den
+    )
     return (
         candidates.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("cosine", cosine_similarity_col(F.col("va"), F.col("vb")))
-        .drop("va", "vb")
+        .withColumn("cosine", cos)
+        .drop("va", "vb", "_na", "_nb")
     )
 
 
@@ -350,15 +371,30 @@ def _topk_rescore(
     vectors from the corpus: an external query whose vec_id is absent
     from the corpus is first-class, not silently dropped."""
     v = F.col("embedding").cast("array<double>")
+    # norms hoisted to once-per-row, same as _rescored — bit-identical
+    # cosines, one dot + one divide per candidate instead of three
+    # interpreted 64-element aggregates
     q = F.broadcast(
-        queries.select(F.col("vec_id").alias("query_id"), v.alias("va"))
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            v.alias("va"),
+            l2_norm_col(v).alias("_na"),
+        )
     )
-    c = embeddings.select(F.col("vec_id").alias("neighbor_id"), v.alias("vb"))
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        v.alias("vb"),
+        l2_norm_col(v).alias("_nb"),
+    )
+    den = F.col("_na") * F.col("_nb")
+    cos = F.when(den == 0.0, F.lit(0.0)).otherwise(
+        dot_col(F.col("va"), F.col("vb")) / den
+    )
     scored = (
         cands.join(q, "query_id")
         .join(c, "neighbor_id")
-        .withColumn("cosine", cosine_similarity_col(F.col("va"), F.col("vb")))
-        .drop("va", "vb")
+        .withColumn("cosine", cos)
+        .drop("va", "vb", "_na", "_nb")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -518,10 +554,15 @@ def semantic_neardup_pairs(
             max_iter=max_iter,
             n_hint=n_hint,
         )
+    # one materialization (same discipline as the MinHash signature
+    # frame and the SimHash key arrays): _banded_candidates references
+    # the cells frame from 4 plan branches (hot detection, anti/semi
+    # routing, both self-join sides) — uncheckpointed, the corpus scan
+    # + Arrow assignment would re-run per branch. Two longs per row.
     cells = embeddings.select(
         F.col("vec_id").alias("doc_id"),
         nearest_centroid_col(centroids).alias("band_key"),
-    )
+    ).localCheckpoint(eager=True)
     cands = _banded_candidates(cells, max_cell_size).select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
@@ -704,23 +745,28 @@ def semantic_match_new(
     corpus = spark.read.parquet(f"{base}/cells").filter(
         F.col("centroid_id").isin(touched)
     )
+    v = F.col("embedding").cast("array<double>")
     q = probes.join(
         new_embeddings.select(
             F.col("vec_id").alias("query_id"),
-            F.col("embedding").cast("array<double>").alias("va"),
+            v.alias("va"),
+            l2_norm_col(v).alias("_na"),
         ),
         "query_id",
     )
     c = corpus.select(
         "centroid_id",
         F.col("vec_id").alias("corpus_id"),
-        F.col("embedding").cast("array<double>").alias("vb"),
+        v.alias("vb"),
+        l2_norm_col(v).alias("_nb"),
+    )
+    den = F.col("_na") * F.col("_nb")
+    cos = F.when(den == 0.0, F.lit(0.0)).otherwise(
+        dot_col(F.col("va"), F.col("vb")) / den
     )
     return (
         q.join(c, "centroid_id")
-        .withColumn(
-            "cosine", cosine_similarity_col(F.col("va"), F.col("vb"))
-        )
+        .withColumn("cosine", cos)
         .filter(F.col("cosine") >= float(threshold))
         .select(
             F.col("query_id").alias("new_id"), "corpus_id", "cosine"
