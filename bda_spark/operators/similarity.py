@@ -248,6 +248,62 @@ def _kmeans_fit(
     return best
 
 
+def bounded_training_sample(
+    embeddings: DataFrame,
+    target: int,
+    seed: int,
+    n_hint: int | None = None,
+    col: str = "embedding",
+) -> "np.ndarray":
+    """Collect a DRIVER-side training sample of ~``target`` vectors,
+    bounded at 4x target no matter what (the shared quantizer-training
+    discipline of ``ivf_index`` and ``pq.pq_train``). The
+    small-vs-large decision does NOT pay a full corpus count: an
+    early-terminating ``take`` probe (CollectLimit's incremental job —
+    one task at toy scale, a handful at 100 TB, never a task per file
+    split) checks whether the corpus exceeds 4x the target; at or
+    below it the whole corpus IS the sample. Above it, the exact
+    count (skipped when the caller passes ``n_hint``) prices the
+    Bernoulli sampling fraction. A hint is advisory, never trusted
+    with an unbounded collect: the probe stays limit-capped, and
+    hitting the cap falsifies the hint and falls through to sampling
+    with the hint discarded."""
+    emb_arr = F.col(col).cast("array<double>").alias("e")
+    target = int(target)
+    cap = 4 * target + 1
+    fit_rows = None
+    if n_hint is not None:
+        small = n_hint <= 4 * target
+        if small:
+            probed = embeddings.select(emb_arr).limit(cap).collect()
+            if len(probed) < cap:
+                fit_rows = probed
+            else:
+                small = False
+                n_hint = None
+    else:
+        # probe and fetch in ONE early-terminating job: under the cap,
+        # these rows ARE the whole corpus = the training set; at the
+        # cap, the corpus is large and we fall through to Bernoulli
+        # sampling. The fetch is bounded at 4x the training sample —
+        # proportionate to what the fit collects anyway.
+        probed = embeddings.select(emb_arr).limit(cap).collect()
+        small = len(probed) < cap
+        if small:
+            fit_rows = probed
+    if fit_rows is None:
+        n = n_hint if n_hint is not None else embeddings.count()
+        # 1.05x: Bernoulli sampling undershoots the expectation about
+        # half the time; the pad keeps the realized sample at/above
+        # the budget with near-certainty
+        fit_rows = (
+            embeddings.sample(min(1.0, 1.05 * target / n), seed=seed)
+            .select(emb_arr)
+            .collect()
+        )
+    return np.asarray([r["e"] for r in fit_rows], dtype=np.float64)
+
+
 def nearest_centroid_col(centroids: list[list[float]]) -> "F.Column":
     """0-based index of the nearest centroid (L2) for the row's
     ``embedding`` — one Arrow-batched vectorized pandas UDF: the whole
@@ -303,55 +359,15 @@ def ivf_index(
     maxIter times for centroids statistically identical to the
     sample's.
 
-    The small-vs-large decision does NOT pay a full corpus count: an
-    early-terminating ``take`` probe (CollectLimit's incremental job —
-    one task at toy scale, a handful at 100 TB, never a task per file
-    split) checks whether the corpus exceeds 4x the training target;
-    at or below it the whole corpus IS the sample. Above it, the
-    exact count (skipped when the caller passes ``n_hint``) prices
-    the Bernoulli sampling fraction."""
-    emb_arr = F.col("embedding").cast("array<double>").alias("e")
-    target = int(train_per_centroid) * int(n_centroids)
-    cap = 4 * target + 1
-    fit_rows = None
-    if n_hint is not None:
-        small = n_hint <= 4 * target
-        if small:
-            # the hint is advisory, never trusted with an unbounded
-            # collect: a stale small hint over a since-grown corpus
-            # would otherwise pull the whole table onto the driver.
-            # limit(cap) bounds the fetch; hitting the cap falsifies
-            # the hint and falls through to Bernoulli sampling (with
-            # the hint discarded — the exact count re-prices it).
-            probed = embeddings.select(emb_arr).limit(cap).collect()
-            if len(probed) < cap:
-                fit_rows = probed
-            else:
-                small = False
-                n_hint = None
-    else:
-        # probe and fetch in ONE early-terminating job: CollectLimit
-        # stops at `cap` rows (one task at toy scale, a handful at
-        # 100 TB — never a task per file split). Under the cap, these
-        # rows ARE the whole corpus = the training set; at the cap,
-        # the corpus is large and we fall through to Bernoulli
-        # sampling. The fetch is bounded at 4x the training sample —
-        # proportionate to what the fit collects anyway.
-        probed = embeddings.select(emb_arr).limit(cap).collect()
-        small = len(probed) < cap
-        if small:
-            fit_rows = probed
-    if not small:
-        n = n_hint if n_hint is not None else embeddings.count()
-        # 1.05x: Bernoulli sampling undershoots the expectation about
-        # half the time; the pad keeps the realized sample at/above
-        # the per-centroid budget with near-certainty
-        fit_rows = (
-            embeddings.sample(min(1.0, 1.05 * target / n), seed=seed)
-            .select(emb_arr)
-            .collect()
-        )
-    X = np.asarray([r["e"] for r in fit_rows], dtype=np.float64)
+    The sample collection (probe/hint/Bernoulli bounds) is the shared
+    ``bounded_training_sample`` discipline — see its docstring for why
+    the small-vs-large decision never pays a full corpus count."""
+    X = bounded_training_sample(
+        embeddings,
+        int(train_per_centroid) * int(n_centroids),
+        seed,
+        n_hint=n_hint,
+    )
     centroids = _kmeans_fit(X, n_centroids, seed, max_iter).tolist()
     assigned = embeddings.select(
         "vec_id", nearest_centroid_col(centroids).alias("centroid_id")

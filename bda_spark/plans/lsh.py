@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.dedup import minhash_neardup_pairs, neardup_clusters
+from ..operators.pq import pq_adc_topk
 from ..operators.similarity import (
     ivf_topk,
     semantic_dedup,
@@ -298,6 +299,49 @@ def ivf_topk_q(spark, sf_dir):
     # microseconds, not corpus passes — 2 just keeps this row's plan
     # minimal.)
     topk = ivf_topk(e, queries, k=5, n_centroids=16, n_probe=16, max_iter=2)
+    return topk.select(
+        "query_id", "neighbor_id", r6(F.col("cosine")).alias("cosine"), "rk"
+    )
+
+
+@query(
+    "pq_adc_topk",
+    f"""
+    WITH sims AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_COS_SQL} AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS cosine, rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def pq_adc_topk_q(spark, sf_dir):
+    """Product-quantization ANN (per-subspace codebooks + asymmetric-
+    distance compressed-domain scan + exact float rerank,
+    operators/pq.py) run with a CORPUS-COVERING oversample: every row
+    survives the coarse ADC stage, so the exact rerank makes the
+    output provably identical to brute force whatever the codebooks
+    learned — the same exactness trick as ivf_topk's full-probe row,
+    checking train/encode/ADC/rerank machinery with zero dependence
+    on kmeans nondeterminism. The compressed-domain pruning regime
+    (small oversample — the actual 100 TB read-1.6%-of-the-bytes
+    path) is pinned by tests/test_pq.py recall bounds."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    topk = pq_adc_topk(
+        e,
+        queries,
+        k=5,
+        m=8,
+        n_codewords=16,
+        oversample=10_000_000,
+        max_iter=2,
+    )
     return topk.select(
         "query_id", "neighbor_id", r6(F.col("cosine")).alias("cosine"), "rk"
     )

@@ -178,6 +178,7 @@ DEFERRED_TAIL = [
     "doc_compression_ratio",    # zlib quality signal (rows-only: no zlib in DuckDB)
     "semantic_dedup_pairs",     # SemDeDup candidates, exact (1-cell) regime
     "semantic_dedup_keepers",   # SemDeDup fate table; recursive-CTE CC oracle
+    "pq_adc_topk",              # PQ/ADC ANN, corpus-covering-oversample exact regime
     # Ceded their driver rows in the ROUND-9 REFRESH (see DRIVER_WINDOW):
     "doc_rolling_fingerprints", # rolling-hash family: doc_fingerprints twin
     "features_json_roundtrip",  # JSON path twin of events_json_extract + pytest inverse

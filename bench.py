@@ -116,6 +116,8 @@ HEADLINE = [
     # round-7 surface: the sort-free binned-rank Spearman beside the exact
     # rank path (same registry family as the other approx scale twins)
     "events_spearman_approx",
+    # round-10 surface: PQ/ADC compressed-domain ANN beside IVF/SQ8
+    "pq_adc_topk",
 ]
 
 

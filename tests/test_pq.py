@@ -1,0 +1,188 @@
+"""Product quantization (PQ/ADC) — operators/pq.py.
+
+Exactness strategy mirrors the rest of the ANN family: a provably
+exact regime (corpus-covering oversample, lossless small-alphabet
+codebooks) pins the machinery bit-for-bit against brute force, and
+the realistic lossy regime is pinned by recall bounds."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+from bda_spark.functions.vectors import cosine_similarity_col
+from bda_spark.operators.pq import (
+    _split_dims,
+    pq_adc_topk,
+    pq_encode,
+    pq_train,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(64)
+    near = base + rng.standard_normal(64) * 0.01  # cosine ~ 1.0
+    rows = [
+        Row(vec_id=0, embedding=[float(x) for x in base]),
+        Row(vec_id=1, embedding=[float(x) for x in near]),
+    ]
+    for i in range(2, 40):
+        rows.append(
+            Row(vec_id=i, embedding=[float(x) for x in rng.standard_normal(64)])
+        )
+    return spark.createDataFrame(rows)
+
+
+def _brute(emb, queries, k=5):
+    v = F.col("embedding").cast("array<double>")
+    q = queries.select(F.col("vec_id").alias("query_id"), v.alias("va"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), v.alias("vb"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity_col(F.col("va"), F.col("vb")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def test_split_dims_handles_uneven_division():
+    spans = _split_dims(64, 7)
+    assert len(spans) == 7
+    assert spans[0] == (0, 10)  # first 64 % 7 = 1 subspace gets 10
+    assert spans[-1] == (55, 64)
+    assert all(e > s for s, e in spans)
+    with pytest.raises(ValueError):
+        _split_dims(4, 8)
+
+
+def test_corpus_covering_oversample_is_provably_exact(spark, emb):
+    """oversample >= corpus/k keeps every row past the coarse ADC stage,
+    so the exact rerank IS brute force — identical rows whatever the
+    codebooks learned (the ivf full-probe trick, PQ edition)."""
+    queries = emb.filter("vec_id < 3")
+    got = sorted(
+        (r.query_id, r.rk, r.neighbor_id)
+        for r in pq_adc_topk(
+            emb, queries, k=5, m=8, n_codewords=8, oversample=100, max_iter=3
+        ).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rk, r.neighbor_id)
+        for r in _brute(emb, queries, 5).collect()
+    )
+    assert got == want
+
+
+def test_lossless_alphabet_makes_adc_scores_exact(spark):
+    """Vectors assembled from <= n_codewords distinct subvectors per
+    subspace: pq_train returns the distinct subvectors themselves, so
+    encoding is lossless and even oversample=1 reproduces brute force
+    exactly — no reliance on rerank to paper over coarse mistakes."""
+    rng = np.random.default_rng(7)
+    alphabet = rng.standard_normal((4, 8))  # 4 options per 8-dim subspace
+    rows = []
+    for i in range(48):
+        picks = rng.integers(0, 4, size=8)
+        vec = np.concatenate([alphabet[p] for p in picks])
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in vec]))
+    df = spark.createDataFrame(rows)
+    books = pq_train(df, m=8, n_codewords=16, max_iter=2)
+    # the distinct-subvector branch: every codebook holds at most the
+    # 4 alphabet entries, bit-exact
+    assert all(len(b) <= 4 for b in books)
+    queries = df.filter("vec_id < 3")
+    got = sorted(
+        (r.query_id, r.rk, r.neighbor_id)
+        for r in pq_adc_topk(
+            df, queries, k=5, oversample=1, codebooks=books
+        ).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rk, r.neighbor_id)
+        for r in _brute(df, queries, 5).collect()
+    )
+    assert got == want
+
+
+def test_lossy_regime_recalls_planted_neighbor_and_bounds_recall(
+    spark, emb
+):
+    """The realistic regime: tiny codebooks (k=8 over 40 vectors is
+    genuinely lossy), modest oversample. The planted near-identical
+    neighbor must rank first for its query, and overall recall@5
+    against brute force must clear 0.8 — ADC pruning, not ADC
+    destruction."""
+    queries = emb.filter("vec_id < 5")
+    got = pq_adc_topk(
+        emb, queries, k=5, m=8, n_codewords=8, oversample=3, max_iter=5
+    ).collect()
+    top1 = {r.neighbor_id for r in got if r.query_id == 0 and r.rk == 1}
+    assert top1 == {1}
+    want_pairs = {
+        (r.query_id, r.neighbor_id)
+        for r in _brute(emb, queries, 5).collect()
+    }
+    got_pairs = {(r.query_id, r.neighbor_id) for r in got}
+    recall = len(got_pairs & want_pairs) / len(want_pairs)
+    assert recall >= 0.8, f"recall@5 {recall}"
+    # returned cosines are EXACT (rerank recomputes from floats): every
+    # returned pair's cosine equals the brute-force value
+    brute_cos = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in _brute(emb, queries, 40).collect()
+    }
+    for r in got:
+        assert r.cosine == pytest.approx(
+            brute_cos[(r.query_id, r.neighbor_id)], abs=1e-12
+        )
+
+
+def test_encode_shape_and_reconstruction_norm(spark, emb):
+    """codes has one entry per subspace; dn equals the reconstruction
+    norm assembled from the chosen codewords (disjoint-coordinate
+    decomposition, checked directly in numpy)."""
+    books = pq_train(emb, m=7, n_codewords=8, max_iter=3)
+    codes = pq_encode(emb, books).collect()
+    spans = _split_dims(64, 7)
+    assert all(len(r.codes) == 7 for r in codes)
+    Cs = [np.asarray(b) for b in books]
+    for r in codes[:5]:
+        n2 = sum(
+            (Cs[j][r.codes[j]] ** 2).sum() for j in range(len(spans))
+        )
+        assert r.dn == pytest.approx(float(np.sqrt(n2)), rel=1e-12)
+
+
+def test_train_is_deterministic(spark, emb):
+    b1 = pq_train(emb, m=8, n_codewords=8, seed=3, max_iter=4)
+    b2 = pq_train(emb, m=8, n_codewords=8, seed=3, max_iter=4)
+    assert b1 == b2
+
+
+def test_external_query_vectors_are_first_class(spark, emb):
+    """A query whose vec_id is absent from the corpus still gets k
+    neighbors (the unified ANN contract: query vectors come from the
+    queries frame, never joined back from the corpus)."""
+    rng = np.random.default_rng(99)
+    ext = spark.createDataFrame(
+        [
+            Row(
+                vec_id=1000 + i,
+                embedding=[float(x) for x in rng.standard_normal(64)],
+            )
+            for i in range(3)
+        ]
+    )
+    got = pq_adc_topk(
+        emb, ext, k=4, m=8, n_codewords=8, oversample=100, max_iter=3
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {1000, 1001, 1002}
+    assert all(len(v) == 4 for v in by_q.values())
