@@ -878,3 +878,154 @@ def redact_spans(docs, spans, margin: int = 0):
             .alias("n_redacted_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: Data Selection via Importance Resampling (Xie et al., NeurIPS
+# 2023) — pick raw-corpus documents whose n-gram distribution best
+# matches a small TARGET set, by importance weight under two smoothed
+# bag-of-features models, sampled with the deterministic Gumbel-top-k
+# trick. The published method hashes n-grams into a fixed bucket space
+# to bound the feature table at web scale; the oracle-verified query
+# below runs the word-feature regime (vocab is Zipf-bounded — the same
+# scale argument as doc_unigram_logprob), and ``n_buckets`` switches on
+# the hashed regime for unbounded vocabularies.
+
+_H_DSIR = 2447445413  # third independent odd Knuth-style multiplier
+
+
+def dsir_importance_weights(raw, target, n_buckets: int | None = None):
+    """(doc_id, n_tokens, log_weight) for every ``raw`` document:
+    log_weight = sum over the doc's tokens of
+    ln p_target(feature) - ln p_raw(feature), each model add-1
+    smoothed over the JOINT feature space (|V| = features seen in
+    either corpus). Positive = looks more like the target than like
+    the raw pool.
+
+    Scale shape: two explode->group-agg passes build the feature
+    tables (map-side combined; Zipf-bounded word vocab, or exactly
+    ``n_buckets`` rows in the hashed regime), the log-ratio table
+    joins back to the raw token stream by feature hash (AQE broadcast-
+    promotes it when it fits), and the per-doc weight is one grouped
+    sum. Scalar totals travel as 1-row broadcast crossJoins. Nothing
+    materializes beyond (doc_id, n, w).
+    """
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    feat = (
+        (F.pmod(F.xxhash64(F.col("tk")), F.lit(n_buckets)))
+        if n_buckets
+        else F.col("tk")
+    )
+    tok_r = raw.select("doc_id", F.explode(toks).alias("tk")).select(
+        "doc_id", feat.alias("f")
+    )
+    tok_t = target.select(F.explode(toks).alias("tk")).select(feat.alias("f"))
+    cr = tok_r.groupBy("f").agg(F.count("*").alias("cr"))
+    ct = tok_t.groupBy("f").agg(F.count("*").alias("ct"))
+    vocab = cr.join(ct, "f", "full_outer")
+    scalars = F.broadcast(
+        vocab.agg(
+            F.count("*").alias("vsz"),
+            F.sum(F.coalesce("cr", F.lit(0))).alias("tr"),
+            F.sum(F.coalesce("ct", F.lit(0))).alias("tt"),
+        )
+    )
+    lr = (
+        vocab.filter(F.col("cr").isNotNull())
+        .crossJoin(scalars)
+        .select(
+            "f",
+            (
+                F.log(
+                    (F.coalesce("ct", F.lit(0)) + 1.0)
+                    / (F.col("tt") + F.col("vsz"))
+                )
+                - F.log((F.col("cr") + 1.0) / (F.col("tr") + F.col("vsz")))
+            ).alias("lw"),
+        )
+    )
+    return (
+        tok_r.join(lr, "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lw").alias("log_weight"),
+        )
+    )
+
+
+def dsir_select(raw, target, n: int = 100, n_buckets: int | None = None,
+                gumbel: bool = True):
+    """DSIR selection: top-``n`` raw documents by importance weight,
+    resampled WITHOUT replacement via Gumbel-top-k (score = log_weight
+    + g_i with g_i = -ln(-ln u_i); taking the n largest scores is
+    exactly sampling n docs w/o replacement with probability
+    proportional to their importance weights — Vieira 2014). u_i is
+    the deterministic Knuth hash of doc_id (third multiplier, so it is
+    uncorrelated with the sampler and the splitter), never engine
+    rand(): reruns and the DuckDB oracle agree bit-for-bit.
+    ``gumbel=False`` degenerates to hard top-n by weight (the argmax
+    regime for tests and greedy selection). Returns (doc_id, n_tokens,
+    log_weight, score) rounded to the 6-digit oracle policy; the
+    global top-n is a TakeOrdered, not a full sort.
+    """
+    w = dsir_importance_weights(raw, target, n_buckets=n_buckets)
+    u = (
+        (F.col("doc_id") * F.lit(_H_DSIR)) % F.lit(_H_MOD) + 1.0
+    ) / F.lit(float(_H_MOD + 1))
+    score = F.col("log_weight") - F.log(-F.log(u)) if gumbel else F.col(
+        "log_weight"
+    )
+    return (
+        w.withColumn("score", F.round(score, 6))
+        .withColumn("log_weight", F.round("log_weight", 6))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(n)
+    )
+
+
+@query(
+    "docs_dsir_sample",
+    f"""
+    WITH tok_r AS (
+      SELECT doc_id, unnest({_TOKS}) AS f FROM documents WHERE doc_id % 10 <> 0
+    ), tok_t AS (
+      SELECT unnest({_TOKS}) AS f FROM documents WHERE doc_id % 10 = 0
+    ), cr AS (SELECT f, count(*) AS cr FROM tok_r GROUP BY f),
+    ct AS (SELECT f, count(*) AS ct FROM tok_t GROUP BY f),
+    vocab AS (SELECT * FROM cr FULL OUTER JOIN ct USING (f)),
+    sc AS (
+      SELECT count(*) AS vsz,
+             sum(coalesce(cr, 0)) AS tr,
+             sum(coalesce(ct, 0)) AS tt
+      FROM vocab
+    ), lr AS (
+      SELECT f,
+             ln((coalesce(ct, 0) + 1.0) / (tt + vsz))
+               - ln((cr + 1.0) / (tr + vsz)) AS lw
+      FROM vocab, sc WHERE cr IS NOT NULL
+    ), w AS (
+      SELECT doc_id, count(*) AS n_tokens, sum(lw) AS log_weight
+      FROM tok_r JOIN lr USING (f) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, round(log_weight, 6) AS log_weight,
+           round(log_weight
+                 - ln(-ln(((doc_id * {_H_DSIR}) % {_H_MOD} + 1.0)
+                          / {float(_H_MOD + 1)})), 6) AS score
+    FROM w
+    ORDER BY score DESC, doc_id LIMIT 100
+    """,
+)
+def docs_dsir_sample(spark, sf_dir):
+    """DSIR over the driver corpus: target = the doc_id % 10 == 0
+    slice (the same self-contained stand-in device as
+    doc_decontaminate's benchmark), raw pool = the rest; select the
+    100 raw docs whose unigram distribution best matches the target,
+    Gumbel-resampled. Registered in the DEFERRED_TAIL (driver window
+    frozen at 50 rows); oracle-verified every pytest run."""
+    docs = t(spark, sf_dir, "documents")
+    return dsir_select(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        n=100,
+    )

@@ -478,3 +478,65 @@ def test_redact_spans_cuts_leak_and_margin_keeps_rest(spark):
         f"b{i}" for i in range(1, 5)
     )
     assert m[1].n_redacted_tokens == 17
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (plans/datamix.py::dsir_select)
+
+
+def _dsir_fixture(spark):
+    """Two clearly-separated vocabularies: 'science' docs share the
+    target's tokens, 'spam' docs share none — the importance-weight
+    gap is large, so selection outcomes are unambiguous."""
+    sci = "atoms energy quantum field theory experiment data model"
+    spam = "buy cheap now click offer deal win prize"
+    rows = []
+    for i in range(40):
+        words = (sci if i % 2 == 0 else spam).split()
+        text = " ".join(words[(i + j) % len(words)] for j in range(24))
+        rows.append((i + 1, text))
+    # target: pure science vocabulary, disjoint doc ids
+    tgt = [(1000 + i, " ".join(sci.split()[i % 8:] + sci.split()[: i % 8]))
+           for i in range(10)]
+    raw_df = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt_df = spark.createDataFrame(tgt, "doc_id long, text string")
+    return raw_df, tgt_df
+
+
+def test_dsir_topn_prefers_target_matching_docs(spark):
+    from bda_spark.plans.datamix import dsir_select
+
+    raw, tgt = _dsir_fixture(spark)
+    picked = dsir_select(raw, tgt, n=20, gumbel=False).collect()
+    assert len(picked) == 20
+    # the 20 science docs (odd ids, from i%2==0 -> id=i+1) out-weigh
+    # every spam doc
+    assert {r.doc_id % 2 for r in picked} == {1}, [r.doc_id for r in picked]
+
+
+def test_dsir_hashed_regime_matches_on_separated_fixture(spark):
+    from bda_spark.plans.datamix import dsir_select
+
+    raw, tgt = _dsir_fixture(spark)
+    exact = {r.doc_id for r in dsir_select(raw, tgt, n=20, gumbel=False).collect()}
+    hashed = {
+        r.doc_id
+        for r in dsir_select(
+            raw, tgt, n=20, n_buckets=1 << 20, gumbel=False
+        ).collect()
+    }
+    # the decision margin is vocabulary-level; a bucketed feature space
+    # big enough to avoid cross-vocabulary collisions picks the same set
+    assert hashed == exact
+
+
+def test_dsir_gumbel_is_deterministic_and_weight_biased(spark):
+    from bda_spark.plans.datamix import dsir_select
+
+    raw, tgt = _dsir_fixture(spark)
+    a = dsir_select(raw, tgt, n=10).collect()
+    b = dsir_select(raw, tgt, n=10).collect()
+    assert [(r.doc_id, r.score) for r in a] == [(r.doc_id, r.score) for r in b]
+    # with a vocabulary-scale weight gap, Gumbel noise (stddev ~1.3)
+    # cannot promote a spam doc over 20 science docs
+    assert all(r.doc_id % 2 == 1 for r in a)

@@ -240,10 +240,24 @@ def measure(spark, rung_dirs: dict[int, str], base_dir: str) -> dict:
         row: dict = {}
         for f in factors:
             best = float("inf")
-            for _ in range(2):
+            attempts, runs = 0, 0
+            while runs < 2:
                 t0 = time.time()
-                fn(spark, rung_dirs[f]).count()
+                try:
+                    fn(spark, rung_dirs[f]).count()
+                except Exception:
+                    # one bounded retry per rung: a loaded shared JVM
+                    # can drop a broadcast-exchange future (observed
+                    # once as a Py4JJavaError deep in a 16-min suite);
+                    # an infra hiccup must not read as a scaling
+                    # regression, while a REPEATED failure still
+                    # raises (a real plan error fails both attempts)
+                    attempts += 1
+                    if attempts > 1:
+                        raise
+                    continue
                 best = min(best, time.time() - t0)
+                runs += 1
             row[f"t{f}x"] = round(best, 3)
         base = row[f"t{factors[0]}x"]
         top = row[f"t{factors[-1]}x"]
