@@ -4,13 +4,17 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ..
 
 Per-query timing includes full execution to collect() (the driver-side
 materialization the reference also pays). A warmup query absorbs JVM/
-codegen startup, and each headline query is executed TWICE with the min
-reported: all entries share one long-lived JVM, so a single run folds
-whatever GC pause / codegen-cache eviction the session happens to hit
-into a 0.3-3 s number (the r1->r2 "regression" was exactly this — every
-shared query drifted 1.3-1.9x with identical plans; min-of-2 makes the
-number the plan's, not the session's). Spark caches no results across
-actions, so the second run re-executes the full plan — only JVM
+codegen startup, and each headline query is executed TWICE — as two
+INTERLEAVED full passes over the query list, min per query — because
+all entries share one long-lived JVM, so a single run folds whatever
+GC pause / codegen-cache eviction the session happens to hit into a
+0.3-3 s number (the r1->r2 "regression" was exactly this — every
+shared query drifted 1.3-1.9x with identical plans). Interleaving
+rather than back-to-back min-of-2 matters: a transient JVM episode
+spans several consecutive queries and poisons BOTH back-to-back
+samples (observed r10: two same-code runs, each with a different
+CONTIGUOUS block of queries 2-3x slow). Spark caches no results across
+actions, so the second pass re-executes the full plan — only JVM
 warm-up, not work, is elided.
 
 SELF-CALIBRATING (r10): min-of-2 de-noises within a session but cannot
@@ -19,9 +23,11 @@ r9 bench drifted a uniform ~1.4x on queries whose code had ZERO diffs,
 and nothing in the output could prove it was environment, not code). So
 the bench now:
   - times a FIXED-COST, data-independent calibration job (pinned
-    range->hash->groupBy aggregate) first and last; "drift_pct" >> 10%
-    between the two means the machine shifted mid-run and the round's
-    numbers deserve suspicion;
+    range->hash->groupBy aggregate) first, after the headline loop,
+    and last; "drift_pct" >> 10% across the three means the machine
+    shifted mid-run and the round's numbers deserve suspicion (the
+    mid probe exists because a concurrent job that starts AND ends
+    inside the run is invisible to a pre/post-only bracket);
   - emits "normalized" per-query seconds (raw / calibration) — the
     unit is "calibrations", a machine-speed-free number comparable
     across rounds;
@@ -116,8 +122,10 @@ HEADLINE = [
     # round-7 surface: the sort-free binned-rank Spearman beside the exact
     # rank path (same registry family as the other approx scale twins)
     "events_spearman_approx",
-    # round-10 surface: PQ/ADC compressed-domain ANN beside IVF/SQ8
+    # round-10 surface: PQ/ADC compressed-domain ANN beside IVF/SQ8,
+    # DSIR target-matched data selection beside the quality/mixture ops
     "pq_adc_topk",
+    "docs_dsir_sample",
 ]
 
 
@@ -404,47 +412,62 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def timed(name: str, run) -> None:
-        """min-of-2: de-noise the shared-JVM session (see module doc)."""
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            run()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-
-    for name in HEADLINE:
-        timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
-
-    timed(
-        "lineitem_quantiles_approx",
-        lambda: lineitem_quantiles_approx(spark, sf_dir).collect(),
-    )
-    timed(
-        "events_approx_distinct",
-        lambda: events_approx_distinct(spark, sf_dir).collect(),
-    )
-    timed("cosine_topk_sq8", lambda: cosine_topk_sq8(spark, sf_dir).collect())
-    timed("ivf_sq8_topk", lambda: ivf_sq8_topk_bench(spark, sf_dir).collect())
-    timed(
-        "semantic_dedup",
-        lambda: semantic_dedup_bench(spark, sf_dir).collect(),
-    )
-    timed(
-        "corpus_build_pipeline",
-        lambda: corpus_build_bench(spark, sf_dir).collect(),
-    )
+    def run_once(name: str, run) -> None:
+        t0 = time.time()
+        run()
+        dt = time.time() - t0
+        timings[name] = round(min(timings.get(name, float("inf")), dt), 3)
 
     # Bench-only scale twin: sub-bucketed sequence packing (no single
     # mega-source serializes one partition's window sort).
     from bda_spark.plans.datamix import pack_sequences_salted
 
-    timed(
-        "docs_pack_sequences_salted",
-        lambda: pack_sequences_salted(
-            load_table(spark, sf_dir, "documents")
-        ).collect(),
-    )
+    entries: list[tuple[str, object]] = [
+        (n, (lambda nn=n: qs[nn](spark, sf_dir).collect())) for n in HEADLINE
+    ] + [
+        (
+            "lineitem_quantiles_approx",
+            lambda: lineitem_quantiles_approx(spark, sf_dir).collect(),
+        ),
+        (
+            "events_approx_distinct",
+            lambda: events_approx_distinct(spark, sf_dir).collect(),
+        ),
+        ("cosine_topk_sq8", lambda: cosine_topk_sq8(spark, sf_dir).collect()),
+        ("ivf_sq8_topk", lambda: ivf_sq8_topk_bench(spark, sf_dir).collect()),
+        ("semantic_dedup", lambda: semantic_dedup_bench(spark, sf_dir).collect()),
+        (
+            "corpus_build_pipeline",
+            lambda: corpus_build_bench(spark, sf_dir).collect(),
+        ),
+        (
+            "docs_pack_sequences_salted",
+            lambda: pack_sequences_salted(
+                load_table(spark, sf_dir, "documents")
+            ).collect(),
+        ),
+    ]
+
+    # Two INTERLEAVED passes over the whole list, min per query — NOT
+    # back-to-back min-of-2: a transient JVM episode (GC storm, codegen
+    # cache churn, an external process stealing cores for a couple of
+    # minutes) spans several consecutive queries, and two back-to-back
+    # runs both sit inside it (observed: two same-code runs where a
+    # CONTIGUOUS block of headline queries read 2-3x slower, different
+    # block each run). Interleaving separates a query's two samples by
+    # the full suite length, so one bad window can only poison one.
+    for name, run in entries:
+        run_once(name, run)
+
+    # Mid-run calibration point: pre/post probes bracket the run but
+    # cannot see contention that starts AND ends inside it (a
+    # concurrent job stealing cores for five minutes in the middle
+    # reads as clean pre/post drift while every query number lies).
+    # One sample between the passes closes that window.
+    cal_mid = calibration_sec(spark)
+
+    for name, run in entries:
+        run_once(name, run)
 
     # Medallion end-to-end (bronze fixture prep is untimed setup).
     # Same min-of-2 policy as the queries: each run re-executes the full
@@ -474,8 +497,10 @@ def main() -> None:
     shutil.rmtree(work, ignore_errors=True)
 
     cal_post = calibration_sec(spark)
-    cal = min(cal_pre, cal_post)
-    drift_pct = round(100.0 * abs(cal_post - cal_pre) / cal, 1)
+    cal = min(cal_pre, cal_mid, cal_post)
+    drift_pct = round(
+        100.0 * (max(cal_pre, cal_mid, cal_post) - cal) / cal, 1
+    )
 
     out = {
         "metric": "headline_queries_total",
@@ -485,6 +510,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration": {
             "pre": round(cal_pre, 3),
+            "mid": round(cal_mid, 3),
             "post": round(cal_post, 3),
             "sec": round(cal, 3),
             "drift_pct": drift_pct,
