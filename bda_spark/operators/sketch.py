@@ -402,3 +402,97 @@ def quantile_estimate(
             F.element_at(edge, picked + 1).alias(f"q_{str(p).replace('.', '_')}")
         )
     return merged.select(*(group or []), *cols)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable point-frequency table (Cormode &
+# Muthukrishnan 2005) — the frequency member of the sketch family
+# (Bloom = membership, HLL = distinct, Misra-Gries = top-k,
+# KLL/histogram = quantiles, CM = "how often does THIS item occur").
+# Misra-Gries answers "which items are heavy"; CM answers point
+# queries about ANY item, including ones that never reached the top-k
+# report, with a one-sided error: est >= true always, and
+# est <= true + e/width * N with probability 1 - e^-depth per query.
+# Same economics as the other sketches: per-partition state is capped
+# at depth x width counters (map-side partial aggregation), merging
+# two sketch tables is counter-wise addition (order-free), so an
+# incremental per-day CM table answers arbitrary date-range frequency
+# questions without rescanning history.
+
+
+def cms_sketch_table(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 2048,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Build a CM sketch as a ≤ depth*width-row table (``keys...``, j,
+    idx, cnt): row j counts items at idx = xxhash64(item, j) mod width.
+    One explode over a depth-length literal array (constant
+    fan-out, never data-dependent) + one groupBy — the ONLY shuffle,
+    bounded by depth*width rows per upstream partition whatever the
+    item cardinality. Optional ``keys`` build one sketch per group
+    (e.g. per day) for the incremental pattern."""
+    ks = list(keys or [])
+    item = F.col(col).cast("string")
+    rows = (
+        df.filter(item.isNotNull())
+        .select(
+            *ks,
+            item.alias("_it"),
+            F.explode(
+                F.array(*[F.lit(j) for j in range(int(depth))])
+            ).alias("j"),
+        )
+        .select(
+            *ks,
+            "j",
+            F.pmod(F.xxhash64("_it", "j"), F.lit(int(width))).alias("idx"),
+        )
+    )
+    return rows.groupBy(*ks, "j", "idx").agg(F.count("*").alias("cnt"))
+
+
+def cms_merge(sketches: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Re-aggregate sketch rows (e.g. a date-range selection of per-day
+    sketches, or the union of two tables built with the SAME
+    depth/width): counter-wise addition, order-free and idempotent-
+    shaped like the HLL union above."""
+    return sketches.groupBy(*(keys or []), "j", "idx").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 2048,
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Point-query a CM sketch table for every row of ``items``:
+    est = min over rows j of counter[j][h_j(item)] (absent counter =
+    0). depth/width MUST match the build (they parameterize the hash
+    layout; the shared expression keeps build and probe in agreement
+    the same way ``_word_and_mask`` does for the Bloom filter). The
+    probe explodes items by depth (constant fan-out), joins the sketch
+    on (j, idx) — broadcast-eligible: the sketch is ≤ depth*width rows
+    — and takes the per-item min. Guarantees: est >= true count
+    (always, every row only ever over-counts), est <= true +
+    N*e/width with prob 1 - e^-depth."""
+    item = F.col(col).cast("string")
+    probes = items.select(
+        item.alias("item"),
+        F.explode(F.array(*[F.lit(j) for j in range(int(depth))])).alias("j"),
+    ).select(
+        "item",
+        "j",
+        F.pmod(F.xxhash64("item", "j"), F.lit(int(width))).alias("idx"),
+    )
+    return (
+        probes.join(F.broadcast(sketch.select("j", "idx", "cnt")), ["j", "idx"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias(out_col))
+    )
