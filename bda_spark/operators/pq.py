@@ -58,6 +58,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.vectors import l2_norm_col
 from .similarity import (
     _kmeans_fit,
     _topk_rescore,
@@ -249,16 +250,9 @@ def pq_adc_topk(
         )
     codes = pq_encode(embeddings, codebooks)
     v = F.col("embedding").cast("array<double>")
-    qn = F.sqrt(
-        F.aggregate(
-            F.transform("qv", lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
     q = F.broadcast(
         queries.select(F.col("vec_id").alias("query_id"), v.alias("qv"))
-        .withColumn("_qn", qn)
+        .withColumn("_qn", l2_norm_col("qv"))
     )
     scored = (
         codes.withColumnRenamed("vec_id", "neighbor_id")

@@ -813,9 +813,14 @@ def semantic_index_append(
     base = path.rstrip("/")
     centroids = _index_centroids(spark, base)
     new_embeddings = new_embeddings.select("vec_id", "embedding")
+    # materialize ONCE: three consumers follow (count, the merge
+    # write, the touched-cell distinct) and each would otherwise
+    # re-run the batch scan + Arrow centroid assignment — on a
+    # 1 s-trigger stream that triples the per-batch maintenance work
+    # (same discipline as stream_corpus_ingest's id frames)
     updates = new_embeddings.withColumn(
         "centroid_id", nearest_centroid_col(centroids)
-    )
+    ).localCheckpoint(eager=True)
     appended = updates.count()
     idempotent_merge_parquet(
         spark,

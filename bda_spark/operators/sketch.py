@@ -491,8 +491,14 @@ def cms_estimate(
         "j",
         F.pmod(F.xxhash64("item", "j"), F.lit(int(width))).alias("idx"),
     )
+    # re-aggregate to one counter per (j, idx) first: a KEYED sketch
+    # table (per-day rows) passed here whole would otherwise join one
+    # row PER KEY and the min would pick the smallest single key's
+    # counter — an undercount, violating the one-sided guarantee. For
+    # an already-flat sketch this is a no-op-shaped tiny aggregate.
+    flat = sketch.groupBy("j", "idx").agg(F.sum("cnt").alias("cnt"))
     return (
-        probes.join(F.broadcast(sketch.select("j", "idx", "cnt")), ["j", "idx"], "left")
+        probes.join(F.broadcast(flat), ["j", "idx"], "left")
         .groupBy("item")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias(out_col))
     )

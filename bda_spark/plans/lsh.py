@@ -157,7 +157,7 @@ def simhash_neardup_strict_q(spark, sf_dir):
     grows orders of magnitude; the production knob is r itself (e.g.
     r=20 cuts the constant 16x at a ~6% recall cost at cosine 0.9).
     SCALE_LADDER.json pins the measured 10x ratio under a per-operator
-    8x bound (3.51x measured after the r10 fixture fix; the r9 4.22x
+    8x bound (3.72x in the committed SCALE_LADDER.json; the r9 4.22x
     was entirely a parallel-copy fixture artifact — see
     tools/scale_ladder.py module doc)."""
     e = t(spark, sf_dir, "embeddings")
@@ -188,8 +188,13 @@ def semantic_dedup_pairs_q(spark, sf_dir):
     tests/test_semdedup.py against this regime plus planted-duplicate
     recall."""
     e = t(spark, sf_dir, "embeddings")
+    # cap DISARMED (not just "large"): the exact regime must be
+    # bit-identical to the uncapped all-pairs join at EVERY sf_dir —
+    # a finite cap below the corpus size would silently drop rank-gap
+    # pairs and diverge from the brute-force oracle (e.g. sf0.1's
+    # 2000 embeddings in one cell vs a 1024 cap)
     pairs = semantic_neardup_pairs(
-        e, threshold=0.45, n_centroids=1, max_cell_size=1024
+        e, threshold=0.45, n_centroids=1, max_cell_size=(1 << 31) - 1
     )
     return pairs.select(
         "id_a", "id_b", r6(F.col("cosine")).alias("cosine")
@@ -233,8 +238,9 @@ def semantic_dedup_keepers_q(spark, sf_dir):
     paper's keep="far_from_centroid" representative rule depends on
     the learned centroids, so it is pinned by pytest instead."""
     e = t(spark, sf_dir, "embeddings")
+    # cap disarmed for the exact regime — see semantic_dedup_pairs_q
     fate = semantic_dedup(
-        e, threshold=0.45, n_centroids=1, max_cell_size=1024
+        e, threshold=0.45, n_centroids=1, max_cell_size=(1 << 31) - 1
     )
     return fate.orderBy("vec_id")
 

@@ -294,8 +294,10 @@ def read_versioned(
     else:
         gen = current_generation(spark, root)
         path = root if gen is None else _gen_dir(root, gen)
+    from ..streaming.batchdir import glob_escape
+
     if gen is None:  # plain, non-versioned dir passthrough
-        df = spark.read.parquet(path)
+        df = spark.read.parquet(glob_escape(path))
         return _cast(df, schema) if schema is not None else df
     manifest, plain = generation_manifest(spark, root, gen)
     if not manifest and not plain and schema is not None:
@@ -304,7 +306,7 @@ def read_versioned(
     if all(holder == gen for holder in manifest.values()):
         # self-contained (unpartitioned, hive-with-no-refs): one read
         # of the generation dir is complete and keeps the single scan
-        df = spark.read.parquet(path)
+        df = spark.read.parquet(glob_escape(path))
         return _cast(df, schema) if schema is not None else df
     if plain:
         raise IOError(
@@ -319,7 +321,7 @@ def read_versioned(
         base = _gen_dir(root, holder)
         parts.append(
             spark.read.option("basePath", base).parquet(
-                *[f"{base}/{n}" for n in sorted(names)]
+                *[glob_escape(f"{base}/{n}") for n in sorted(names)]
             )
         )
     target = schema if schema is not None else parts[0].schema

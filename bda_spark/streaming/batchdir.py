@@ -97,6 +97,19 @@ def _batch_dirs(spark: SparkSession, root: str) -> dict[int, str]:
     return out
 
 
+def glob_escape(path: str) -> str:
+    """Backslash-escape Hadoop glob metacharacters in a DATA path
+    handed to ``spark.read`` (whose path resolution always globs):
+    without this, a root like ``/data/runs[2024]/preds`` reads as a
+    character class and matches nothing. Escape ONLY the globbed data
+    paths — the ``basePath`` option is a plain prefix compared against
+    RESOLVED file paths and must stay raw (an escaped basePath fails
+    the prefix match)."""
+    import re
+
+    return re.sub(r"([\[\]{}*?\\])", r"\\\1", path)
+
+
 def _inspect_batch_dir(
     spark: SparkSession, path: str
 ) -> tuple[bool, bool, bool]:
@@ -128,9 +141,21 @@ def _probe_batch_dirs(
     between compactions would otherwise pay O(batches-since-compaction)
     object-store RPCs per query. A dir with no children yet (writer
     mid-create) simply contributes no entries and reads as
-    uncommitted, exactly as the per-dir probe classified it."""
+    uncommitted, exactly as the per-dir probe classified it.
+
+    Roots containing Hadoop glob metacharacters fall back to the
+    per-dir listStatus probe: globStatus would interpret e.g.
+    ``/data/runs[2024]/preds`` as a character class, match nothing,
+    and silently classify every committed batch as uncommitted —
+    the watermark would never advance and batch dirs would accrete
+    unboundedly with no error."""
     if not dirs:
         return {}
+    if any(c in root for c in "*?[]{}\\"):
+        return {
+            bid: _inspect_batch_dir(spark, path)
+            for bid, path in dirs.items()
+        }
     fs, _ = _hadoop_path(spark, root)
     jvm = spark.sparkContext._jvm
     glob = jvm.org.apache.hadoop.fs.Path(
@@ -348,7 +373,7 @@ def read_batch_table(
         parts.append(
             _cast_to(
                 spark.read.option("basePath", root)
-                .parquet(*fresh)
+                .parquet(*[glob_escape(f) for f in fresh])
                 .drop("batch"),
                 schema,
             )
@@ -460,7 +485,7 @@ def compact_batch_dirs(
     if with_data:
         fresh_df = (
             spark.read.option("basePath", root)
-            .parquet(*[with_data[b] for b in sorted(with_data)])
+            .parquet(*[glob_escape(with_data[b]) for b in sorted(with_data)])
             .drop("batch")
         )
 
@@ -629,7 +654,7 @@ def migrate_batch_layout(
         absorb = {b: p for b, p in dirs.items() if b <= max_legacy}
         frames = []
         for bid in sorted(absorb):
-            df = spark.read.parquet(absorb[bid])
+            df = spark.read.parquet(glob_escape(absorb[bid]))
             if "batch" in df.columns:
                 df = df.drop("batch")
             frames.append(df)

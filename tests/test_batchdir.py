@@ -597,3 +597,29 @@ def test_full_compaction_with_nothing_to_merge_commits_empty_carry(
     wm = compact_batch_dirs(spark, root, partition_by=["day"], full=True)
     assert wm == 3
     assert len(_rows(spark, root)) == 6
+
+
+def test_batch_table_roundtrip_with_glob_metachar_root(spark, tmp_path):
+    """A root containing Hadoop glob metacharacters must classify its
+    committed batch dirs correctly (the batched globStatus probe would
+    read them all as uncommitted — watermark frozen, dirs accreting)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from bda_spark.streaming.batchdir import (
+        compact_batch_dirs,
+        compacted_watermark,
+        read_batch_table,
+    )
+
+    root = str(tmp_path / "runs[2024]" / "preds")
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    schema: StructType = df.schema
+    df.write.mode("overwrite").parquet(f"{root}/batch=0")
+    assert read_batch_table(spark, root, schema).count() == 10
+    wm = compact_batch_dirs(spark, root, vacuum_min_age_seconds=0.0)
+    assert wm == 0
+    assert compacted_watermark(spark, root) == 0
+    assert read_batch_table(spark, root, schema).count() == 10

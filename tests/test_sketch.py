@@ -397,3 +397,20 @@ def test_cms_sketch_size_is_bounded_by_depth_width_not_cardinality(spark):
     )
     sketch = cms_sketch_table(big, "item", depth=3, width=64)
     assert sketch.count() <= 3 * 64
+
+
+def test_cms_estimate_on_keyed_sketch_sums_before_min(spark):
+    from bda_spark.operators.sketch import cms_estimate, cms_sketch_table
+
+    df = spark.createDataFrame(
+        [("w", 1)] * 5 + [("w", 2)] * 7, "item string, day int"
+    )
+    keyed = cms_sketch_table(df, "item", depth=4, width=256, keys=["day"])
+    est = cms_estimate(
+        keyed.drop("day"), df.select("item").distinct(), "item",
+        depth=4, width=256,
+    ).collect()[0]["est_count"]
+    # the per-day rows must re-aggregate before the min — a per-row min
+    # would report <= 5 against a true total of 12 (an undercount a
+    # one-sided sketch must never produce)
+    assert est == 12
