@@ -186,3 +186,36 @@ def test_external_query_vectors_are_first_class(spark, emb):
         by_q.setdefault(r.query_id, []).append(r)
     assert set(by_q) == {1000, 1001, 1002}
     assert all(len(v) == 4 for v in by_q.values())
+
+
+def test_pq_adc_plan_broadcasts_and_pushes_rank_limit(spark, sf_dir):
+    """Plan audit for the PQ/ADC shape: the query side broadcasts
+    (never a cartesian), and BOTH top-k windows (coarse _crk and final
+    rk) carry the map-side rank pushdown — `WindowGroupLimit ...
+    Partial` keeps k*oversample rows PER UPSTREAM TASK per query, so
+    the coarse stage never funnels the whole scored corpus through one
+    task per query (the property that makes the window shape scale)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from bda_spark.operators.pq import pq_adc_topk
+    from bda_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = pq_adc_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=5, m=8,
+        n_codewords=16, oversample=2,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    joins = re.findall(r"\b(\w+Join)\b", plan)
+    # the ADC scan joins broadcast queries to the code table on the
+    # non-equi neighbor != query predicate — a BroadcastNestedLoopJoin
+    # with the TINY side broadcast is exactly the designed shape (one
+    # corpus scan x |queries|); what must never appear is a shuffle
+    # join or cartesian of two large sides
+    assert joins and set(joins) <= {
+        "BroadcastHashJoin", "BroadcastNestedLoopJoin"
+    }, set(joins)
+    assert re.search(r"WindowGroupLimit .*row_number\(\), \d+, Partial", plan), plan
