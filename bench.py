@@ -185,6 +185,23 @@ def cosine_topk_sq8(spark, sf_dir):
     return sq8_topk(emb, emb.filter(SF.col("vec_id") < 5), k=5, oversample=4)
 
 
+def pq_adc_topk_ladder(spark, sf_dir):
+    """Bench-only PRUNING regime of PQ/ADC (the oracle-verified
+    pq_adc_topk row runs the corpus-covering-oversample exactness
+    regime): real codebooks, compressed-domain coarse scan keeping
+    k*oversample candidates, exact rerank of the survivors — the
+    read-1.6%-of-the-bytes plan that runs at 100 TB. Recall pinned in
+    tests/test_pq.py; also a scale-ladder rung."""
+    from bda_spark.operators.pq import pq_adc_topk
+    from pyspark.sql import functions as SF
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb, emb.filter(SF.col("vec_id") < 5),
+        k=5, m=8, n_codewords=64, oversample=4,
+    )
+
+
 def semantic_dedup_bench(spark, sf_dir):
     """Bench-only MULTI-CELL regime of SemDeDup (the oracle-verified
     semantic_dedup_keepers row runs the exact 1-cell regime): learned
@@ -435,6 +452,10 @@ def main() -> None:
         ),
         ("cosine_topk_sq8", lambda: cosine_topk_sq8(spark, sf_dir).collect()),
         ("ivf_sq8_topk", lambda: ivf_sq8_topk_bench(spark, sf_dir).collect()),
+        (
+            "pq_adc_topk_pruned",
+            lambda: pq_adc_topk_ladder(spark, sf_dir).collect(),
+        ),
         ("semantic_dedup", lambda: semantic_dedup_bench(spark, sf_dir).collect()),
         (
             "corpus_build_pipeline",

@@ -226,6 +226,19 @@ def ladder_queries(base_dir: str) -> dict:
         # linearly with the factor.
         "semantic_dedup": _semantic_dedup_scaled,
         "corpus_build_pipeline": _corpus_build_fixed_benchmark(base_dir),
+        # r10 additions: the two newest operator families, measured at
+        # the same rung they were shipped —
+        # PQ/ADC: train is sample-bounded (constant), encode + ADC
+        # scan are one corpus pass each, the coarse top-k is
+        # WindowGroupLimit-pushed (k*oversample rows per task, never a
+        # per-query corpus funnel — pinned by tests/test_pq.py's plan
+        # audit); with a FIXED query set the output is constant so
+        # runtime must track the scan, ~linearly.
+        "pq_adc_topk": bench.pq_adc_topk_ladder,
+        # DSIR: two explode->group-agg passes + a broadcast log-ratio
+        # join back — the same Zipf-bounded-vocab scale argument as
+        # doc_unigram_logprob, measured here.
+        "docs_dsir_sample": qs["docs_dsir_sample"],
     }
 
 
