@@ -82,10 +82,14 @@ DRIVER_ROW_CAP = 50
 #     Jaccard IS the in-window minhash_neardup_pairs oracle — the same
 #     redundancy that deferred cosine_topk; its row funds the NEW
 #     substring-level dedup operator, never driver-verified before)
+#   docs_token_budget_sample -> docs_dsir_sample (budget sampling was
+#     driver-verified green in r09; the Knuth-hash sampling family
+#     stays in-window via docs_stratified_sample, and the row funds
+#     the NEW DSIR importance-resampling operator)
 DRIVER_WINDOW = [
     "doc_decontaminate",
     "docs_stratified_sample",
-    "docs_token_budget_sample",
+    "docs_dsir_sample",
     "doc_unigram_logprob",
     "docs_mixture_weights",
     "docs_pack_sequences",
@@ -187,6 +191,7 @@ DEFERRED_TAIL = [
     "orders_rollup_totals",     # ROLLUP c GROUPING SETS; cube row stays in-window
     "suppliers_with_orders",    # semi half; anti twin orders_without_lineitems stays
     "regex_token_stats",        # token-count family: keyword_counts stays in-window
+    "docs_token_budget_sample", # r09-verified; sampling family row docs_stratified_sample stays
 ]
 
 

@@ -48,8 +48,8 @@ MUST_BE_IN_WINDOW = [
     # round-9 window refresh: the three promoted driver-unverified rows
     "doc_tfidf_terms",
     "events_trailing_7d",
-    "docs_token_budget_sample",
-    # round-10 window refresh: three more promotions
+    # round-10 window refresh: the promotions
+    "docs_dsir_sample",
     "orders_grouping_sets_margins",
     "events_interval_join_firstday",
     "events_mode_daily",
@@ -77,7 +77,7 @@ def test_driver_window_keys_are_frozen():
     swaps which operators get driver verification. The window is pinned
     by registry.DRIVER_WINDOW; this test asserts the runtime order
     matches the pin AND that the delta vs the r9-recorded window is
-    EXACTLY the four deliberate round-10 swaps — any other drift is
+    EXACTLY the five deliberate round-10 swaps — any other drift is
     an accident."""
     import json
     import os
@@ -93,12 +93,14 @@ def test_driver_window_keys_are_frozen():
         "suppliers_with_orders",
         "regex_token_stats",
         "ngram_jaccard_pairs",
+        "docs_token_budget_sample",
     }
     assert set(got) - old == {
         "orders_grouping_sets_margins",
         "events_interval_join_firstday",
         "events_mode_daily",
         "doc_duplicate_passages",
+        "docs_dsir_sample",
     }
 
 
