@@ -901,3 +901,107 @@ def duplicate_passages(
         .filter(F.col("span_tokens") >= int(min_span_tokens))
         .select("doc_a", "doc_b", "pos_a", "pos_b", "span_tokens")
     )
+
+
+def minhash_fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 64,
+    band_rows: int = 2,
+    seed: int = 42,
+    max_bucket_size: int | None = 256,
+) -> DataFrame:
+    """Cross-corpus fuzzy join: (left_id, right_id, jaccard) for every
+    left/right document pair whose shingle Jaccard >= ``threshold`` —
+    the TWO-TABLE form of the dedup machinery (join scraped pages to a
+    canonical article table, match a new crawl against a licensed
+    corpus, link near-identical records across vendors), where an
+    equality join is useless and an all-pairs cross join is quadratic.
+
+    Same three-stage shape as ``minhash_neardup_pairs``, with the
+    candidate stage a cross-SIDE band-bucket join instead of a
+    self-join: both corpora shingle -> sign -> band with the SAME
+    seed/layout (keys collide only when bands agree), candidates =
+    bucket co-membership, then the exact inverted-index Jaccard verify
+    — so emitted pairs are EXACT, banding only bounds recall (the
+    1-(1-j^r)^b curve of the module docstring applies unchanged).
+
+    Hot buckets: ``max_bucket_size`` rank-caps EACH side's posting
+    list per bucket, bounding any bucket's pair fan-out at cap^2
+    instead of |L_bucket| x |R_bucket|. Unlike the self-join path
+    there is no chain-edge rescue here (chains are within-side edges;
+    a cross join has no within-side output to stay connected through),
+    so a capped hot bucket is an HONEST recall bound, not a silent
+    one: audit exposure with ``minhash_bucket_truncation`` on each
+    side, or pass ``max_bucket_size=None`` to disarm (the
+    oracle-verified regime).
+
+    Scale shape: one shuffle per side to band, one band_key join, one
+    verify join over candidate pairs' shingles; signature frames are
+    the only materializations (~0.5 KB/doc). Shingle frames are
+    deliberately recomputed, not cached (minhash_neardup_pairs doc)."""
+    sh_l = shingles(left, id_col, text_col, ngram)
+    sh_r = shingles(right, id_col, text_col, ngram)
+    sig_l = minhash_signatures(sh_l, num_hashes, seed).localCheckpoint(
+        eager=True
+    )
+    sig_r = minhash_signatures(sh_r, num_hashes, seed).localCheckpoint(
+        eager=True
+    )
+    b_l = band_keys(sig_l, num_hashes, band_rows)
+    b_r = band_keys(sig_r, num_hashes, band_rows)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_key").orderBy("doc_id")
+        b_l = (
+            b_l.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= int(max_bucket_size))
+            .drop("_rk")
+        )
+        b_r = (
+            b_r.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= int(max_bucket_size))
+            .drop("_rk")
+        )
+    cands = (
+        b_l.select(F.col("doc_id").alias("left_id"), "band_key")
+        .join(
+            b_r.select(F.col("doc_id").alias("right_id"), "band_key"),
+            "band_key",
+        )
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    common = (
+        cands.join(
+            sh_l.select(F.col("doc_id").alias("left_id"), "shingle"),
+            "left_id",
+        )
+        .join(
+            sh_r.select(F.col("doc_id").alias("right_id"), "shingle"),
+            ["right_id", "shingle"],
+        )
+        .groupBy("left_id", "right_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")
+    )
+    return (
+        common.join(
+            sig_l.select("doc_id", "n_shingles").alias("sa"),
+            F.col("left_id") == F.col("sa.doc_id"),
+        )
+        .join(
+            sig_r.select("doc_id", "n_shingles").alias("sb"),
+            F.col("right_id") == F.col("sb.doc_id"),
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= float(threshold))
+        .select("left_id", "right_id", "jaccard")
+    )

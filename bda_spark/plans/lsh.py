@@ -351,3 +351,54 @@ def pq_adc_topk_q(spark, sf_dir):
     return topk.select(
         "query_id", "neighbor_id", r6(F.col("cosine")).alias("cosine"), "rk"
     )
+
+
+@query(
+    "docs_fuzzy_join",
+    """
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(s)) AS shingle
+      FROM (
+        SELECT doc_id,
+               [list_aggregate(toks[i:i+2], 'string_agg', ' ')
+                FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)] AS s
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents)
+      )
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+      GROUP BY 1, 2
+    )
+    SELECT left_id, right_id,
+           round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = left_id
+    JOIN sizes sb ON sb.doc_id = right_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    ORDER BY left_id, right_id
+    """,
+)
+def docs_fuzzy_join_q(spark, sf_dir):
+    """Cross-corpus fuzzy join (operators.dedup.minhash_fuzzy_join):
+    even-id docs joined to odd-id docs at Jaccard >= 0.5, hot-bucket
+    cap disarmed (the oracle regime — capped recall bounds are pinned
+    by pytest instead). Oracle: exact all-cross-pairs Jaccard between
+    the halves. Registered post-cap (DEFERRED_TAIL); oracle-verified
+    every pytest run."""
+    from ..operators.dedup import minhash_fuzzy_join
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_fuzzy_join(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        threshold=0.5,
+        max_bucket_size=None,
+    )
+    return pairs.select(
+        "left_id", "right_id", r6(F.col("jaccard")).alias("jaccard")
+    ).orderBy("left_id", "right_id")

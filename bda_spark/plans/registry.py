@@ -192,6 +192,7 @@ DEFERRED_TAIL = [
     "suppliers_with_orders",    # semi half; anti twin orders_without_lineitems stays
     "regex_token_stats",        # token-count family: keyword_counts stays in-window
     "docs_token_budget_sample", # r09-verified; sampling family row docs_stratified_sample stays
+    "docs_fuzzy_join",          # cross-corpus LSH join; family anchored by minhash_neardup_pairs
 ]
 
 

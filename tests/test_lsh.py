@@ -578,3 +578,68 @@ def test_duplicate_passages_short_docs_and_min_span(spark):
     assert duplicate_passages(docs, n=8, min_span_tokens=12).count() == 0
     got = duplicate_passages(docs, n=8, min_span_tokens=10).collect()
     assert len(got) == 1 and got[0].span_tokens == 10
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus fuzzy join (operators/dedup.py::minhash_fuzzy_join)
+
+
+def _fuzzy_corpora(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "machine learning systems require large curated training corpora",
+        "completely unrelated text about cooking pasta with fresh tomatoes",
+    ]
+    left = [(i, t) for i, t in enumerate(base)]
+    # right: 0 = near-dup of left 0 (one token changed), 1 = exact copy
+    # of left 1, 2 = novel
+    right = [
+        (100, base[0].replace("lazy", "sleepy")),
+        (101, base[1]),
+        (102, "astronomy telescopes observe distant galaxies every night"),
+    ]
+    return (
+        spark.createDataFrame(left, "doc_id long, text string"),
+        spark.createDataFrame(right, "doc_id long, text string"),
+    )
+
+
+def test_fuzzy_join_links_cross_corpus_neardups_exactly(spark):
+    from bda_spark.operators.dedup import minhash_fuzzy_join
+
+    left, right = _fuzzy_corpora(spark)
+    got = {
+        (r.left_id, r.right_id): r.jaccard
+        for r in minhash_fuzzy_join(left, right, threshold=0.3).collect()
+    }
+    assert (1, 101) in got and got[(1, 101)] == 1.0
+    assert (0, 100) in got and 0.3 <= got[(0, 100)] < 1.0
+    # novel docs never link; jaccard is the EXACT verify, so the pair
+    # set is threshold-stable
+    assert all(k in {(1, 101), (0, 100)} for k in got), got
+
+
+def test_fuzzy_join_side_cap_bounds_bucket_fanout(spark):
+    from bda_spark.operators.dedup import minhash_fuzzy_join
+    from pyspark.sql import functions as F
+
+    # 30 identical docs per side: every band bucket holds all 30 of
+    # each; cap=5 bounds candidates at 5x5 per bucket
+    left = spark.range(0, 30).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta eta theta").alias("text"),
+    )
+    right = spark.range(100, 130).select(
+        F.col("id").alias("doc_id"), F.lit(
+            "alpha beta gamma delta epsilon zeta eta theta"
+        ).alias("text"),
+    )
+    capped = minhash_fuzzy_join(
+        left, right, threshold=0.5, max_bucket_size=5
+    )
+    n = capped.count()
+    assert 0 < n <= 25  # cap^2, not 30*30
+    full = minhash_fuzzy_join(
+        left, right, threshold=0.5, max_bucket_size=None
+    ).count()
+    assert full == 900
