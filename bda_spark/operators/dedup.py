@@ -363,6 +363,45 @@ def _rank_gap_chain_pairs(members: DataFrame, gap: int) -> DataFrame:
     )
 
 
+def _jaccard_verify(
+    cands: DataFrame,
+    sh_a: DataFrame,
+    sh_b: DataFrame,
+    sizes_a: DataFrame,
+    sizes_b: DataFrame,
+    threshold: float,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Shared exact-verify tail of the self-join and cross-join LSH
+    paths (ONE body so the intersection counting, the zero-overlap
+    drop, the Jaccard expression, and the threshold-boundary
+    convention cannot diverge between them): fan each candidate pair
+    out by the a-side's shingles, co-keyed join keeps exactly the
+    common shingles (pairs sharing none drop out — Jaccard 0), count
+    is |A∩B|, union size from the per-doc shingle counts. ``sh_a`` /
+    ``sh_b``: (a_col|b_col, shingle); ``sizes_a`` / ``sizes_b``:
+    (a_col|b_col, n_shingles)."""
+    common = (
+        cands.join(sh_a, a_col)
+        .join(sh_b, [b_col, "shingle"])
+        .groupBy(a_col, b_col)
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("n_common")
+    )
+    return (
+        common.join(
+            sizes_a.select(a_col, F.col("n_shingles").alias("_na")), a_col
+        )
+        .join(sizes_b.select(b_col, F.col("n_shingles").alias("_nb")), b_col)
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= float(threshold))
+        .select(a_col, b_col, "jaccard")
+    )
+
+
 def minhash_neardup_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -409,24 +448,16 @@ def minhash_neardup_pairs(
     # co-keyed join on (doc_b, shingle) keeps exactly the common
     # shingles; the count-agg is |A∩B|. Pairs sharing no shingle drop
     # out of the inner join — their Jaccard is 0, below any threshold.
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        candidates.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
     sizes = sigs.select("doc_id", "n_shingles")
-    jac = F.col("n_common").cast("double") / (
-        F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")
-    )
-    return (
-        common.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+    return _jaccard_verify(
+        candidates,
+        sh.select(F.col("doc_id").alias("doc_a"), "shingle"),
+        sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+        sizes.select(F.col("doc_id").alias("doc_a"), "n_shingles"),
+        sizes.select(F.col("doc_id").alias("doc_b"), "n_shingles"),
+        threshold,
+        "doc_a",
+        "doc_b",
     )
 
 
@@ -958,16 +989,17 @@ def minhash_fuzzy_join(
         from pyspark.sql import Window
 
         w = Window.partitionBy("band_key").orderBy("doc_id")
-        b_l = (
-            b_l.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= int(max_bucket_size))
-            .drop("_rk")
-        )
-        b_r = (
-            b_r.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= int(max_bucket_size))
-            .drop("_rk")
-        )
+
+        def _cap(b: DataFrame) -> DataFrame:
+            # one body for both sides: a cap-rule edit applied to one
+            # corpus only would silently truncate the two differently
+            return (
+                b.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= int(max_bucket_size))
+                .drop("_rk")
+            )
+
+        b_l, b_r = _cap(b_l), _cap(b_r)
     cands = (
         b_l.select(F.col("doc_id").alias("left_id"), "band_key")
         .join(
@@ -977,31 +1009,13 @@ def minhash_fuzzy_join(
         .select("left_id", "right_id")
         .distinct()
     )
-    common = (
-        cands.join(
-            sh_l.select(F.col("doc_id").alias("left_id"), "shingle"),
-            "left_id",
-        )
-        .join(
-            sh_r.select(F.col("doc_id").alias("right_id"), "shingle"),
-            ["right_id", "shingle"],
-        )
-        .groupBy("left_id", "right_id")
-        .agg(F.count("*").alias("n_common"))
-    )
-    jac = F.col("n_common").cast("double") / (
-        F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")
-    )
-    return (
-        common.join(
-            sig_l.select("doc_id", "n_shingles").alias("sa"),
-            F.col("left_id") == F.col("sa.doc_id"),
-        )
-        .join(
-            sig_r.select("doc_id", "n_shingles").alias("sb"),
-            F.col("right_id") == F.col("sb.doc_id"),
-        )
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= float(threshold))
-        .select("left_id", "right_id", "jaccard")
+    return _jaccard_verify(
+        cands,
+        sh_l.select(F.col("doc_id").alias("left_id"), "shingle"),
+        sh_r.select(F.col("doc_id").alias("right_id"), "shingle"),
+        sig_l.select(F.col("doc_id").alias("left_id"), "n_shingles"),
+        sig_r.select(F.col("doc_id").alias("right_id"), "n_shingles"),
+        threshold,
+        "left_id",
+        "right_id",
     )

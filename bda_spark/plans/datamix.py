@@ -1021,8 +1021,9 @@ def docs_dsir_sample(spark, sf_dir):
     slice (the same self-contained stand-in device as
     doc_decontaminate's benchmark), raw pool = the rest; select the
     100 raw docs whose unigram distribution best matches the target,
-    Gumbel-resampled. Registered in the DEFERRED_TAIL (driver window
-    frozen at 50 rows); oracle-verified every pytest run."""
+    Gumbel-resampled. Promoted into the DRIVER_WINDOW in the round-10
+    rotation (ceding docs_token_budget_sample's row); also
+    oracle-verified every pytest run."""
     docs = t(spark, sf_dir, "documents")
     return dsir_select(
         docs.filter(F.col("doc_id") % 10 != 0),

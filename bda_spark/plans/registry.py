@@ -66,7 +66,7 @@ DRIVER_ROW_CAP = 50
 #   docs_train_val_split     -> docs_token_budget_sample (Knuth-hash
 #     sampling family held in-window by docs_stratified_sample)
 #
-# ROUND-10 REFRESH (continuing the rotation): four more in-window
+# ROUND-10 REFRESH (continuing the rotation): five more in-window
 # twins ceded their rows to never-driver-verified unique components —
 #   orders_rollup_totals  -> orders_grouping_sets_margins (ROLLUP is a
 #     special case of GROUPING SETS; the grouping-analytics family

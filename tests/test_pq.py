@@ -218,4 +218,12 @@ def test_pq_adc_plan_broadcasts_and_pushes_rank_limit(spark, sf_dir):
     assert joins and set(joins) <= {
         "BroadcastHashJoin", "BroadcastNestedLoopJoin"
     }, set(joins)
-    assert re.search(r"WindowGroupLimit .*row_number\(\), \d+, Partial", plan), plan
+    # anchor the pushdown assertion to the COARSE window (its sort key
+    # is the ADC score `_sim`) — that is the one over the full scored
+    # corpus whose map-side Partial limit prevents a per-query corpus
+    # funnel; a generic "some window has a Partial" match would let it
+    # silently regress behind another window's pushdown
+    assert re.search(
+        r"WindowGroupLimit .*_sim#\d+ DESC.*row_number\(\), \d+, Partial",
+        plan,
+    ), plan
