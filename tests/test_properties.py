@@ -342,3 +342,104 @@ def test_duplicate_passages_matches_bruteforce(spark, texts):
         ).collect()
     }
     assert got == _py_duplicate_spans(docs, n, min_span)
+
+
+def _py_shingle_jaccard(a: str, b: str, n: int = 3):
+    def sh(t):
+        toks = [w for w in t.split(" ") if w]
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    if not sa or not sb:
+        return None
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+word = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+)
+docs_strategy = st.lists(
+    st.lists(word, min_size=3, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(**SETTINGS)
+@given(left_texts=docs_strategy, right_texts=docs_strategy)
+def test_fuzzy_join_matches_bruteforce_cross_pairs(
+    spark, left_texts, right_texts
+):
+    """minhash_fuzzy_join (cap disarmed) over tiny random corpora from
+    a small shared vocabulary — dense near-dup structure, heavy
+    shingle collisions. Two halves of the LSH contract, stated at the
+    strength each actually has:
+      1. SOUNDNESS (deterministic): every emitted pair carries the
+         EXACT brute-force Jaccard and clears the threshold — the
+         verify stage admits no false positive and no wrong value,
+         whatever banding surfaced.
+      2. RECALL above the banding knee: a pair at similarity j
+         survives banding with prob 1-(1-j^2)^32 — ~27% at j=0.1 (so
+         equality at a 0.05 threshold would be a false property; the
+         first draft asserted it and hypothesis found the j=0.1 miss
+         immediately) but 1 - 1e-4 at j >= 0.5, where we do assert
+         presence."""
+    from bda_spark.operators.dedup import minhash_fuzzy_join
+
+    left = spark.createDataFrame(
+        list(enumerate(left_texts)), "doc_id long, text string"
+    )
+    right = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(right_texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.left_id, r.right_id): round(r.jaccard, 6)
+        for r in minhash_fuzzy_join(
+            left, right, threshold=0.05, max_bucket_size=None
+        ).collect()
+    }
+    exact = {}
+    for i, ta in enumerate(left_texts):
+        for j, tb in enumerate(right_texts):
+            jac = _py_shingle_jaccard(ta, tb)
+            if jac is not None and jac >= 0.05:
+                exact[(i, 100 + j)] = round(jac, 6)
+    # soundness: subset with exact values
+    assert all(k in exact and exact[k] == v for k, v in got.items()), (
+        got,
+        exact,
+    )
+    # recall at the guaranteed end of the curve
+    strong = {k for k, v in exact.items() if v >= 0.5}
+    assert strong <= set(got), (strong, got)
+
+
+@settings(**SETTINGS)
+@given(
+    stream=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=200
+    ),
+    width=st.sampled_from([8, 64, 1024]),
+)
+def test_cms_never_undercounts_any_stream(spark, stream, width):
+    """Count-Min's one-sided guarantee holds for EVERY stream and
+    width, including widths far below the cardinality (heavy
+    collisions): est >= true for every item, and with depth rows the
+    total overestimate is bounded by depth * stream size (each row's
+    counters sum to N)."""
+    from collections import Counter
+
+    from bda_spark.operators.sketch import cms_estimate, cms_sketch_table
+
+    df = spark.createDataFrame([(str(x),) for x in stream], "item string")
+    sketch = cms_sketch_table(df, "item", depth=3, width=width)
+    items = df.distinct()
+    est = {
+        r.item: r.est_count
+        for r in cms_estimate(sketch, items, "item", depth=3, width=width).collect()
+    }
+    true = Counter(str(x) for x in stream)
+    assert all(est[k] >= v for k, v in true.items()), (est, true)
+    assert all(est[k] <= len(stream) for k in true), est
