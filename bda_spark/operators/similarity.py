@@ -844,3 +844,87 @@ def semantic_index_append(
         "skew": round(skew, 3),
         "needs_retrain": bool(skew > float(skew_threshold)),
     }
+
+
+def semantic_fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 64,
+    seed: int = 42,
+    max_iter: int = 10,
+    max_cell_size: int | None = 256,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Cross-corpus EMBEDDING join: (left_id, right_id, cosine) for
+    every left/right pair with cosine >= ``threshold`` — the
+    embedding twin of ``dedup.minhash_fuzzy_join`` (link a new crawl's
+    embeddings to a canonical corpus, match product records across
+    vendors by embedding) and the ad-hoc two-frame form of
+    ``semantic_match_new`` (which requires a PERSISTED index; this
+    takes two live DataFrames).
+
+    Plan: ONE set of k-means cells trained on a bounded sample of the
+    UNION (both sides must share the partition or co-assignment is
+    meaningless), each side assigned in one Arrow matmul pass, a
+    cell-key equi-join produces candidates, exact-cosine verify with
+    hoisted per-row norms (``cosine >= threshold`` filter) — emitted
+    pairs are exact, the learned partition only bounds recall (a true
+    pair straddling a cell boundary is missed; near-identical vectors
+    almost surely co-assign — the same SemDeDup trade as
+    ``semantic_neardup_pairs``, and ``n_centroids=1`` recovers the
+    exact all-cross-pairs regime, the oracle anchor).
+
+    Hot cells: ``max_cell_size`` rank-caps EACH side per cell (pair
+    fan-out <= cap^2 per cell). As in the text fuzzy join there is no
+    chain rescue cross-corpus, so the cap is an honest recall bound;
+    ``None`` disarms it. At scale grow ``n_centroids`` with the
+    corpora so expected cell size stays constant."""
+    if centroids is None:
+        union = left.select("vec_id", "embedding").unionByName(
+            right.select("vec_id", "embedding")
+        )
+        _, centroids = ivf_index(
+            union, n_centroids=n_centroids, seed=seed, max_iter=max_iter
+        )
+    assign = nearest_centroid_col(centroids)
+
+    def _cells(df: DataFrame, idc: str) -> DataFrame:
+        cells = df.select(
+            F.col("vec_id").alias(idc), assign.alias("_cell")
+        )
+        if max_cell_size is not None:
+            w = Window.partitionBy("_cell").orderBy(idc)
+            cells = (
+                cells.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= int(max_cell_size))
+                .drop("_rk")
+            )
+        # two consumers downstream (the cell join reads both sides);
+        # the frame is two longs per row — same materialization
+        # discipline as semantic_neardup_pairs' cells frame
+        return cells.localCheckpoint(eager=True)
+
+    cands = _cells(left, "left_id").join(
+        _cells(right, "right_id"), "_cell"
+    ).select("left_id", "right_id")
+    v = F.col("embedding").cast("array<double>")
+    a = left.select(
+        F.col("vec_id").alias("left_id"), v.alias("va"),
+        l2_norm_col(v).alias("_na"),
+    )
+    b = right.select(
+        F.col("vec_id").alias("right_id"), v.alias("vb"),
+        l2_norm_col(v).alias("_nb"),
+    )
+    den = F.col("_na") * F.col("_nb")
+    cos = F.when(den == 0.0, F.lit(0.0)).otherwise(
+        dot_col(F.col("va"), F.col("vb")) / den
+    )
+    return (
+        cands.join(a, "left_id")
+        .join(b, "right_id")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= float(threshold))
+        .select("left_id", "right_id", "cosine")
+    )

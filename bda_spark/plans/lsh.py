@@ -402,3 +402,37 @@ def docs_fuzzy_join_q(spark, sf_dir):
     return pairs.select(
         "left_id", "right_id", r6(F.col("jaccard")).alias("jaccard")
     ).orderBy("left_id", "right_id")
+
+
+@query(
+    "embeddings_fuzzy_join",
+    f"""
+    SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+           round({_COS_SQL}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+    WHERE {_COS_SQL} >= 0.45
+    ORDER BY left_id, right_id
+    """,
+)
+def embeddings_fuzzy_join_q(spark, sf_dir):
+    """Cross-corpus embedding join
+    (operators.similarity.semantic_fuzzy_join): even-id vectors joined
+    to odd-id vectors at cosine >= 0.45 in the EXACT regime
+    (n_centroids=1 — one shared cell makes the candidate stage
+    all-cross-pairs; cap disarmed). Oracle: brute-force cross cosine
+    join between the halves. Registered post-cap (DEFERRED_TAIL);
+    oracle-verified every pytest run."""
+    from ..operators.similarity import semantic_fuzzy_join
+
+    e = t(spark, sf_dir, "embeddings")
+    pairs = semantic_fuzzy_join(
+        e.filter(F.col("vec_id") % 2 == 0),
+        e.filter(F.col("vec_id") % 2 == 1),
+        threshold=0.45,
+        n_centroids=1,
+        max_cell_size=None,
+    )
+    return pairs.select(
+        "left_id", "right_id", r6(F.col("cosine")).alias("cosine")
+    ).orderBy("left_id", "right_id")

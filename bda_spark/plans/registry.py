@@ -193,6 +193,7 @@ DEFERRED_TAIL = [
     "regex_token_stats",        # token-count family: keyword_counts stays in-window
     "docs_token_budget_sample", # r09-verified; sampling family row docs_stratified_sample stays
     "docs_fuzzy_join",          # cross-corpus LSH join; family anchored by minhash_neardup_pairs
+    "embeddings_fuzzy_join",    # cross-corpus cosine join; family anchored by semantic_dedup_pairs
 ]
 
 

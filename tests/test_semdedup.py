@@ -358,3 +358,73 @@ def test_stream_semantic_dedup_cross_batch(spark, tmp_path):
     again = spark.read.parquet(str(tmp_path / "flags")).collect()
     assert {(r.new_id, r.corpus_id) for r in again} == {(101, 1)}
     assert len(again) == 1
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus embedding join (similarity.py::semantic_fuzzy_join)
+
+
+def test_semantic_fuzzy_join_multicell_subset_with_planted_twin(spark):
+    """Multi-cell regime: candidates come only from shared learned
+    cells, so output ⊆ the exact (1-cell) regime with bit-identical
+    cosines — and a planted near-identical cross-corpus twin (which
+    must co-assign: assignment is a deterministic argmin and their L2
+    distance is ~0) is always found."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bda_spark.operators.similarity import semantic_fuzzy_join
+
+    rng = np.random.default_rng(11)
+    left = [(int(i), [float(x) for x in rng.standard_normal(16)]) for i in range(40)]
+    # right: novel vectors + one near-copy of left[7]
+    right = [
+        (int(100 + i), [float(x) for x in rng.standard_normal(16)])
+        for i in range(40)
+    ]
+    twin = [v + 1e-4 for v in left[7][1]]
+    right.append((999, twin))
+    schema = "vec_id long, embedding array<float>"
+    l_df = spark.createDataFrame(left, schema)
+    r_df = spark.createDataFrame(right, schema)
+    exact = {
+        (r.left_id, r.right_id): r.cosine
+        for r in semantic_fuzzy_join(
+            l_df, r_df, threshold=0.3, n_centroids=1, max_cell_size=None
+        ).collect()
+    }
+    multi = {
+        (r.left_id, r.right_id): r.cosine
+        for r in semantic_fuzzy_join(
+            l_df, r_df, threshold=0.3, n_centroids=8, max_cell_size=None
+        ).collect()
+    }
+    assert (7, 999) in exact and exact[(7, 999)] > 0.999
+    assert (7, 999) in multi
+    assert set(multi) <= set(exact)
+    assert all(exact[k] == v for k, v in multi.items())
+
+
+def test_semantic_fuzzy_join_cell_cap_bounds_fanout(spark):
+    from pyspark.sql import functions as F
+
+    from bda_spark.operators.similarity import semantic_fuzzy_join
+
+    # 20 identical unit vectors per side: one cell holds everything
+    vec = [1.0] + [0.0] * 15
+    l_df = spark.range(0, 20).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(v) for v in vec]).cast("array<float>").alias("embedding"),
+    )
+    r_df = spark.range(100, 120).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(v) for v in vec]).cast("array<float>").alias("embedding"),
+    )
+    capped = semantic_fuzzy_join(
+        l_df, r_df, threshold=0.9, n_centroids=1, max_cell_size=4
+    ).count()
+    assert 0 < capped <= 16  # cap^2
+    full = semantic_fuzzy_join(
+        l_df, r_df, threshold=0.9, n_centroids=1, max_cell_size=None
+    ).count()
+    assert full == 400
