@@ -44,6 +44,7 @@ def idempotent_merge_parquet(
     partition_col: str | None = None,
     vacuum_keep: int = 2,
     vacuum_min_age_seconds: float | None = None,
+    versioned: bool = False,
 ) -> None:
     """Upsert-by-primary-key semantics over a parquet table.
 
@@ -109,6 +110,12 @@ def idempotent_merge_parquet(
 
     if vacuum_min_age_seconds is None:
         vacuum_min_age_seconds = DEFAULT_MAINTENANCE_MIN_AGE_SECONDS
+    if versioned and partition_col is not None:
+        raise ValueError(
+            "idempotent_merge_parquet: versioned=True and partition_col "
+            "don't compose (hive partition swaps vs generation commits); "
+            "partition-scoped merges use the plain layout"
+        )
     if is_versioned(spark, path):
         if partition_col is not None:
             raise ValueError(
@@ -159,6 +166,20 @@ def idempotent_merge_parquet(
     fs.delete(old_p, True)
 
     if not fs.exists(target):
+        if versioned and partition_col is None:
+            # birth the table AS a versioned root: every later merge
+            # takes the reader-atomic generation-commit branch above,
+            # so a reader polling between per-micro-batch merges can
+            # never observe the plain branch's between-renames window
+            # (observed in the wild: a live dashboard's parquet footer
+            # read raced the whole-table swap and hit
+            # FileNotFoundException on the moved-aside part file)
+            commit_generation(
+                spark,
+                path,
+                lambda p: updates.write.mode("overwrite").parquet(p),
+            )
+            return
         writer = updates.write.mode("overwrite")
         if partition_col:
             writer = writer.partitionBy(partition_col)

@@ -330,6 +330,7 @@ class TickPipeline:
                 self.spark, batch_df, self.labels_path,
                 keys=["symbol", "window_start"],
                 vacuum_min_age_seconds=self.labels_vacuum_min_age_seconds,
+                versioned=True,
             )
         finally:
             batch_df.unpersist()
@@ -369,6 +370,7 @@ class TickPipeline:
                 self.spark, labels, self.labels_path,
                 keys=["symbol", "window_start"],
                 vacuum_min_age_seconds=self.labels_vacuum_min_age_seconds,
+                versioned=True,
             )
         finally:
             windowed.unpersist()
@@ -540,7 +542,14 @@ class TickPipeline:
         fs, labels_p = _hadoop_path(self.spark, self.labels_path)
         if not fs.exists(labels_p):
             return preds.withColumn("label", F.lit(None).cast("double"))
-        labels = self.spark.read.parquet(self.labels_path)
+        from ..sources.batch import read_parquet
+
+        # versioned-aware: the labels table is a reader-atomic
+        # generation root (versioned=True merges), so a read never
+        # races a concurrent merge's commit — a PLAIN labels dir from a
+        # pre-versioned checkpoint still resolves through the same
+        # reader (passthrough branch)
+        labels = read_parquet(self.spark, self.labels_path)
         bucketed = preds.withColumn(
             "window_start", F.window("event_time", self.window)["start"]
         )

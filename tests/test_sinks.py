@@ -194,3 +194,34 @@ def test_partitioned_merge_preserves_null_partition_rows(spark, tmp_path):
     idempotent_merge_parquet(spark, upd, path, keys=["k"], partition_col="p")
     got = {r["k"]: (r["v"], r["p"]) for r in spark.read.parquet(path).collect()}
     assert got == {1: ("a", "d1"), 2: ("B2", None), 3: ("c", None)}
+
+
+def test_merge_versioned_true_births_reader_atomic_table(spark, tmp_path):
+    """versioned=True on a FRESH table creates it as a generation root
+    (every later merge commits reader-atomically instead of the plain
+    branch's rename swap — the window a live dashboard's footer read
+    raced in the soak test, hitting FileNotFoundException on a
+    moved-aside part file). Later merges keep upserting by key, and
+    the versioned-aware reader sees exactly the merged table."""
+    from bda_spark.sources.batch import read_parquet
+    from bda_spark.sources.sinks import idempotent_merge_parquet
+    from bda_spark.sources.versioned import is_versioned
+
+    path = str(tmp_path / "labels")
+    a = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    idempotent_merge_parquet(spark, a, path, keys=["k"], versioned=True)
+    assert is_versioned(spark, path)
+    b = spark.createDataFrame([(2, 99.0), (3, 30.0)], "k long, v double")
+    idempotent_merge_parquet(
+        spark, b, path, keys=["k"], versioned=True,
+        vacuum_min_age_seconds=0.0,
+    )
+    got = {r.k: r.v for r in read_parquet(spark, path).collect()}
+    assert got == {1: 10.0, 2: 99.0, 3: 30.0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="versioned=True and partition_col"):
+        idempotent_merge_parquet(
+            spark, b, str(tmp_path / "other"), keys=["k"],
+            partition_col="k", versioned=True,
+        )

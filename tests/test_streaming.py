@@ -841,7 +841,9 @@ def test_backfill_converges_when_window_splits_across_batches(spark, tmp_path):
     ticks = file_replay_tick_stream(spark, str(d), max_files_per_trigger=1)
     pipe = TickPipeline(spark, ticks, "BP", str(tmp_path / "work"))
     _drain(pipe.start_label_backfiller(available_now=True))
-    labels = spark.read.parquet(pipe.labels_path).collect()
+    from bda_spark.sources.batch import read_parquet
+
+    labels = read_parquet(spark, pipe.labels_path).collect()
     assert len(labels) == 1
     assert labels[0]["actual_price"] == pytest.approx(104.5)  # avg(100..109)
 
