@@ -483,7 +483,10 @@ def cms_estimate(
     (always, every row only ever over-counts), est <= true +
     N*e/width with prob 1 - e^-depth."""
     item = F.col(col).cast("string")
-    probes = items.select(
+    # same null policy as the build side (cms_sketch_table filters
+    # null items): a null probe would hash as xxhash64(j) alone and
+    # could return a spurious positive for item=NULL
+    probes = items.filter(item.isNotNull()).select(
         item.alias("item"),
         F.explode(F.array(*[F.lit(j) for j in range(int(depth))])).alias("j"),
     ).select(

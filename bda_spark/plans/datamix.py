@@ -898,12 +898,13 @@ def dsir_importance_weights(raw, target, n_buckets: int | None = None):
     """(doc_id, n_tokens, log_weight) for every ``raw`` document:
     log_weight = sum over the doc's tokens of
     ln p_target(feature) - ln p_raw(feature), each model add-1
-    smoothed over the JOINT feature space (|V| = features seen in
-    either corpus). Positive = looks more like the target than like
-    the raw pool.
+    smoothed over the feature space: the JOINT observed vocab in the
+    word regime (|V| = features seen in either corpus), the FIXED
+    hash space (|V| = n_buckets, seen or not) in the hashed regime.
+    Positive = looks more like the target than like the raw pool.
 
     Scale shape: two explode->group-agg passes build the feature
-    tables (map-side combined; Zipf-bounded word vocab, or exactly
+    tables (map-side combined; Zipf-bounded word vocab, or at most
     ``n_buckets`` rows in the hashed regime), the log-ratio table
     joins back to the raw token stream by feature hash (AQE broadcast-
     promotes it when it fits), and the per-doc weight is one grouped
@@ -923,13 +924,21 @@ def dsir_importance_weights(raw, target, n_buckets: int | None = None):
     cr = tok_r.groupBy("f").agg(F.count("*").alias("cr"))
     ct = tok_t.groupBy("f").agg(F.count("*").alias("ct"))
     vocab = cr.join(ct, "f", "full_outer")
-    scalars = F.broadcast(
-        vocab.agg(
-            F.count("*").alias("vsz"),
-            F.sum(F.coalesce("cr", F.lit(0))).alias("tr"),
-            F.sum(F.coalesce("ct", F.lit(0))).alias("tt"),
-        )
+    # smoothing space |V|: observed joint vocab in the word regime;
+    # the FIXED hash space n_buckets in the hashed regime (the paper's
+    # feature space is all buckets, seen or not — counting only
+    # observed buckets would shrink the add-1 denominator whenever
+    # some buckets are empty)
+    totals = vocab.agg(
+        F.count("*").alias("vsz"),
+        F.sum(F.coalesce("cr", F.lit(0))).alias("tr"),
+        F.sum(F.coalesce("ct", F.lit(0))).alias("tt"),
     )
+    if n_buckets:
+        totals = totals.withColumn(
+            "vsz", F.lit(int(n_buckets)).cast("long")
+        )
+    scalars = F.broadcast(totals)
     lr = (
         vocab.filter(F.col("cr").isNotNull())
         .crossJoin(scalars)

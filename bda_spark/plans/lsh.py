@@ -157,9 +157,9 @@ def simhash_neardup_strict_q(spark, sf_dir):
     grows orders of magnitude; the production knob is r itself (e.g.
     r=20 cuts the constant 16x at a ~6% recall cost at cosine 0.9).
     SCALE_LADDER.json pins the measured 10x ratio under a per-operator
-    8x bound (3.72x in the committed SCALE_LADDER.json; the r9 4.22x
-    was entirely a parallel-copy fixture artifact — see
-    tools/scale_ladder.py module doc)."""
+    8x bound (see the `simhash_neardup_strict` entry there for the
+    current number; the r9 4.22x was entirely a parallel-copy fixture
+    artifact — see tools/scale_ladder.py module doc)."""
     e = t(spark, sf_dir, "embeddings")
     pairs = simhash_neardup_pairs(e, threshold=0.9, band_rows=16, num_bands=64)
     return pairs.select(

@@ -86,19 +86,41 @@ DRIVER_ROW_CAP = 50
 #     driver-verified green in r09; the Knuth-hash sampling family
 #     stays in-window via docs_stratified_sample, and the row funds
 #     the NEW DSIR importance-resampling operator)
+#
+# ROUND-11 REFRESH (VERDICT r10 task 3 — continue until every unique
+# component has held a driver row at least once): five more
+# driver-green twins ceded their rows to never-driver-verified
+# components —
+#   docs_mixture_weights  -> semantic_dedup_keepers (sampling family
+#     keeps docs_stratified_sample + docs_dsir_sample in-window; the
+#     row funds the SemDeDup fate table, never driver-verified)
+#   simhash_neardup_strict -> docs_fuzzy_join (its driver row was a
+#     0-row result — proves little; LSH near-dup family anchored by
+#     minhash_neardup_pairs; the row funds the NEW r10 cross-corpus
+#     text fuzzy join)
+#   cosine_topk_bucketed  -> embeddings_fuzzy_join (its oracle IS the
+#     tail's cosine_topk brute force, re-proven every pytest run; the
+#     row funds the NEW r10 cross-corpus embedding join)
+#   ivf_topk              -> events_expectations_metrics (ANN family
+#     exactness oracles run every pytest; the row funds the D8
+#     generalized declarative-expectations gate)
+#   report_weekly_rollup  -> csv_tick_ingest (weekly date-trunc agg is
+#     a twin of gold_daily_orders + the grouping-analytics rows; the
+#     row funds the S-ext CSV tick capture source, never
+#     driver-verified)
 DRIVER_WINDOW = [
     "doc_decontaminate",
     "docs_stratified_sample",
     "docs_dsir_sample",
     "doc_unigram_logprob",
-    "docs_mixture_weights",
+    "semantic_dedup_keepers",
     "docs_pack_sequences",
     "generated_ticks_profile",
     "minhash_neardup_pairs",
     "neardup_clusters",
-    "simhash_neardup_strict",
-    "cosine_topk_bucketed",
-    "ivf_topk",
+    "docs_fuzzy_join",
+    "embeddings_fuzzy_join",
+    "events_expectations_metrics",
     "media_image_features",
     "media_video_frame_sample",
     "orders_grouping_sets_margins",
@@ -116,7 +138,7 @@ DRIVER_WINDOW = [
     "customer_order_coalesce",
     "conditional_repair",
     "orders_recent_window",
-    "report_weekly_rollup",
+    "csv_tick_ingest",
     "report_corr_matrix",
     "doc_langid",
     "keyword_counts",
@@ -169,10 +191,8 @@ DEFERRED_TAIL = [
     # Post-cap additions (window full): new components whose oracle runs
     # every pytest (test_oracle_queries), driver row deliberately ceded
     # to keep the 50-row window stable across rounds.
-    "csv_tick_ingest",          # CSV encode/decode round-trip; profile ⊂ events aggs
     "keyword_counts_sketch",    # Misra-Gries twin of keyword_counts (exact regime)
     "events_distinct_sketch_rollup",  # HLL sketch-table rollup (exact regime)
-    "events_expectations_metrics",  # declarative gate ⊃ validate_ticks (D8)
     "doc_canonical_fingerprints",  # normalization layer; md5 family twin
     "events_variant_extract",   # Spark-4 VARIANT decode; oracle = JSON-text twin
     "customer_balance_ntiles",  # ntile(4) quartiles; window family w/ orders_rank_topk
@@ -181,7 +201,6 @@ DEFERRED_TAIL = [
     "events_quantile_sketch_rollup",  # histogram sketch-table twin of the HLL rollup
     "doc_compression_ratio",    # zlib quality signal (rows-only: no zlib in DuckDB)
     "semantic_dedup_pairs",     # SemDeDup candidates, exact (1-cell) regime
-    "semantic_dedup_keepers",   # SemDeDup fate table; recursive-CTE CC oracle
     "pq_adc_topk",              # PQ/ADC ANN, corpus-covering-oversample exact regime
     # Ceded their driver rows in the ROUND-9 REFRESH (see DRIVER_WINDOW):
     "doc_rolling_fingerprints", # rolling-hash family: doc_fingerprints twin
@@ -192,8 +211,12 @@ DEFERRED_TAIL = [
     "suppliers_with_orders",    # semi half; anti twin orders_without_lineitems stays
     "regex_token_stats",        # token-count family: keyword_counts stays in-window
     "docs_token_budget_sample", # r09-verified; sampling family row docs_stratified_sample stays
-    "docs_fuzzy_join",          # cross-corpus LSH join; family anchored by minhash_neardup_pairs
-    "embeddings_fuzzy_join",    # cross-corpus cosine join; family anchored by semantic_dedup_pairs
+    # Ceded their driver rows in the ROUND-11 REFRESH (see DRIVER_WINDOW):
+    "docs_mixture_weights",     # r04-r10 driver-green; sampling family keeps stratified + dsir
+    "simhash_neardup_strict",   # 0-row driver result; LSH family anchored by minhash_neardup_pairs
+    "cosine_topk_bucketed",     # its oracle IS the tail's cosine_topk brute force
+    "ivf_topk",                 # ANN exactness oracles run every pytest; pq_adc/sq8 twins too
+    "report_weekly_rollup",     # weekly date-trunc agg twin of gold_daily_orders
 ]
 
 

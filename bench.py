@@ -266,30 +266,43 @@ def calibration_sec(spark) -> float:
 
 
 def previous_bench() -> tuple[int | None, dict | None]:
-    """(round, parsed) of the newest BENCH_r*.json beside this script,
-    or (None, None). Read-only, best-effort — the bench must keep its
-    output contract even on a checkout without history."""
+    """(round, parsed) of the newest usable bench record beside this
+    script, or (None, None). Scans BOTH the driver-written
+    BENCH_r{N}.json (which may be a truncated 2 kB stdout tail — the
+    r10 record lost its calibration block exactly that way) and the
+    bench's own full-fidelity BENCH_LOCAL_r{N}.json; for the same
+    round a record WITH a calibration row wins, so vs_prev stays
+    drift-normalized even when the driver capture truncates.
+    Read-only, best-effort — the bench must keep its output contract
+    even on a checkout without history."""
     import glob as _glob
     import re as _re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best_n, best = None, None
-    for p in _glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = _re.search(r"BENCH_r(\d+)\.json$", p)
-        if not m:
-            continue
-        n = int(m.group(1))
-        if best_n is not None and n <= best_n:
-            continue
-        try:
-            with open(p) as f:
-                d = json.load(f)
+    by_round: dict[int, dict] = {}
+    for pat in ("BENCH_r*.json", "BENCH_LOCAL_r*.json"):
+        for p in _glob.glob(os.path.join(here, pat)):
+            m = _re.search(r"BENCH(?:_LOCAL)?_r(\d+)\.json$", p)
+            if not m:
+                continue
+            n = int(m.group(1))
+            try:
+                with open(p) as f:
+                    d = json.load(f)
+            except (OSError, ValueError):
+                continue
             parsed = d.get("parsed", d)
-            if isinstance(parsed, dict) and "queries" in parsed:
-                best_n, best = n, parsed
-        except (OSError, ValueError):
-            continue
-    return best_n, best
+            if not (isinstance(parsed, dict) and "queries" in parsed):
+                continue
+            cur = by_round.get(n)
+            if cur is None or (
+                parsed.get("calibration") and not cur.get("calibration")
+            ):
+                by_round[n] = parsed
+    if not by_round:
+        return None, None
+    n = max(by_round)
+    return n, by_round[n]
 
 
 BENCH_TICKERS = ["BP", "COP", "SHEL", "XOM"]
@@ -559,7 +572,80 @@ def main() -> None:
             "normalized": bool(prev_cal),
             "ratios": ratios,
         }
-    print(json.dumps(out))
+
+    # Full-fidelity record -> committed file. The driver captures only
+    # a 2 kB stdout TAIL; r10's record lost its raw queries dict and
+    # calibration block exactly that way (VERDICT r10 finding #1).
+    # The filename round = newest driver BENCH_r{N} + 1 (the driver
+    # writes BENCH_r{N}.json at the END of round N, so any run during
+    # round N sees N-1 as the newest driver file).
+    import glob as _glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    driver_rounds = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    cur = (max(driver_rounds) + 1) if driver_rounds else 1
+    local_path = os.path.join(here, f"BENCH_LOCAL_r{cur}.json")
+    with open(local_path, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+
+    # Stdout: ONE compact JSON line sized to survive the 2 kB tail
+    # capture intact — keep the essentials (value, calibration, the
+    # full raw queries dict, vs_prev), shed the reconstructable
+    # "normalized" dict (= queries/cal), and degrade vs_prev.ratios
+    # to the worst offenders if the line still doesn't fit. The full
+    # record is always in BENCH_LOCAL_r{N}.json regardless.
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "full": os.path.basename(local_path),
+        "calibration": out["calibration"],
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+    }
+    if "vs_prev" in out:
+        vp = out["vs_prev"]
+        rs = sorted(vp["ratios"].values())
+        compact["vs_prev"] = {
+            "round": vp["round"],
+            "normalized": vp["normalized"],
+            "median_ratio": round(rs[len(rs) // 2], 3) if rs else None,
+            # worst offenders only on stdout; the full ratio dict is in
+            # the local file (the stdout line must fit the 2 kB tail)
+            "worst8": dict(
+                sorted(vp["ratios"].items(), key=lambda kv: -kv[1])[:8]
+            ),
+        }
+    # the driver keeps the last 2000 stdout chars and json-parses the
+    # final line; leave headroom for the newline and value-width growth
+    _sep, _budget = (",", ":"), 1950
+    line = json.dumps(compact, separators=_sep)
+    if len(line) > _budget and "vs_prev" in compact:
+        compact["vs_prev"]["worst8"] = dict(
+            sorted(
+                compact["vs_prev"]["worst8"].items(),
+                key=lambda kv: -kv[1],
+            )[:4]
+        )
+        cal = compact["calibration"]
+        compact["calibration"] = {
+            "sec": cal["sec"],
+            "drift_pct": cal["drift_pct"],
+        }
+        line = json.dumps(compact, separators=_sep)
+    if len(line) > _budget:
+        compact["queries"] = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:20]
+        )
+        compact["queries_note"] = "top20_full_in_local"
+        line = json.dumps(compact, separators=_sep)
+    print(line)
     spark.stop()
 
 
