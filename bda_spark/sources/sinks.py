@@ -235,3 +235,199 @@ def idempotent_merge_parquet(
             raise IOError(f"merge swap failed: could not move {st.getPath()}")
     fs.delete(tmp_p, True)
     fs.delete(old_p, True)
+
+
+# ---------------------------------------------------------------------------
+# Key-based DELETE — the removal twin of idempotent_merge_parquet.
+# The reference's only delete is a driver-side CQL loop
+# (remove_pred_minus1.py:13-29, rewritten as a filter by S15); derived
+# artifacts (signature/cell/code indexes) need a real propagating
+# delete for takedown / opt-out / re-licensing events, and it must be
+# O(touched partitions), reader-atomic where the layout supports it,
+# and a strict no-op on replay (at-least-once delivery replays
+# deletes like everything else).
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+# the character set Spark/Hive escape in partition directory names
+_HIVE_ESCAPE = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(32)} | {
+    chr(127)
+}
+
+
+def _hive_part_dirname(col: str, value) -> str:
+    """Directory name hive layout gives a partition value. Covers the
+    layouts this repo writes (int and string partition columns; null ->
+    the hive default partition). Bool/float partition columns would
+    need hive's exact literal formatting — not used here."""
+    if value is None:
+        return f"{col}={_HIVE_NULL}"
+    s = str(value)
+    esc = "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE else ch for ch in s
+    )
+    return f"{col}={esc}"
+
+
+def delete_keys_parquet(
+    spark: SparkSession,
+    ids: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_col: str | None = None,
+    vacuum_keep: int = 2,
+    vacuum_min_age_seconds: float | None = None,
+) -> int:
+    """Remove every row of the parquet table at ``path`` whose ``keys``
+    tuple appears in ``ids`` (a DataFrame carrying exactly the key
+    columns). Returns the number of rows removed; 0 means the table
+    was NOT rewritten at all — a replayed delete is a pure read.
+
+    Layout-aware, mirroring idempotent_merge_parquet:
+
+    - VERSIONED root (sources.versioned): anti-join into a NEW
+      generation — reader-atomic, concurrent readers see the old
+      generation until the commit marker lands, never a partial table.
+    - HIVE-partitioned (``partition_col``): partitions holding doomed
+      rows are discovered with one column-pruned semi-join scan
+      (reads only the key column; partition values come from dir
+      names), then ONLY those partitions are rewritten and swapped —
+      O(touched partitions), the 100 TB shape. A partition whose rows
+      are ALL doomed is removed outright (hive readers treat a
+      missing partition dir as zero rows).
+    - flat dir: whole-table anti-join + the same crash-recoverable
+      rename swap as the merge (small-table shape).
+
+    Crash contract: same as the merge — staged writes to a sibling
+    temp dir, per-partition/whole-table renames, and the shared
+    ``__merge_old`` recovery preamble heals a crash between renames on
+    the next invocation. A crash mid-delete is healed by REPLAYING the
+    delete (idempotent), not by the merge recovery resurrecting rows:
+    emptied partitions are deleted directly (their kept row set is
+    empty — there is nothing to move aside)."""
+    from .versioned import (
+        DEFAULT_MAINTENANCE_MIN_AGE_SECONDS,
+        commit_generation,
+        is_versioned,
+        read_versioned,
+        vacuum_versions,
+    )
+
+    ids = ids.select(*keys).distinct()
+
+    if is_versioned(spark, path):
+        existing = read_versioned(spark, path)
+        removed = existing.join(ids, on=keys, how="left_semi").count()
+        if removed == 0:
+            return 0
+        kept = existing.join(ids, on=keys, how="left_anti")
+        commit_generation(
+            spark, path, lambda p: kept.write.mode("overwrite").parquet(p)
+        )
+        vacuum_versions(
+            spark,
+            path,
+            keep=vacuum_keep,
+            min_age_seconds=(
+                DEFAULT_MAINTENANCE_MIN_AGE_SECONDS
+                if vacuum_min_age_seconds is None
+                else vacuum_min_age_seconds
+            ),
+        )
+        return int(removed)
+
+    fs, target = _hadoop_path(spark, path)
+    if not fs.exists(target):
+        return 0
+    base = path.rstrip("/")
+    tmp, old = base + "__merge_tmp", base + "__merge_old"
+    _, tmp_p = _hadoop_path(spark, tmp)
+    _, old_p = _hadoop_path(spark, old)
+    jvm = spark._jvm
+
+    # shared crash-recovery preamble (see idempotent_merge_parquet)
+    if fs.exists(old_p):
+        if not fs.exists(target):
+            fs.rename(old_p, target)
+        else:
+            for st in fs.listStatus(old_p):
+                dest = jvm.org.apache.hadoop.fs.Path(
+                    target, st.getPath().getName()
+                )
+                if not fs.exists(dest):
+                    fs.rename(st.getPath(), dest)
+    fs.delete(tmp_p, True)
+    fs.delete(old_p, True)
+
+    if partition_col is None:
+        existing = spark.read.parquet(path)
+        removed = existing.join(ids, on=keys, how="left_semi").count()
+        if removed == 0:
+            return 0
+        kept = existing.join(ids, on=keys, how="left_anti")
+        kept.write.mode("overwrite").parquet(tmp)
+        if not fs.rename(target, old_p):
+            raise IOError(f"delete swap failed: could not move {path} aside")
+        if not fs.rename(tmp_p, target):
+            fs.rename(old_p, target)
+            raise IOError(
+                f"delete swap failed: could not move {tmp} into place"
+            )
+        fs.delete(old_p, True)
+        return int(removed)
+
+    # Partitioned: one column-pruned scan finds the touched partitions
+    # (and the removed-row count) — the rewrite then reads ONLY them.
+    table = spark.read.option("basePath", path).parquet(path)
+    doomed = table.join(ids, on=keys, how="left_semi")
+    touched = [
+        (r[0], r[1])
+        for r in doomed.groupBy(partition_col)
+        .agg(F.count("*").alias("_n"))
+        .collect()
+    ]
+    if not touched:
+        return 0
+    removed = int(sum(n for _, n in touched))
+    vals = [v for v, _ in touched]
+    non_null = [v for v in vals if v is not None]
+    pred = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in vals):
+        pred = pred | F.col(partition_col).isNull()
+    kept = table.filter(pred).join(ids, on=keys, how="left_anti")
+    kept.write.partitionBy(partition_col).mode("overwrite").parquet(tmp)
+
+    written = set()
+    if fs.exists(tmp_p):
+        for st in fs.listStatus(tmp_p):
+            name = st.getPath().getName()
+            if not name.startswith(f"{partition_col}="):
+                continue
+            written.add(name)
+            dest = jvm.org.apache.hadoop.fs.Path(target, name)
+            aside = jvm.org.apache.hadoop.fs.Path(old_p, name)
+            if fs.exists(dest):
+                fs.mkdirs(old_p)
+                if not fs.rename(dest, aside):
+                    raise IOError(
+                        f"delete swap failed: could not move {dest} aside"
+                    )
+            if not fs.rename(st.getPath(), dest):
+                if fs.exists(aside):
+                    fs.rename(aside, dest)
+                raise IOError(
+                    f"delete swap failed: could not move {st.getPath()}"
+                )
+    # partitions whose every row was doomed produce no tmp dir: remove
+    # the live dir outright (nothing kept to move aside; a crash here
+    # is healed by replaying the delete, which re-lists them as
+    # touched until the dir is gone)
+    for v in vals:
+        name = _hive_part_dirname(partition_col, v)
+        if name in written:
+            continue
+        gone = jvm.org.apache.hadoop.fs.Path(target, name)
+        if fs.exists(gone):
+            fs.delete(gone, True)
+    fs.delete(tmp_p, True)
+    fs.delete(old_p, True)
+    return removed

@@ -49,6 +49,7 @@ def stream_dedup_against_index(
     max_bucket_size: int | None = None,
     cap_mode: str = "chained",
     vacuum_min_age_seconds: float = 60.0,
+    tombstones_path: str | None = None,
 ):
     """Start the incremental-dedup stream over ``stream_docs`` (a
     streaming DataFrame carrying ``id_col`` + ``text_col``). Returns
@@ -69,6 +70,13 @@ def stream_dedup_against_index(
         # already in the table, so duplicate ids must collapse here or
         # they'd sit in the index (and fan out candidate pairs) forever
         batch = batch.select(id_col, text_col).dropDuplicates([id_col])
+        if tombstones_path:
+            # a replayed OLD batch may still carry a doc deleted by
+            # operators.deletes.delete_docs since — merging it back
+            # would resurrect the takedown; drop tombstoned ids first
+            from ..operators.deletes import filter_tombstoned
+
+            batch = filter_tombstoned(batch, tombstones_path, id_col)
         sigs = minhash_index(
             batch, id_col, text_col, ngram, num_hashes, seed
         ).localCheckpoint(eager=True)
@@ -136,6 +144,7 @@ def stream_semantic_dedup_against_index(
     seed: int = 42,
     available_now: bool = False,
     vacuum_min_age_seconds: float = 60.0,
+    tombstones_path: str | None = None,
 ):
     """The SemDeDup twin of ``stream_dedup_against_index``: match each
     micro-batch of (vec_id, embedding) against the persisted
@@ -167,6 +176,13 @@ def stream_semantic_dedup_against_index(
         batch = batch.select("vec_id", "embedding").dropDuplicates(
             ["vec_id"]
         )
+        if tombstones_path:
+            # same resurrection guard as the minhash loop (see
+            # operators.deletes): replayed pre-delete batches must not
+            # re-insert a taken-down vector
+            from ..operators.deletes import filter_tombstoned
+
+            batch = filter_tombstoned(batch, tombstones_path, "vec_id")
         fs, cells_p = _hadoop_path(spark, f"{index_path.rstrip('/')}/cells")
         if not fs.exists(cells_p):
             semantic_index_build(
@@ -218,6 +234,7 @@ def stream_corpus_ingest(
     cap_mode: str = "chained",
     available_now: bool = False,
     vacuum_min_age_seconds: float = 60.0,
+    tombstones_path: str | None = None,
 ):
     """The STREAMING twin of ``plans.datamix.corpus_build_pipeline`` —
     the full training-data ingest loop as one foreachBatch pipeline.
@@ -272,6 +289,13 @@ def stream_corpus_ingest(
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         batch = batch.select("doc_id", "text").dropDuplicates(["doc_id"])
+        if tombstones_path:
+            # resurrection guard (operators.deletes): a replayed
+            # pre-delete batch must not re-land a taken-down doc in
+            # the corpus or the index
+            from ..operators.deletes import filter_tombstoned
+
+            batch = filter_tombstoned(batch, tombstones_path, "doc_id")
         sigs = minhash_index(
             batch, "doc_id", "text", ngram, num_hashes, seed
         ).localCheckpoint(eager=True)
