@@ -381,9 +381,56 @@ def _jaccard_verify(
     common shingles (pairs sharing none drop out — Jaccard 0), count
     is |A∩B|, union size from the per-doc shingle counts. ``sh_a`` /
     ``sh_b``: (a_col|b_col, shingle); ``sizes_a`` / ``sizes_b``:
-    (a_col|b_col, n_shingles)."""
+    (a_col|b_col, n_shingles).
+
+    Plan shape (reworked after the 100x ladder rung caught the naive
+    plan OOMing): the exploded shingle frames are corpus-scale by
+    construction, but Catalyst's width-based static estimate (explode
+    inherits the child's size; strings count a fixed default width)
+    reads them as broadcastable, so the unhinted plan put the WHOLE
+    a-side posting list in a BroadcastHashJoin build ("Not enough
+    memory to build and broadcast the table" at the 100x rung — and
+    the squeezed heap then failed even unrelated per-task hash
+    builds). AQE cannot demote that choice: the shingle frames sit
+    directly over a scan+explode with no shuffle boundary, so no
+    runtime size is ever observed. Two measures make the cost shape
+    linear at every scale:
+
+    1. SEMI-FILTER the posting lists to candidate docs before any
+       expensive join: the distinct candidate id lists are one row
+       per candidate DOC (not per pair, not per shingle), so the
+       semi-joins stream the corpus shingle frames against small
+       broadcast id sets — the corpus is never shuffled — and
+       everything downstream is sized by the CANDIDATES, not the
+       corpus. (When the id lists outgrow broadcast at extreme
+       scale, AQE sees their true size — distinct() gives them a
+       shuffle boundary — and degrades the semi to a shuffle join,
+       which is then the honest cost anyway.)
+    2. SHUFFLE_HASH hints on the candidate side of both fanout
+       joins: the fanned frame also lacks a shuffle boundary, so
+       without the hint the same static mis-estimate re-broadcasts
+       the filtered posting list or the fanout. The hint keeps the
+       hash-build economics (smaller side built PER PARTITION, no
+       driver funnel, no sort) with a deterministic, linear plan.
+
+    The candidate frame is materialized ONCE (localCheckpoint): the
+    semi-filters give it three consumers (two id projections + the
+    fanout join), and re-running the LSH candidate generation per
+    consumer would triple the banding work. Candidates are O(pairs)
+    16-byte rows — the same bounded-artifact discipline as the
+    signature checkpoint in minhash_neardup_pairs."""
+    cands = cands.localCheckpoint(eager=True)
+    # no distinct(): LEFT SEMI dedups the probe side by construction,
+    # and the checkpointed candidate frame's accurate (tiny) size
+    # stats make these broadcast semi-joins without extra shuffles
+    docs_a = cands.select(a_col)
+    docs_b = cands.select(b_col)
+    sh_a = sh_a.join(docs_a, a_col, "left_semi")
+    sh_b = sh_b.join(docs_b, b_col, "left_semi")
     common = (
-        cands.join(sh_a, a_col)
+        cands.hint("shuffle_hash")
+        .join(sh_a, a_col)
+        .hint("shuffle_hash")
         .join(sh_b, [b_col, "shingle"])
         .groupBy(a_col, b_col)
         .agg(F.count("*").alias("n_common"))

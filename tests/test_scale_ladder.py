@@ -149,3 +149,43 @@ def test_embedding_rotation_preserves_copy_geometry(spark, tmp_path_factory):
         .collect()
     }
     assert p1 and p1 == p2
+
+
+def test_two_decade_headliners_exponent_fit_at_10x(spark, tmp_path_factory):
+    """VERDICT r10 #5 — the committed SCALE_LADDER.json now carries a
+    100x (two-decade) rung for the headline ANN + LSH operators; this
+    per-round guard re-fits the power-law exponent e in t ~ n^e at a
+    full decade (factor 10, the committed evidence's first decade) so
+    a regression toward quadratic (e -> 2) fails the suite the round
+    it lands. One-sided: fixed per-job overhead inflates t1x and
+    UNDERSTATES e, so a pass does not prove sublinearity — but a
+    quadratic candidate blowup cannot hide (it reads e >~ 1.5 even
+    with a 1 s overhead on these rung sizes). Same absolute-time noise
+    floor as the ratio test."""
+    import math
+
+    from scale_ladder import (
+        TWO_DECADE_EXPONENT_CAP,
+        TWO_DECADE_QUERIES,
+        _time_query,
+        ladder_queries,
+        synthesize_rung,
+    )
+
+    work = str(tmp_path_factory.mktemp("ladder2d"))
+    rungs = {}
+    for f in (1, 10):
+        d = f"{work}/rung{f}x"
+        synthesize_rung(spark, SRC, d, f)
+        rungs[f] = d
+    queries = ladder_queries(rungs[1])
+    floor_s = 8.0
+    failures = {}
+    for name in TWO_DECADE_QUERIES:
+        t1 = _time_query(spark, queries[name], rungs[1])
+        t10 = _time_query(spark, queries[name], rungs[10])
+        e = math.log10(t10 / t1)  # one decade: log10(ratio)/1
+        if e > TWO_DECADE_EXPONENT_CAP and t10 >= floor_s:
+            failures[name] = {"t1x": round(t1, 3), "t10x": round(t10, 3),
+                              "exponent": round(e, 3)}
+    assert not failures, failures
