@@ -406,12 +406,16 @@ def _jaccard_verify(
        scale, AQE sees their true size — distinct() gives them a
        shuffle boundary — and degrades the semi to a shuffle join,
        which is then the honest cost anyway.)
-    2. SHUFFLE_HASH hints on the candidate side of both fanout
+    2. MERGE (sort-merge) hints on the candidate side of both fanout
        joins: the fanned frame also lacks a shuffle boundary, so
        without the hint the same static mis-estimate re-broadcasts
-       the filtered posting list or the fanout. The hint keeps the
-       hash-build economics (smaller side built PER PARTITION, no
-       driver funnel, no sort) with a deterministic, linear plan.
+       the filtered posting list or the fanout. SMJ rather than
+       SHUFFLE_HASH deliberately: a shuffled-hash build cannot always
+       spill ("There is not enough memory to build hash map" in a
+       default-memory session at the 10x rung — the driver runs this
+       query in a VANILLA session), while sort-merge spills both
+       sides gracefully at any memory budget; the post-semi-filter
+       sort inputs are candidate-sized, so the sort cost is noise.
 
     The candidate frame is materialized ONCE (localCheckpoint): the
     semi-filters give it three consumers (two id projections + the
@@ -428,9 +432,9 @@ def _jaccard_verify(
     sh_a = sh_a.join(docs_a, a_col, "left_semi")
     sh_b = sh_b.join(docs_b, b_col, "left_semi")
     common = (
-        cands.hint("shuffle_hash")
+        cands.hint("merge")
         .join(sh_a, a_col)
-        .hint("shuffle_hash")
+        .hint("merge")
         .join(sh_b, [b_col, "shingle"])
         .groupBy(a_col, b_col)
         .agg(F.count("*").alias("n_common"))

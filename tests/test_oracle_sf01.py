@@ -67,6 +67,39 @@ def test_scale_sensitive_list_is_current():
     assert not missing, missing
 
 
+def _cell_eq(a, b) -> bool:
+    """Exact equality except floats, which compare at 1e-9 RELATIVE
+    tolerance: the driver's sf0.01 gate stays exact-after-rounding
+    (this suite's sf0.001 sweep mirrors it), but at sf0.1 aggregate
+    totals reach 1e9-1e10 magnitude where the shared 6-decimal
+    ABSOLUTE rounding sits at the 16th significant digit — below
+    double's reproducibility under different summation orders
+    (observed: orders_rollup_totals 2475773489.900017 Spark vs
+    ...900018 DuckDB). A real semantic divergence (a tie broken
+    differently, a bin boundary off by one row) moves a value by
+    orders of magnitude more than 1e-9 relative."""
+    import math
+
+    if a == b:
+        return True
+    if (
+        isinstance(a, str)
+        and isinstance(b, str)
+        and a.startswith("float:")
+        and b.startswith("float:")
+    ):
+        return math.isclose(
+            float(a[6:]), float(b[6:]), rel_tol=1e-9, abs_tol=1e-9
+        )
+    return False
+
+
+def _row_eq(ra, rb) -> bool:
+    return len(ra) == len(rb) and all(
+        _cell_eq(a, b) for a, b in zip(ra, rb)
+    )
+
+
 @pytest.mark.parametrize("name", SCALE_SENSITIVE)
 def test_query_matches_oracle_at_sf01(name, spark, duck01):
     sdf = get_queries()[name](spark, SF01)
@@ -78,5 +111,7 @@ def test_query_matches_oracle_at_sf01(name, spark, duck01):
     o_n, o_c = normalize(orows, ocols)
     assert s_c == o_c, f"column mismatch: {s_c} vs {o_c}"
     assert len(s_n) == len(o_n), f"rowcount {len(s_n)} vs {len(o_n)}"
-    mismatches = [(a, b) for a, b in zip(s_n, o_n) if a != b][:3]
+    mismatches = [
+        (a, b) for a, b in zip(s_n, o_n) if not _row_eq(a, b)
+    ][:3]
     assert not mismatches, f"value mismatch: {mismatches}"
