@@ -193,8 +193,20 @@ def _kmeans_once(
     matrix + one matmul, never an (n x k x dim) tensor). Empty cells
     re-seed from the point farthest from its nearest centroid."""
     n = len(X)
+    # kmeans++ seeding with the same |x|^2 + |c|^2 - 2x.c expansion as
+    # the Lloyd loop below: each step is one BLAS matvec instead of
+    # materializing an (n x dim) difference temporary — the naive form
+    # made seeding O(k) 50 MB allocations per restart and dominated
+    # the whole fit at the ladder's scaled-centroid regime (k ~ 1600:
+    # ~320 s of 404 s). Clamped at 0 (the expansion can go epsilon-
+    # negative, and rng.choice requires a non-negative pmf).
+    x2f = (X ** 2).sum(axis=1)
+
+    def _d2_to(idx: int) -> "np.ndarray":
+        return np.maximum(x2f + x2f[idx] - 2.0 * (X @ X[idx]), 0.0)
+
     chosen = [int(rng.integers(n))]
-    d2 = ((X - X[chosen[0]]) ** 2).sum(axis=1)
+    d2 = _d2_to(chosen[0])
     for _ in range(1, k):
         total = float(d2.sum())
         if total <= 0.0:  # all remaining points identical
@@ -202,20 +214,30 @@ def _kmeans_once(
         else:
             nxt = int(rng.choice(n, p=d2 / total))
         chosen.append(nxt)
-        d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
+        d2 = np.minimum(d2, _d2_to(nxt))
     C = X[chosen].astype(np.float64).copy()
     x2 = (X ** 2).sum(axis=1)[:, None]
     d = None
     for _ in range(int(max_iter)):
         d = x2 + (C ** 2).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
         a = d.argmin(axis=1)
-        newC = C.copy()
-        for j in range(k):
-            members = X[a == j]
-            if len(members):
-                newC[j] = members.mean(axis=0)
-            else:
-                newC[j] = X[int(d.min(axis=1).argmax())]
+        # cluster means by scatter-add, one pass over X — the obvious
+        # per-cluster loop (`for j in range(k): X[a == j].mean(...)`)
+        # rescans all n rows PER CLUSTER, O(n*k) per Lloyd iteration;
+        # at the 100x ladder rung's scaled-centroid regime (k ~ 1600,
+        # sample ~ 64k) that loop alone dominated the fit by minutes
+        counts = np.bincount(a, minlength=k).astype(np.float64)
+        sums = np.zeros_like(C)
+        np.add.at(sums, a, X)
+        newC = np.where(
+            counts[:, None] > 0, sums / np.maximum(counts, 1.0)[:, None], C
+        )
+        empty = np.flatnonzero(counts == 0)
+        if len(empty):
+            # re-seed every empty cell from the points farthest from
+            # their nearest centroid (distinct points, worst first)
+            far = np.argsort(-d.min(axis=1))[: len(empty)]
+            newC[empty] = X[far]
         if np.allclose(newC, C):
             C = newC
             break
@@ -236,12 +258,21 @@ def _kmeans_fit(
     kmeans++ restarts keep the best-inertia run (FAISS's own guard
     against a bad local optimum — a single greedy seeding can cost
     real partial-probe recall). Deterministic for a given
-    (sample, k, seed)."""
+    (sample, k, seed).
+
+    ``nredo`` scales DOWN as k grows (2048/k, floor 1): restart
+    variance is per-cell seeding luck averaged over k cells, so the
+    inertia spread across restarts shrinks with k — at the scaled-
+    centroid regime (k ~ 1600 at the 100x ladder rung) extra restarts
+    buy ~nothing and each costs a full O(n*k) Lloyd run (FAISS ships
+    nredo=1 at every k for the same reason); at small k, where one
+    bad greedy seeding can really cost recall, all ``nredo`` restarts
+    still run."""
     n = len(X)
     k = max(1, min(int(k), n))
     rng = np.random.default_rng(seed)
     best, best_inertia = None, float("inf")
-    for _ in range(max(1, int(nredo))):
+    for _ in range(max(1, min(int(nredo), 2048 // k))):
         C, inertia = _kmeans_once(X, k, rng, max_iter)
         if inertia < best_inertia:
             best, best_inertia = C, inertia

@@ -327,7 +327,22 @@ def build_and_measure(spark, src_dir: str, work_dir: str, factor: int) -> dict:
 # per-job overhead (session/plan/scheduler, ~0.3-1 s here) is a
 # visible share of t1x — so the assertion is one-sided: e must stay
 # BELOW the near-linear cap; a small e does not prove sublinearity.
-TWO_DECADE_QUERIES = ("minhash_neardup_pairs", "ivf_sq8_topk", "pq_adc_topk")
+#   doc_duplicate_passages ~1.0 (inverted index, capped buckets;
+#                                measured exactly 100x the spans at
+#                                100x the docs)
+#   semantic_dedup        ~1.0 + the driver kmeans fit's O(k*sample)
+#                                = O(n^2/125^2 * 64) term — made
+#                                affordable by the vectorized fit +
+#                                k-scaled nredo (was 400+ s of driver
+#                                numpy at k=1600 before r11; the 100x
+#                                rung was unmeasurable)
+TWO_DECADE_QUERIES = (
+    "minhash_neardup_pairs",
+    "ivf_sq8_topk",
+    "pq_adc_topk",
+    "doc_duplicate_passages",
+    "semantic_dedup",
+)
 TWO_DECADE_EXPONENT_CAP = 1.15  # near-linear + noise; quadratic reads ~2
 
 
