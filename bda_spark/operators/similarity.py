@@ -221,14 +221,26 @@ def _kmeans_once(
     for _ in range(int(max_iter)):
         d = x2 + (C ** 2).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
         a = d.argmin(axis=1)
-        # cluster means by scatter-add, one pass over X — the obvious
-        # per-cluster loop (`for j in range(k): X[a == j].mean(...)`)
-        # rescans all n rows PER CLUSTER, O(n*k) per Lloyd iteration;
-        # at the 100x ladder rung's scaled-centroid regime (k ~ 1600,
-        # sample ~ 64k) that loop alone dominated the fit by minutes
-        counts = np.bincount(a, minlength=k).astype(np.float64)
+        # cluster means by stable-sort + segmented reduceat: one
+        # O(n log n) argsort and ONE contiguous pass over X. The
+        # obvious per-cluster loop (`for j in range(k): X[a == j]`)
+        # rescans all n rows PER CLUSTER — O(n*k) per Lloyd iteration,
+        # it dominated the 100x ladder fit by minutes; np.add.at is an
+        # unbuffered ufunc an order of magnitude slower than the
+        # sorted pass; per-dim bincount pays k-independent per-call
+        # overhead that dominates the small-k fits every production
+        # query runs
+        order = np.argsort(a, kind="stable")
+        sorted_a = a[order]
+        starts = np.flatnonzero(
+            np.r_[True, sorted_a[1:] != sorted_a[:-1]]
+        )
+        seg_sums = np.add.reduceat(X[order], starts, axis=0)
+        uniq = sorted_a[starts]
         sums = np.zeros_like(C)
-        np.add.at(sums, a, X)
+        sums[uniq] = seg_sums
+        counts = np.zeros(k)
+        counts[uniq] = np.diff(np.r_[starts, len(sorted_a)])
         newC = np.where(
             counts[:, None] > 0, sums / np.maximum(counts, 1.0)[:, None], C
         )
@@ -267,9 +279,25 @@ def _kmeans_fit(
     buy ~nothing and each costs a full O(n*k) Lloyd run (FAISS ships
     nredo=1 at every k for the same reason); at small k, where one
     bad greedy seeding can really cost recall, all ``nredo`` restarts
-    still run."""
+    still run.
+
+    Past ``_HIER_K_THRESHOLD`` centroids the fit goes TWO-LEVEL
+    (``_kmeans_fit_hierarchical``): the flat Lloyd cost is O(n*k) per
+    iteration, and under the scaled-centroid discipline (k ~ n/125,
+    sample ~ 64*k) that term is quadratic in the corpus — the honest
+    scale limit the 100x ladder exposed (r11: 404 s of driver numpy
+    at k=1600 before vectorization, ~24 s after, still the dominant
+    share of semantic_dedup's t100x). The two-level fit trains
+    ceil(sqrt(k)) top cells, partitions the sample once, and fits
+    per-cell sub-quantizers — O(n*sqrt(k)) per iteration, the
+    standard FAISS/IVF multi-level coarse-trainer shape. Quality is
+    near-flat's (each sub-fit is a full kmeans++ Lloyd on its cell;
+    the only constraint is the top-level partition), pinned by the
+    inertia-ratio test in tests/test_semdedup.py."""
     n = len(X)
     k = max(1, min(int(k), n))
+    if k > _HIER_K_THRESHOLD:
+        return _kmeans_fit_hierarchical(X, k, seed, max_iter)
     rng = np.random.default_rng(seed)
     best, best_inertia = None, float("inf")
     for _ in range(max(1, min(int(nredo), 2048 // k))):
@@ -277,6 +305,72 @@ def _kmeans_fit(
         if inertia < best_inertia:
             best, best_inertia = C, inertia
     return best
+
+
+# Flat Lloyd is O(n*k)/iter; two-level is O(n*sqrt(k))/iter. The
+# crossover where the (n x k) distance matrix also stops fitting
+# comfortably in driver memory sits around a few hundred centroids.
+_HIER_K_THRESHOLD = 512
+
+
+def _kmeans_fit_hierarchical(
+    X: "np.ndarray", k: int, seed: int, max_iter: int
+) -> "np.ndarray":
+    """Two-level coarse quantizer for large k (see _kmeans_fit): fit
+    k1 = ceil(sqrt(k)) top-level cells, assign the sample once, then
+    fit k2_j sub-centroids inside each top cell with k2_j allocated
+    PROPORTIONAL TO CELL MASS (largest-remainder rounding, at least 1
+    per non-empty cell, never more than the cell's point count) so
+    dense regions get finer cells — the same pricing logic as the
+    global k ~ n/125 discipline, applied within the sample. Exactly
+    min(k, n_distinct-ish) centroids come back (shortfalls from tiny
+    cells are redistributed to cells with spare points). Deterministic
+    for (sample, k, seed): each sub-fit is seeded seed+j+1."""
+    n = len(X)
+    k1 = int(np.ceil(np.sqrt(k)))
+    top = _kmeans_fit(X, k1, seed, max_iter)  # k1 <= threshold: flat
+    d = (
+        (X ** 2).sum(axis=1)[:, None]
+        + (top ** 2).sum(axis=1)[None, :]
+        - 2.0 * (X @ top.T)
+    )
+    a = d.argmin(axis=1)
+    counts = np.bincount(a, minlength=len(top))
+    # proportional allocation, largest remainder; capped at cell size
+    quota = k * counts / max(1, counts.sum())
+    k2 = np.minimum(np.floor(quota).astype(int), counts)
+    k2 = np.maximum(k2, (counts > 0).astype(int))
+    # distribute the remainder to the cells with the largest
+    # fractional part that still have spare points
+    rem = k - int(k2.sum())
+    if rem > 0:
+        order = np.argsort(-(quota - np.floor(quota)))
+        for j in np.tile(order, int(np.ceil(rem / max(1, len(order)))) + 1):
+            if rem <= 0:
+                break
+            if k2[j] < counts[j]:
+                k2[j] += 1
+                rem -= 1
+    elif rem < 0:
+        order = np.argsort(quota - np.floor(quota))
+        for j in np.tile(order, 2):
+            if rem >= 0:
+                break
+            if k2[j] > (1 if counts[j] > 0 else 0):
+                k2[j] -= 1
+                rem += 1
+    parts = []
+    for j in range(len(top)):
+        if counts[j] == 0 or k2[j] == 0:
+            continue
+        members = X[a == j]
+        if k2[j] == 1:
+            parts.append(members.mean(axis=0)[None, :])
+        else:
+            parts.append(
+                _kmeans_fit(members, int(k2[j]), seed + j + 1, max_iter)
+            )
+    return np.concatenate(parts, axis=0)
 
 
 def bounded_training_sample(

@@ -428,3 +428,68 @@ def test_semantic_fuzzy_join_cell_cap_bounds_fanout(spark):
         l_df, r_df, threshold=0.9, n_centroids=1, max_cell_size=None
     ).count()
     assert full == 400
+
+
+# --- hierarchical (two-level) coarse trainer (r11) -------------------
+
+
+def _inertia(X, C):
+    d = (
+        (X ** 2).sum(axis=1)[:, None]
+        + (C ** 2).sum(axis=1)[None, :]
+        - 2.0 * (X @ C.T)
+    )
+    return float(np.maximum(d.min(axis=1), 0.0).sum())
+
+
+def test_hierarchical_fit_exact_k_deterministic_and_near_flat_quality():
+    """Past _HIER_K_THRESHOLD the trainer goes two-level (O(n*sqrt k)
+    per iteration instead of O(n*k) — the fix for the driver-fit
+    quadratic the 100x ladder exposed). Contract: exactly k centroids
+    back, deterministic for (sample, k, seed), and clustering quality
+    within 15% of the flat fit's inertia on a blobs fixture (measured
+    ~0.99x — the top-level partition constraint costs almost nothing
+    when sub-fits are full kmeans++ Lloyd runs)."""
+    from bda_spark.operators.similarity import (
+        _kmeans_fit_hierarchical,
+        _kmeans_once,
+    )
+
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(40, DIM)) * 6.0
+    X = np.concatenate(
+        [c + rng.normal(scale=0.4, size=(400, DIM)) for c in centers]
+    )
+    k = 600
+    Ch = _kmeans_fit_hierarchical(X, k, seed=1, max_iter=10)
+    assert Ch.shape == (k, DIM)
+    assert np.isfinite(Ch).all()
+    again = _kmeans_fit_hierarchical(X, k, seed=1, max_iter=10)
+    assert np.array_equal(Ch, again)
+    Cf, _ = _kmeans_once(X, k, np.random.default_rng(1), 10)
+    assert _inertia(X, Ch) <= 1.15 * _inertia(X, Cf), (
+        _inertia(X, Ch),
+        _inertia(X, Cf),
+    )
+
+
+def test_kmeans_fit_dispatches_to_hierarchical_past_threshold():
+    """_kmeans_fit must route large-k fits through the two-level
+    trainer (same outputs as calling it directly) and keep small-k
+    fits flat — the production queries (k <= 256 everywhere) must be
+    bit-identical to the pre-r11 flat path."""
+    from bda_spark.operators.similarity import (
+        _HIER_K_THRESHOLD,
+        _kmeans_fit,
+        _kmeans_fit_hierarchical,
+    )
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(4000, DIM))
+    k = _HIER_K_THRESHOLD + 8
+    assert np.array_equal(
+        _kmeans_fit(X, k, seed=7, max_iter=5),
+        _kmeans_fit_hierarchical(X, k, seed=7, max_iter=5),
+    )
+    small = _kmeans_fit(X[:500], 8, seed=7, max_iter=5)
+    assert small.shape == (8, DIM)

@@ -345,23 +345,20 @@ TWO_DECADE_QUERIES = (
 )
 TWO_DECADE_EXPONENT_CAP = 1.15  # near-linear + noise; quadratic reads ~2
 
-# Per-query second-decade bounds where the documented cost model is
-# NOT plain-linear. semantic_dedup's scaled-centroid discipline
-# (k ~ n/125, constant expected cell size) keeps the within-cell pair
-# work linear but makes the DRIVER kmeans fit O(k * sample) =
-# O(n^2 / 125^2 * dim) — negligible in the first decade (constant-
-# dominated), a visible share of t100x (measured ~24 s of ~114 s at
-# k=1600 even after the r11 vectorized fit). The honest production
-# path past ~10^6 vectors is a hierarchical (two-level) coarse
-# trainer, which this repo documents but does not implement; the
-# bound records the fit term instead of hiding it under the generic
-# linear bound.
-PER_QUERY_2D_BOUND = {"semantic_dedup": 25.0}
+# Per-query second-decade bound overrides where the documented cost
+# model is NOT plain-linear (none currently: semantic_dedup carried a
+# 25.0 override while its driver kmeans fit was flat O(k * sample) =
+# O(n^2/125^2 * dim) — the r11 two-level trainer
+# (similarity._kmeans_fit_hierarchical) cut the fit to O(n * sqrt(k))
+# per iteration, 404 s -> ~10 s at k=1600, and the measured 100x rung
+# moved back under the generic bound).
+PER_QUERY_2D_BOUND: dict[str, float] = {}
 PER_QUERY_2D_NOTE = {
     "semantic_dedup": (
-        "k~n/125 keeps cell size constant (pair work linear) but makes "
-        "the driver kmeans fit O(n^2/125^2*dim); fit is ~24 s of t100x. "
-        "Past ~1e6 vectors train hierarchically (two-level kmeans)."
+        "k~n/125 keeps cell size constant (pair work linear); the "
+        "coarse fit is the two-level O(n*sqrt(k))/iter trainer, "
+        "leaving an O(n^1.5)-with-tiny-constant driver term "
+        "(~10 s at k=1600). Exactly n fate rows at every rung."
     )
 }
 
