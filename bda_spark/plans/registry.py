@@ -108,13 +108,50 @@ DRIVER_ROW_CAP = 50
 #     a twin of gold_daily_orders + the grouping-analytics rows; the
 #     row funds the S-ext CSV tick capture source, never
 #     driver-verified)
+#
+# ROUND-12 REFRESH (VERDICT r11 task 1 — close the verification debt
+# in ONE rotation): the 11 remaining never-driver-verified
+# SQL-expressible components each take the row of a multi-round
+# driver-green twin whose family stays anchored in-window. With this
+# swap the union of CORRECTNESS_r01..r12 windows covers EVERY
+# SQL-expressible registered query at least once —
+#   doc_decontaminate      -> doc_contamination_spans (span-level half
+#     of the same decontamination family; doc_decontaminate was
+#     driver-green r01-r11 and keeps its oracle in the tail)
+#   semantic_dedup_keepers -> semantic_dedup_pairs (keepers got its
+#     row in r11 green; pairs is the exact-regime oracle face of the
+#     same SemDeDup operator)
+#   docs_pack_sequences    -> doc_chunks_overlap (chunking/packing
+#     family; pack green r09-r11 + conservation pytest)
+#   lineitem_quantity_quantiles -> events_quantile_sketch_rollup
+#     (quantile family; the sketch-table rollup was born post-cap)
+#   orders_rank_topk       -> customer_balance_ntiles (window-function
+#     family: rank/topk green since r01; ntile never driver-seen)
+#   keyword_counts         -> keyword_counts_sketch (count family;
+#     Misra-Gries exact-regime twin gets its first driver row)
+#   exact_dedup_keyset     -> doc_canonical_fingerprints (key-dedup
+#     family keeps dedup_by_key oracle in the tail; the normalization
+#     fingerprint layer never driver-seen)
+#   doc_duplicate_passages -> doc_decontaminate_bloom (passages got
+#     its row in r11 green; the Bloom-prefiltered decontaminate path
+#     never driver-seen)
+#   events_trailing_7d     -> pq_adc_topk (rolling-window family held
+#     by orders_recent_window + events_windowed_10min; the row funds
+#     the PQ/ADC ANN operator — the last ANN family member without a
+#     driver row)
+#   events_argmax_daily    -> docs_listagg_sources (max_by family held
+#     in-window by events_mode_daily; Spark-4 listagg never
+#     driver-seen)
+#   events_pivot_daily     -> events_variant_extract (reshape family
+#     held in-window by docs_unpivot_stats; Spark-4 VARIANT decode
+#     never driver-seen)
 DRIVER_WINDOW = [
-    "doc_decontaminate",
+    "doc_contamination_spans",
     "docs_stratified_sample",
     "docs_dsir_sample",
     "doc_unigram_logprob",
-    "semantic_dedup_keepers",
-    "docs_pack_sequences",
+    "semantic_dedup_pairs",
+    "doc_chunks_overlap",
     "generated_ticks_profile",
     "minhash_neardup_pairs",
     "neardup_clusters",
@@ -125,11 +162,11 @@ DRIVER_WINDOW = [
     "media_video_frame_sample",
     "orders_grouping_sets_margins",
     "orders_cube_customers",
-    "events_pivot_daily",
+    "events_variant_extract",
     "docs_unpivot_stats",
-    "events_argmax_daily",
-    "lineitem_quantity_quantiles",
-    "orders_rank_topk",
+    "docs_listagg_sources",
+    "events_quantile_sketch_rollup",
+    "customer_balance_ntiles",
     "pricing_summary",
     "gold_daily_orders",
     "regional_order_stats",
@@ -141,18 +178,18 @@ DRIVER_WINDOW = [
     "csv_tick_ingest",
     "report_corr_matrix",
     "doc_langid",
-    "keyword_counts",
+    "keyword_counts_sketch",
     "doc_quality_scores",
     "events_mode_daily",
     "doc_tfidf_terms",
-    "exact_dedup_keyset",
-    "doc_duplicate_passages",
+    "doc_canonical_fingerprints",
+    "doc_decontaminate_bloom",
     "doc_repetition_scores",
     "doc_pii_scan",
     "events_windowed_10min",
     "events_bucket_join_corr",
     "events_lead_label",
-    "events_trailing_7d",
+    "pq_adc_topk",
     "events_daily_kpis",
     "events_spearman",
     "events_interpolate_1h",
@@ -179,29 +216,18 @@ DEFERRED_TAIL = [
     "events_json_extract",     # JSON path twin of features_json_roundtrip
     "cosine_topk",             # cosine_topk_bucketed's oracle IS this brute force
     "ngram_jaccard_pairs",     # exact all-pairs Jaccard IS minhash_neardup_pairs' oracle
-    "doc_contamination_spans", # span-level twin of in-window doc_decontaminate
     "events_5s_resample",      # time-bucket agg twin of events_windowed_10min
     "dedup_by_key",            # key-dedup semantics proven by exact_dedup_keyset
     "report_rmse_naive",       # KPI twin of events_daily_kpis/report_corr_matrix
     "top_customers",           # join+topk ⊂ regional_order_stats + orders_rank_topk
     "profile_stats_orders",    # describe-profile twin of generated_ticks_profile
     "union_account_balances",  # trivial union; silver melt pytest covers U1
-    "doc_chunks_overlap",      # born post-cap; md5-pinned by pytest oracle run
-    "doc_decontaminate_bloom", # Bloom-prefiltered twin; shares doc_decontaminate's oracle
     # Post-cap additions (window full): new components whose oracle runs
     # every pytest (test_oracle_queries), driver row deliberately ceded
     # to keep the 50-row window stable across rounds.
-    "keyword_counts_sketch",    # Misra-Gries twin of keyword_counts (exact regime)
     "events_distinct_sketch_rollup",  # HLL sketch-table rollup (exact regime)
-    "doc_canonical_fingerprints",  # normalization layer; md5 family twin
-    "events_variant_extract",   # Spark-4 VARIANT decode; oracle = JSON-text twin
-    "customer_balance_ntiles",  # ntile(4) quartiles; window family w/ orders_rank_topk
-    "docs_listagg_sources",     # Spark-4 listagg WITHIN GROUP; deterministic ordered concat
     "events_spearman_approx",   # binned-rank sketch twin of events_spearman (rows-only)
-    "events_quantile_sketch_rollup",  # histogram sketch-table twin of the HLL rollup
     "doc_compression_ratio",    # zlib quality signal (rows-only: no zlib in DuckDB)
-    "semantic_dedup_pairs",     # SemDeDup candidates, exact (1-cell) regime
-    "pq_adc_topk",              # PQ/ADC ANN, corpus-covering-oversample exact regime
     # Ceded their driver rows in the ROUND-9 REFRESH (see DRIVER_WINDOW):
     "doc_rolling_fingerprints", # rolling-hash family: doc_fingerprints twin
     "features_json_roundtrip",  # JSON path twin of events_json_extract + pytest inverse
@@ -217,6 +243,18 @@ DEFERRED_TAIL = [
     "cosine_topk_bucketed",     # its oracle IS the tail's cosine_topk brute force
     "ivf_topk",                 # ANN exactness oracles run every pytest; pq_adc/sq8 twins too
     "report_weekly_rollup",     # weekly date-trunc agg twin of gold_daily_orders
+    # Ceded their driver rows in the ROUND-12 REFRESH (see DRIVER_WINDOW):
+    "doc_decontaminate",        # r01-r11 driver-green; family keeps spans + bloom in-window
+    "semantic_dedup_keepers",   # r11 driver-green; pairs (exact regime) takes the row
+    "docs_pack_sequences",      # r09-r11 driver-green; chunking twin takes the row
+    "lineitem_quantity_quantiles",  # quantile family row -> events_quantile_sketch_rollup
+    "orders_rank_topk",         # window-fn family row -> customer_balance_ntiles
+    "keyword_counts",           # r01-r11 driver-green; Misra-Gries exact twin takes the row
+    "exact_dedup_keyset",       # r01-r11 driver-green; canonical fingerprints take the row
+    "doc_duplicate_passages",   # r11 driver-green; Bloom decontaminate takes the row
+    "events_trailing_7d",       # r09-r11 driver-green; PQ/ADC ANN takes the row
+    "events_argmax_daily",      # max_by family held by events_mode_daily
+    "events_pivot_daily",       # reshape family held by docs_unpivot_stats
 ]
 
 

@@ -20,29 +20,23 @@ MUST_BE_IN_WINDOW = [
     "events_lead_label",
     "scraped_articles",
     "generated_ticks_profile",
-    "doc_decontaminate",
     "docs_stratified_sample",
-    "docs_pack_sequences",
     "doc_unigram_logprob",
     "events_sessionize",
-    # round-4 OLAP widening: reshape + grouping-set + argmax rows
+    # round-4 OLAP widening: reshape + grouping-set rows (pivot/argmax
+    # ceded in r12 to their in-window family twins)
     "orders_cube_customers",
-    "events_pivot_daily",
     "docs_unpivot_stats",
-    "events_argmax_daily",
     # flagship dedup/ANN + multimodal rows — the LLM-pipeline surface the
     # judge grades first-class; must never lose their driver rows
     "minhash_neardup_pairs",
     "neardup_clusters",
     "media_image_features",
     "doc_langid",
-    "exact_dedup_keyset",
-    "doc_duplicate_passages",
     "doc_repetition_scores",
     "doc_pii_scan",
-    # round-9 window refresh: the three promoted driver-unverified rows
+    # round-9 window refresh: the promoted driver-unverified row
     "doc_tfidf_terms",
-    "events_trailing_7d",
     # round-10 window refresh: the promotions
     "docs_dsir_sample",
     "orders_grouping_sets_margins",
@@ -52,11 +46,24 @@ MUST_BE_IN_WINDOW = [
     # before; simhash_neardup_strict / cosine_topk_bucketed / ivf_topk /
     # docs_mixture_weights / report_weekly_rollup ceded after multiple
     # driver-green rounds — all stay oracle-verified in the tail)
-    "semantic_dedup_keepers",
     "docs_fuzzy_join",
     "embeddings_fuzzy_join",
     "events_expectations_metrics",
     "csv_tick_ingest",
+    # round-12 window refresh: the 11 promotions that close the
+    # verification debt — every SQL-expressible registered query has
+    # now held a driver row in some CORRECTNESS_r01..r12 window
+    "doc_contamination_spans",
+    "semantic_dedup_pairs",
+    "doc_chunks_overlap",
+    "events_quantile_sketch_rollup",
+    "customer_balance_ntiles",
+    "keyword_counts_sketch",
+    "doc_canonical_fingerprints",
+    "doc_decontaminate_bloom",
+    "pq_adc_topk",
+    "docs_listagg_sources",
+    "events_variant_extract",
 ]
 
 
@@ -80,9 +87,10 @@ def test_driver_window_keys_are_frozen():
     module import order, a forgotten DEFERRED_TAIL entry) silently
     swaps which operators get driver verification. The window is pinned
     by registry.DRIVER_WINDOW; this test asserts the runtime order
-    matches the pin AND that the delta vs the r10-recorded window is
-    EXACTLY the five deliberate round-11 swaps — any other drift is
-    an accident."""
+    matches the pin AND that the delta vs the r11-recorded window is
+    EXACTLY the eleven deliberate round-12 swaps (VERDICT r11 task 1:
+    the rotation that closes the last verification debt) — any other
+    drift is an accident."""
     import json
     import os
 
@@ -90,24 +98,61 @@ def test_driver_window_keys_are_frozen():
 
     got = list(get_queries())[:DRIVER_ROW_CAP]
     assert got == DRIVER_WINDOW
-    r10 = os.path.join(
-        os.path.dirname(os.path.dirname(__file__)), "CORRECTNESS_r10.json"
+    r11 = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "CORRECTNESS_r11.json"
     )
-    old = set(json.load(open(r10)))
+    old = set(json.load(open(r11)))
     assert old - set(got) == {
-        "docs_mixture_weights",
-        "simhash_neardup_strict",
-        "cosine_topk_bucketed",
-        "ivf_topk",
-        "report_weekly_rollup",
+        "doc_decontaminate",
+        "semantic_dedup_keepers",
+        "docs_pack_sequences",
+        "lineitem_quantity_quantiles",
+        "orders_rank_topk",
+        "keyword_counts",
+        "exact_dedup_keyset",
+        "doc_duplicate_passages",
+        "events_trailing_7d",
+        "events_argmax_daily",
+        "events_pivot_daily",
     }
     assert set(got) - old == {
-        "semantic_dedup_keepers",
-        "docs_fuzzy_join",
-        "embeddings_fuzzy_join",
-        "events_expectations_metrics",
-        "csv_tick_ingest",
+        "doc_contamination_spans",
+        "semantic_dedup_pairs",
+        "doc_chunks_overlap",
+        "events_quantile_sketch_rollup",
+        "customer_balance_ntiles",
+        "keyword_counts_sketch",
+        "doc_canonical_fingerprints",
+        "doc_decontaminate_bloom",
+        "pq_adc_topk",
+        "docs_listagg_sources",
+        "events_variant_extract",
     }
+
+
+def test_union_of_driver_windows_covers_every_sql_expressible_query():
+    """The r12 rotation's DONE criterion (VERDICT r11 task 1): every
+    registered query with a SQL oracle has held a driver CORRECTNESS
+    row in at least one of the r01..r12 windows. Recorded windows are
+    read from the committed CORRECTNESS_r*.json files; the r12 window
+    is DRIVER_WINDOW itself (recorded by the driver after this round's
+    commit). Rows-only-by-design queries (no oracle) are exempt — the
+    driver could only give them the weaker rows-only check, which
+    pytest already subsumes."""
+    import glob
+    import json
+    import os
+
+    from bda_spark.plans.registry import DRIVER_WINDOW
+
+    root = os.path.dirname(os.path.dirname(__file__))
+    seen: set[str] = set(DRIVER_WINDOW)
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        seen |= set(json.load(open(path)))
+    missing = [k for k in get_oracles() if k not in seen]
+    assert not missing, (
+        f"SQL-expressible queries never driver-verified: {missing}"
+    )
 
 
 def test_queries_and_oracles_share_order_and_keys():
