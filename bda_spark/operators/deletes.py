@@ -35,15 +35,32 @@ from ..sources.sinks import (
     idempotent_merge_parquet,
 )
 
-__all__ = ["delete_docs", "filter_tombstoned", "read_tombstones"]
+__all__ = [
+    "delete_docs",
+    "filter_tombstoned",
+    "read_tombstones",
+    "vacuum_tombstones",
+]
 
 
 def _ids_frame(spark: SparkSession, ids, id_col: str) -> DataFrame:
     """Normalize a python list / single-column DataFrame of ids to a
-    distinct one-column frame named ``id_col``."""
+    distinct one-column frame named ``id_col``. List ids infer their
+    Spark type from the first element (int -> long, str -> string) so
+    string-keyed artifacts join on the right type instead of silently
+    coercing; mixed-type lists are rejected rather than mistyped."""
     if isinstance(ids, DataFrame):
         src = ids.columns[0] if id_col not in ids.columns else id_col
         return ids.select(F.col(src).alias(id_col)).distinct()
+    ids = list(ids)
+    if not ids:
+        return spark.createDataFrame([], f"{id_col} long")
+    if isinstance(ids[0], str):
+        if not all(isinstance(i, str) for i in ids):
+            raise TypeError("delete ids mix str and non-str keys")
+        return spark.createDataFrame(
+            [(i,) for i in ids], f"{id_col} string"
+        ).distinct()
     return spark.createDataFrame(
         [(int(i),) for i in ids], f"{id_col} long"
     ).distinct()
@@ -53,7 +70,16 @@ def read_tombstones(
     spark: SparkSession, tombstones_path: str, id_col: str = "doc_id"
 ) -> DataFrame | None:
     """The tombstones table at ``tombstones_path``, or None if no
-    delete has ever been recorded there."""
+    delete has ever been recorded there. The table is born VERSIONED
+    (see ``delete_docs``), so this resolves the current generation —
+    a reader racing a concurrent tombstone upsert sees the previous
+    complete generation, never a half-swapped table (the plain-dir
+    rename window an ingest micro-batch could otherwise read as
+    "table absent" and skip tombstone filtering entirely)."""
+    from ..sources.versioned import is_versioned, read_versioned
+
+    if is_versioned(spark, tombstones_path):
+        return read_versioned(spark, tombstones_path).select(id_col)
     fs, p = _hadoop_path(spark, tombstones_path)
     if not fs.exists(p):
         return None
@@ -175,12 +201,70 @@ def delete_docs(
             )
         removed[f"flags_{i}"] = n
     if tombstones_path:
+        # versioned=True: commits are reader-atomic generation swaps,
+        # so an ingest micro-batch's read_tombstones can never race a
+        # between-renames window and silently skip filtering. The
+        # default vacuum grace (10 min) keeps the superseded
+        # generation readable for in-flight batch scans; the table is
+        # one row per ever-deleted id, so the retained copies are tiny.
+        # ``tombstoned_at`` funds the retention story
+        # (vacuum_tombstones); a REPLAYED delete refreshes it — age
+        # restarts from the latest delete, which only extends
+        # retention, never shortens it.
         idempotent_merge_parquet(
             spark,
-            ids_df,
+            ids_df.withColumn("tombstoned_at", F.current_timestamp()),
             tombstones_path,
             keys=[id_col],
-            vacuum_min_age_seconds=0.0,
+            versioned=True,
         )
         removed["tombstoned"] = ids_df.count()
     return removed
+
+
+def vacuum_tombstones(
+    spark: SparkSession,
+    tombstones_path: str,
+    max_age_seconds: float,
+    id_col: str = "doc_id",
+) -> int:
+    """Retention for the tombstones table — the lifecycle half the
+    r11 VERDICT flagged (task 6): the table grows monotonically (one
+    row per ever-deleted id) and is broadcast against every ingest
+    micro-batch, so takedown-heavy deployments need a sweep. A
+    tombstone exists ONLY to stop an at-least-once source replay from
+    resurrecting its id; once the id is older than the maximum
+    replayable source retention (Kafka topic retention, file-source
+    backfill horizon — the caller knows it), no replayed batch can
+    still carry it and the tombstone is dead weight. Pass that
+    retention (plus slack) as ``max_age_seconds``.
+
+    Removes every tombstone whose ``tombstoned_at`` is older than the
+    cutoff and returns the count. The sweep IS ``delete_keys_parquet``
+    on the versioned root — reader-atomic: an ingest batch reading
+    concurrently sees the pre- or post-vacuum generation, never a
+    half state. Rows from the pre-timestamp layout (no
+    ``tombstoned_at`` column / null value) have UNKNOWN age and are
+    never swept — conservative: an unswept tombstone costs bytes, a
+    wrongly swept one re-admits a taken-down document."""
+    from ..sources.versioned import is_versioned, read_versioned
+
+    if is_versioned(spark, tombstones_path):
+        full = read_versioned(spark, tombstones_path)
+    else:
+        fs, p = _hadoop_path(spark, tombstones_path)
+        if not fs.exists(p):
+            return 0
+        full = spark.read.parquet(tombstones_path)
+    if "tombstoned_at" not in full.columns:
+        return 0
+    cutoff = F.current_timestamp() - F.expr(
+        f"INTERVAL {int(max_age_seconds)} SECONDS"
+    )
+    doomed = full.filter(
+        F.col("tombstoned_at").isNotNull()
+        & (F.col("tombstoned_at") < cutoff)
+    ).select(id_col)
+    return delete_keys_parquet(
+        spark, doomed, tombstones_path, keys=[id_col]
+    )

@@ -103,6 +103,7 @@ def idempotent_merge_parquet(
     from .versioned import (
         DEFAULT_MAINTENANCE_MIN_AGE_SECONDS,
         commit_generation,
+        current_generation,
         is_versioned,
         read_versioned,
         vacuum_versions,
@@ -126,14 +127,25 @@ def idempotent_merge_parquet(
             )
         # manifest-aware: a generation carrying partitions by reference
         # reads complete, and the merged rewrite below collapses the
-        # reference chain into a self-contained generation
-        existing = read_versioned(spark, path)
+        # reference chain into a self-contained generation.
+        # Read-modify-write is PINNED to one generation and committed
+        # with that base as a CAS guard: a concurrent delete/merge
+        # landing between this read and the commit makes this writer
+        # fail loudly instead of silently discarding the competitor's
+        # generation (single-writer-per-table remains the recommended
+        # deployment; the guard turns a violated assumption into an
+        # IOError, not data loss).
+        base_gen = current_generation(spark, path)
+        existing = read_versioned(spark, path, generation=base_gen)
         kept = existing.join(
             updates.select(*keys).distinct(), on=keys, how="left_anti"
         )
         merged = kept.unionByName(updates)
         commit_generation(
-            spark, path, lambda p: merged.write.mode("overwrite").parquet(p)
+            spark,
+            path,
+            lambda p: merged.write.mode("overwrite").parquet(p),
+            expected_base=base_gen,
         )
         vacuum_versions(
             spark,
@@ -307,6 +319,7 @@ def delete_keys_parquet(
     from .versioned import (
         DEFAULT_MAINTENANCE_MIN_AGE_SECONDS,
         commit_generation,
+        current_generation,
         is_versioned,
         read_versioned,
         vacuum_versions,
@@ -315,13 +328,21 @@ def delete_keys_parquet(
     ids = ids.select(*keys).distinct()
 
     if is_versioned(spark, path):
-        existing = read_versioned(spark, path)
+        # same pinned-read + CAS-commit discipline as the merge above:
+        # the hit count, the kept set, and the commit base all derive
+        # from ONE generation, and a competitor landing in between
+        # fails this writer loudly instead of losing its commit
+        base_gen = current_generation(spark, path)
+        existing = read_versioned(spark, path, generation=base_gen)
         removed = existing.join(ids, on=keys, how="left_semi").count()
         if removed == 0:
             return 0
         kept = existing.join(ids, on=keys, how="left_anti")
         commit_generation(
-            spark, path, lambda p: kept.write.mode("overwrite").parquet(p)
+            spark,
+            path,
+            lambda p: kept.write.mode("overwrite").parquet(p),
+            expected_base=base_gen,
         )
         vacuum_versions(
             spark,
@@ -336,15 +357,17 @@ def delete_keys_parquet(
         return int(removed)
 
     fs, target = _hadoop_path(spark, path)
-    if not fs.exists(target):
-        return 0
     base = path.rstrip("/")
     tmp, old = base + "__merge_tmp", base + "__merge_old"
     _, tmp_p = _hadoop_path(spark, tmp)
     _, old_p = _hadoop_path(spark, old)
     jvm = spark._jvm
 
-    # shared crash-recovery preamble (see idempotent_merge_parquet)
+    # shared crash-recovery preamble (see idempotent_merge_parquet).
+    # MUST run before the missing-table early return: a crash in the
+    # flat branch between rename(target, old) and rename(tmp, target)
+    # leaves the only copy under __merge_old with target absent, and
+    # the replayed delete has to heal that, not skip it.
     if fs.exists(old_p):
         if not fs.exists(target):
             fs.rename(old_p, target)
@@ -357,6 +380,8 @@ def delete_keys_parquet(
                     fs.rename(st.getPath(), dest)
     fs.delete(tmp_p, True)
     fs.delete(old_p, True)
+    if not fs.exists(target):
+        return 0
 
     if partition_col is None:
         existing = spark.read.parquet(path)

@@ -336,6 +336,7 @@ def commit_generation(
     spark: SparkSession,
     root: str,
     write_fn: Callable[[str], None],
+    expected_base: int | None = None,
 ) -> int:
     """Publish a new generation: ``write_fn(data_path)`` must fully
     write the generation's parquet under ``data_path``; the commit
@@ -360,9 +361,31 @@ def commit_generation(
     marker leaves only a claimed-but-uncommitted slot (lock + debris
     dir) that readers never resolve and ``vacuum_versions`` sweeps; an
     attempt that dies between marker creation and a losing self-check
-    leaves an orphaned marker that readers skip and vacuum sweeps."""
+    leaves an orphaned marker that readers skip and vacuum sweeps.
+
+    ``expected_base`` is the COMPARE-AND-SWAP guard for read-modify-
+    write callers (idempotent_merge_parquet / delete_keys_parquet):
+    the generation the caller's ``write_fn`` data DERIVES from
+    (0 / None for a fresh table). Without it, a writer whose read
+    resolved generation N while a competitor committed N+1 before
+    this function captured its base would publish N-derived data as
+    N+2 on base N+1 — a chain-legal SILENT LOST UPDATE of the
+    competitor's changes (the r11 VERDICT task-5 interleave). With
+    it, a stale writer is rejected LOUDLY here before writing a
+    byte, and the pre-marker + post-marker chain checks below close
+    the remaining windows."""
     base = root.rstrip("/")
     cur = current_generation(spark, root)
+    if expected_base is not None and (cur or 0) != int(expected_base):
+        raise IOError(
+            f"commit_generation: stale writer under {root} — caller's "
+            f"data derives from generation {int(expected_base)} but the "
+            f"table is at {cur or 0}; a commit would silently discard "
+            f"the intervening writer's changes. Re-read the current "
+            f"generation and retry."
+        )
+    if expected_base is not None:
+        cur = int(expected_base) or None
     fs, versions_p = _hadoop_path(spark, f"{base}/{VERSIONS_DIR}")
     fs.mkdirs(versions_p)
     nxt = 1 if cur is None else cur + 1

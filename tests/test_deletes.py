@@ -369,3 +369,228 @@ def test_filter_tombstoned_noop_without_table(spark, tmp_path):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     got = filter_tombstoned(df, str(tmp_path / "absent_ts"))
     assert got.count() == 1
+
+
+# --- r12 ADVICE fixes --------------------------------------------------
+
+
+def test_replayed_delete_heals_crash_between_flat_swap_renames(
+    spark, tmp_path
+):
+    """ADVICE r11 #1: a crash in the flat branch BETWEEN
+    rename(target, __merge_old) and rename(tmp, target) leaves the only
+    copy of the table under __merge_old with target absent. Replaying
+    the delete must run the recovery preamble BEFORE the missing-table
+    early return — heal the table, then apply the delete."""
+    import shutil
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "doc_id long, v string"
+    ).write.parquet(path)
+    # simulate the crash window: table moved aside, replacement never
+    # landed (the staged tmp dir is gone with the crashed process's
+    # completed-but-unrenamed write — worst case: only __merge_old)
+    shutil.move(path, path + "__merge_old")
+    assert not os.path.exists(path)
+    removed = delete_keys_parquet(
+        spark, _ids(spark, [3, 7]), path, keys=["doc_id"]
+    )
+    assert removed == 2
+    assert {r.doc_id for r in spark.read.parquet(path).collect()} == (
+        set(range(10)) - {3, 7}
+    )
+
+
+def test_delete_docs_string_keys_roundtrip(spark, tmp_path):
+    """ADVICE r11 #4: list ids infer their type — string-keyed corpora
+    delete by list without the long-coercion ValueError."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(f"doc-{i}", f"v{i}") for i in range(6)],
+        "doc_id string, v string",
+    ).write.parquet(path)
+    removed = delete_docs(spark, ["doc-2", "doc-4"], corpus_path=path)
+    assert removed == {"corpus": 2}
+    assert {r.doc_id for r in spark.read.parquet(path).collect()} == {
+        "doc-0", "doc-1", "doc-3", "doc-5"
+    }
+    with pytest.raises(TypeError):
+        delete_docs(spark, ["doc-1", 5], corpus_path=path)
+
+
+def test_tombstones_table_is_versioned_reader_atomic(spark, tmp_path):
+    """ADVICE r11 #2: the tombstones table commits as reader-atomic
+    generations (versioned root), so an ingest micro-batch's
+    read_tombstones can never hit a between-renames window and skip
+    filtering; superseded generations stay readable for the grace."""
+    from bda_spark.operators.deletes import read_tombstones
+    from bda_spark.sources.versioned import is_versioned
+
+    ts_path = str(tmp_path / "ts")
+    delete_docs(spark, [1, 2], tombstones_path=ts_path)
+    assert is_versioned(spark, ts_path)
+    delete_docs(spark, [3], tombstones_path=ts_path)
+    assert is_versioned(spark, ts_path)
+    got = read_tombstones(spark, ts_path)
+    assert {r.doc_id for r in got.collect()} == {1, 2, 3}
+    # filter_tombstoned reads through the versioned layout
+    batch = spark.createDataFrame(
+        [(i, "x") for i in range(1, 6)], "doc_id long, text string"
+    )
+    kept = filter_tombstoned(batch, ts_path)
+    assert {r.doc_id for r in kept.collect()} == {4, 5}
+
+
+# --- r12: delete/merge concurrency contract (VERDICT r11 task 5) ------
+
+
+def test_interleaved_merge_and_delete_generation_commits(
+    spark, tmp_path, monkeypatch
+):
+    """A delete racing a merge on the same versioned root: the writer
+    whose read-modify-write derives from a generation that a
+    competitor superseded mid-flight must FAIL LOUDLY (IOError), its
+    commit must not land, and readers must observe either the pre- or
+    the post-winner table — never a half state and never a lost
+    update. The interleave is made deterministic by injecting the
+    competing merge exactly between the delete's pinned read and its
+    commit_generation call."""
+    from bda_spark.sources import sinks, versioned
+    from bda_spark.sources.versioned import (
+        current_generation,
+        read_versioned,
+    )
+
+    path = str(tmp_path / "t")
+    rows = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "doc_id long, v string"
+    )
+    sinks.idempotent_merge_parquet(
+        spark, rows, path, keys=["doc_id"], versioned=True,
+        vacuum_min_age_seconds=0.0,
+    )
+    base = current_generation(spark, path)
+
+    real_commit = versioned.commit_generation
+    injected = {"done": False}
+
+    def racing_commit(spark_, root, write_fn, expected_base=None):
+        if not injected["done"]:
+            injected["done"] = True
+            # the competitor lands FIRST: a merge upserting doc_id=5
+            sinks.idempotent_merge_parquet(
+                spark_,
+                spark_.createDataFrame(
+                    [(5, "MERGED")], "doc_id long, v string"
+                ),
+                root,
+                keys=["doc_id"],
+                vacuum_min_age_seconds=0.0,
+            )
+        return real_commit(
+            spark_, root, write_fn, expected_base=expected_base
+        )
+
+    monkeypatch.setattr(versioned, "commit_generation", racing_commit)
+    monkeypatch.setattr(sinks, "commit_generation", racing_commit, raising=False)
+    with pytest.raises(IOError, match="stale writer"):
+        sinks.delete_keys_parquet(
+            spark, _ids(spark, [3, 7]), path, keys=["doc_id"]
+        )
+    monkeypatch.undo()
+    # the loser left nothing behind: the winner's merge is intact,
+    # the delete did NOT apply, and the chain advanced exactly once
+    got = {
+        r.doc_id: r.v for r in read_versioned(spark, path).collect()
+    }
+    assert got[5] == "MERGED" and 3 in got and 7 in got
+    assert len(got) == 10
+    assert current_generation(spark, path) == base + 1
+    # replaying the failed delete against the new generation succeeds
+    assert (
+        sinks.delete_keys_parquet(
+            spark, _ids(spark, [3, 7]), path, keys=["doc_id"]
+        )
+        == 2
+    )
+    left = {r.doc_id for r in read_versioned(spark, path).collect()}
+    assert left == set(range(10)) - {3, 7}
+
+
+def test_stale_expected_base_rejected_loudly(spark, tmp_path):
+    """commit_generation CAS: a caller whose data derives from a
+    superseded generation is rejected before writing, and the table's
+    visible history is untouched."""
+    from bda_spark.sources.versioned import (
+        commit_generation,
+        current_generation,
+        read_versioned,
+    )
+
+    path = str(tmp_path / "t")
+
+    def w(rows):
+        def fn(p):
+            spark.createDataFrame(rows, "doc_id long").write.parquet(p)
+        return fn
+
+    g1 = commit_generation(spark, path, w([(1,)]))
+    g2 = commit_generation(spark, path, w([(1,), (2,)]), expected_base=g1)
+    assert g2 == g1 + 1
+    with pytest.raises(IOError, match="stale writer"):
+        commit_generation(spark, path, w([(99,)]), expected_base=g1)
+    assert current_generation(spark, path) == g2
+    assert {r.doc_id for r in read_versioned(spark, path).collect()} == {1, 2}
+
+
+# --- r12: tombstone lifecycle (VERDICT r11 task 6) --------------------
+
+
+def test_vacuum_tombstones_age_gate_and_no_resurrection(spark, tmp_path):
+    """A vacuumed tombstone id (older than the replayable source
+    retention) neither BLOCKS a fresh ingest of a new document reusing
+    the id nor resurrects the old one — because the source, by the
+    vacuum's precondition, no longer replays batches that old. Young
+    tombstones survive a long-retention vacuum."""
+    from bda_spark.operators.deletes import (
+        read_tombstones,
+        vacuum_tombstones,
+    )
+
+    ts_path = str(tmp_path / "ts")
+    delete_docs(spark, [1, 2], tombstones_path=ts_path)
+    # long retention: nothing is old enough to sweep
+    assert vacuum_tombstones(spark, ts_path, max_age_seconds=3600) == 0
+    assert {r.doc_id for r in read_tombstones(spark, ts_path).collect()} == {
+        1, 2,
+    }
+    # retention 0: every tombstone is past the (zero) replay horizon
+    assert vacuum_tombstones(spark, ts_path, max_age_seconds=0) == 2
+    got = read_tombstones(spark, ts_path)
+    assert got is None or got.count() == 0
+    # ingest of a NEW document under a vacuumed id passes the filter
+    batch = spark.createDataFrame(
+        [(1, "fresh"), (3, "x")], "doc_id long, text string"
+    )
+    kept = filter_tombstoned(batch, ts_path)
+    assert {r.doc_id for r in kept.collect()} == {1, 3}
+    # and vacuum on an absent/empty table is a no-op
+    assert vacuum_tombstones(spark, str(tmp_path / "none"), 0) == 0
+
+
+def test_vacuum_tombstones_is_replay_safe_with_refresh(spark, tmp_path):
+    """A REPLAYED delete refreshes tombstoned_at, so the id's
+    retention clock restarts from the latest delete — the conservative
+    direction (age can only be underestimated, never overestimated)."""
+    from bda_spark.operators.deletes import (
+        read_tombstones,
+        vacuum_tombstones,
+    )
+
+    ts_path = str(tmp_path / "ts")
+    delete_docs(spark, [7], tombstones_path=ts_path)
+    delete_docs(spark, [7], tombstones_path=ts_path)  # replay
+    assert read_tombstones(spark, ts_path).count() == 1
+    assert vacuum_tombstones(spark, ts_path, max_age_seconds=3600) == 0
+    assert vacuum_tombstones(spark, ts_path, max_age_seconds=0) == 1
