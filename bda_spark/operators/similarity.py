@@ -313,6 +313,50 @@ def _kmeans_fit(
 _HIER_K_THRESHOLD = 512
 
 
+def _proportional_alloc(counts: "np.ndarray", k: int) -> "np.ndarray":
+    """Allocate ``k`` sub-centroid slots across top-level cells
+    PROPORTIONAL TO CELL MASS (largest-remainder rounding): at least 1
+    per non-empty cell, never more than the cell's point count, total
+    exactly ``k`` whenever sum(counts) >= k (else sum(counts) — the
+    "n_distinct-ish" shortfall case). The remainder loop iterates only
+    cells that still have spare points and re-scans until placed —
+    a bounded tile here could exit with remainder unplaced while
+    spare capacity sat concentrated in a few cells (r11 ADVICE #5),
+    silently breaking the exactly-k contract. Shared by the driver
+    two-level trainer and the distributed coarse quantizer so their
+    allocation semantics cannot drift."""
+    counts = np.asarray(counts, dtype=np.int64)
+    quota = k * counts / max(1, counts.sum())
+    k2 = np.minimum(np.floor(quota).astype(int), counts)
+    k2 = np.maximum(k2, (counts > 0).astype(int))
+    rem = k - int(k2.sum())
+    if rem > 0:
+        order = np.argsort(-(quota - np.floor(quota)))
+        while rem > 0:
+            spare = [j for j in order if k2[j] < counts[j]]
+            if not spare:
+                break
+            for j in spare:
+                if rem <= 0:
+                    break
+                k2[j] += 1
+                rem -= 1
+    elif rem < 0:
+        order = np.argsort(quota - np.floor(quota))
+        while rem < 0:
+            shrinkable = [
+                j for j in order if k2[j] > (1 if counts[j] > 0 else 0)
+            ]
+            if not shrinkable:
+                break
+            for j in shrinkable:
+                if rem >= 0:
+                    break
+                k2[j] -= 1
+                rem += 1
+    return k2
+
+
 def _kmeans_fit_hierarchical(
     X: "np.ndarray", k: int, seed: int, max_iter: int
 ) -> "np.ndarray":
@@ -336,29 +380,7 @@ def _kmeans_fit_hierarchical(
     )
     a = d.argmin(axis=1)
     counts = np.bincount(a, minlength=len(top))
-    # proportional allocation, largest remainder; capped at cell size
-    quota = k * counts / max(1, counts.sum())
-    k2 = np.minimum(np.floor(quota).astype(int), counts)
-    k2 = np.maximum(k2, (counts > 0).astype(int))
-    # distribute the remainder to the cells with the largest
-    # fractional part that still have spare points
-    rem = k - int(k2.sum())
-    if rem > 0:
-        order = np.argsort(-(quota - np.floor(quota)))
-        for j in np.tile(order, int(np.ceil(rem / max(1, len(order)))) + 1):
-            if rem <= 0:
-                break
-            if k2[j] < counts[j]:
-                k2[j] += 1
-                rem -= 1
-    elif rem < 0:
-        order = np.argsort(quota - np.floor(quota))
-        for j in np.tile(order, 2):
-            if rem >= 0:
-                break
-            if k2[j] > (1 if counts[j] > 0 else 0):
-                k2[j] -= 1
-                rem += 1
+    k2 = _proportional_alloc(counts, k)
     parts = []
     for j in range(len(top)):
         if counts[j] == 0 or k2[j] == 0:
@@ -457,6 +479,222 @@ def nearest_centroid_col(centroids: list[list[float]]) -> "F.Column":
         return pd.Series(d.argmin(axis=1).astype(np.int32))
 
     return _nearest(F.col("embedding").cast("array<double>"))
+
+
+# Past this many centroids, shipping the whole centroid set driver-side
+# (pandas-UDF closure / plan literal) stops scaling: the k ~ n/125 cell
+# policy makes k grow LINEARLY with the corpus, so at ~1e8+ vectors the
+# centroid array alone is hundreds of MB of driver memory and literal —
+# the plan stops compiling long before the executors hurt. Above the
+# cap the semantic family switches to the DISTRIBUTED two-level
+# quantizer below: the driver only ever holds the ~sqrt(k) top-level
+# centroids; the full centroid set lives in a DataFrame and assignment
+# is a cogroup join, not a broadcast matmul. Production queries
+# (k <= 256 everywhere) never cross the cap and stay bit-identical.
+_LITERAL_K_CAP = 1024
+
+# Top-level cell-count ceiling for the distributed trainer: ceil(sqrt(k))
+# up to this bound, so the one remaining driver-side array is at most
+# 4096 x dim — fixed, corpus-independent. 4096 top cells support
+# k ~ 16M sub-centroids (k ~ n/125 => a ~2e9-vector corpus) before the
+# EXPECTED top cell exceeds the sub-fit task budget.
+_TOP_CELL_CAP = 4096
+
+
+def distributed_coarse_quantizer(
+    embeddings: DataFrame,
+    k: int,
+    seed: int = 42,
+    max_iter: int = 10,
+    train_per_centroid: int = 128,
+    n_hint: int | None = None,
+) -> tuple[list[list[float]], DataFrame]:
+    """Two-level coarse quantizer whose driver cost is CORPUS-
+    INDEPENDENT (VERDICT r11 task 2 — the scale path past
+    ``_LITERAL_K_CAP``): returns (top_centroids, sub_centroids_df).
+
+    - ``top_centroids``: k1 = min(ceil(sqrt(k)), 4096) cell centers,
+      sample-trained on the driver (``bounded_training_sample`` —
+      k1 x train_per_centroid rows, bounded regardless of corpus
+      size). This is the ONLY centroid array the driver ever holds.
+    - ``sub_centroids_df``: (top_id, centroid_id, centroid) — the full
+      k centroids as a DATAFRAME, trained DISTRIBUTED: a Bernoulli
+      sample of the corpus (k x train_per_centroid rows total, never
+      collected) is top-assigned with one Arrow map pass, then each
+      top cell's sub-centroids are fit in parallel by one
+      ``applyInPandas`` task running the shared numpy kmeans on its
+      cell's sample (rows sorted by vec_id inside the task so the fit
+      is deterministic under Spark's arbitrary group-row order).
+      Sub-slots are allocated proportional to cell mass
+      (``_proportional_alloc`` — the same largest-remainder policy as
+      the driver two-level trainer), and ``centroid_id`` is globally
+      unique and deterministic: cell j's ids occupy
+      [cumsum(k2)[j-1], cumsum(k2)[j]).
+
+    The frame is localCheckpoint-ed: every consumer (assignment,
+    keeper scoring) references it without re-running the sample + fit.
+
+    Scale shape: driver memory O(sqrt(k) x dim + k1) — NOT O(k x dim);
+    executor work O(sample x sqrt(k)) for top assignment plus
+    independent per-cell fits; the corpus itself is touched only by
+    the one sampling pass here (assignment is the caller's pass)."""
+    spark = embeddings.sparkSession
+    import pandas as pd
+
+    k = int(k)
+    k1 = int(min(max(int(np.ceil(np.sqrt(k))), 2), _TOP_CELL_CAP))
+    Xtop = bounded_training_sample(
+        embeddings, int(train_per_centroid) * k1, seed, n_hint=n_hint
+    )
+    k1 = min(k1, max(1, len(Xtop)))
+    top = _kmeans_fit(Xtop, k1, seed, max_iter)
+    top_list = top.tolist()
+
+    n = int(n_hint) if n_hint is not None else embeddings.count()
+    target = k * int(train_per_centroid)
+    frac = min(1.0, 1.05 * target / max(1, n))
+    samp = (
+        embeddings.sample(fraction=frac, seed=seed)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .withColumn("_top", nearest_centroid_col(top_list))
+    )
+    # k1 rows to the driver — prices the per-cell slot allocation
+    cell_counts = {
+        int(r["_top"]): int(r["cnt"])
+        for r in samp.groupBy("_top").agg(F.count("*").alias("cnt")).collect()
+    }
+    counts = np.zeros(len(top_list), dtype=np.int64)
+    for j, c in cell_counts.items():
+        counts[j] = c
+    k2 = _proportional_alloc(counts, k)
+    offsets = np.concatenate([[0], np.cumsum(k2)[:-1]])
+    plan = {
+        int(j): (int(k2[j]), int(offsets[j]))
+        for j in range(len(k2))
+        if k2[j] > 0
+    }
+    fit_seed, fit_iter = int(seed), int(max_iter)
+
+    def _fit_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        j = int(pdf["_top"].iloc[0])
+        kj, off = plan.get(j, (0, 0))
+        if kj <= 0:
+            return pd.DataFrame(
+                {"top_id": [], "centroid_id": [], "centroid": []}
+            ).astype({"top_id": "int32", "centroid_id": "int64"})
+        # group-row order is partition-dependent: sort by vec_id so the
+        # kmeans++ seeding sees a deterministic X for (sample, seed)
+        pdf = pdf.sort_values("vec_id", kind="stable")
+        X = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )
+        if kj == 1:
+            C = X.mean(axis=0)[None, :]
+        else:
+            C = _kmeans_fit(X, kj, fit_seed + j + 1, fit_iter)
+        return pd.DataFrame(
+            {
+                "top_id": np.full(len(C), j, dtype=np.int32),
+                "centroid_id": off + np.arange(len(C), dtype=np.int64),
+                "centroid": list(C),
+            }
+        )
+
+    sub = (
+        samp.groupBy("_top")
+        .applyInPandas(
+            _fit_cell,
+            "top_id int, centroid_id long, centroid array<double>",
+        )
+        .localCheckpoint(eager=True)
+    )
+    return top_list, sub
+
+
+def assign_cells_scalable(
+    embeddings: DataFrame,
+    top_centroids: list[list[float]],
+    sub_centroids: DataFrame,
+    id_col: str = "vec_id",
+    with_sim: bool = False,
+) -> DataFrame:
+    """Nearest-centroid assignment against a centroid TABLE — the
+    plan-literal-free twin of ``nearest_centroid_col`` for quantizers
+    past ``_LITERAL_K_CAP``. Returns (id_col, centroid_id[, cell_sim]).
+
+    Two stages: (1) one Arrow map pass assigns each vector to its
+    top-level cell (the only centroid array in the plan — bounded at
+    4096 x dim); (2) a COGROUP on the top cell id pairs each cell's
+    vectors with that cell's sub-centroids and takes the argmin with
+    one local matmul per group — the corpus shuffles ONCE on the top
+    id, the centroid table shuffles alongside (k rows — tiny), and no
+    executor ever sees more than one cell's centroids. Ties resolve
+    to the lowest centroid_id (sub-frame sorted, numpy argmin takes
+    the first minimum) — the same convention as the literal path.
+
+    A vector whose top cell holds no trained sub-centroid (possible
+    when the training sample missed a sparse cell) gets the SENTINEL
+    cell ``-top_id - 1``: deterministic, distinct per top cell, and
+    still a valid band key — such vectors band with their top-cell
+    peers and every emitted pair is exact-verified downstream, so the
+    fallback can only affect recall, never correctness. Their
+    ``cell_sim`` is 1.0 (the prototype score: never preferred by the
+    far-from-centroid keeper; ties break on id as everywhere).
+
+    ``with_sim`` adds the cosine of each vector to its own centroid —
+    the far_from_centroid keeper's score — computed in the same local
+    matmul instead of a second pass against a centroid literal."""
+    import pandas as pd
+
+    sim_field = ", cell_sim double" if with_sim else ""
+    schema = f"{id_col} long, centroid_id long{sim_field}"
+
+    def _assign(key, vecs: "pd.DataFrame", cents: "pd.DataFrame"):
+        if not len(vecs):
+            cols = {id_col: [], "centroid_id": []}
+            if with_sim:
+                cols["cell_sim"] = []
+            return pd.DataFrame(cols)
+        top_id = int(key[0])
+        ids = vecs[id_col].to_numpy()
+        if not len(cents):
+            out = {
+                id_col: ids,
+                "centroid_id": np.full(
+                    len(ids), -top_id - 1, dtype=np.int64
+                ),
+            }
+            if with_sim:
+                out["cell_sim"] = np.ones(len(ids))
+            return pd.DataFrame(out)
+        cents = cents.sort_values("centroid_id", kind="stable")
+        C = np.stack(
+            [np.asarray(c, dtype=np.float64) for c in cents["centroid"]]
+        )
+        cid = cents["centroid_id"].to_numpy()
+        X = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in vecs["embedding"]]
+        )
+        d = (C ** 2).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        a = d.argmin(axis=1)
+        out = {id_col: ids, "centroid_id": cid[a]}
+        if with_sim:
+            own = C[a]
+            denom = np.linalg.norm(X, axis=1) * np.linalg.norm(own, axis=1)
+            num = (X * own).sum(axis=1)
+            out["cell_sim"] = np.where(denom > 0.0, num / np.maximum(denom, 1e-300), 0.0)
+        return pd.DataFrame(out)
+
+    staged = embeddings.select(
+        id_col,
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        nearest_centroid_col(top_centroids).alias("_top"),
+    )
+    return (
+        staged.groupBy("_top")
+        .cogroup(sub_centroids.groupBy("top_id"))
+        .applyInPandas(_assign, schema)
+    )
 
 
 def ivf_index(
@@ -651,6 +889,7 @@ def semantic_neardup_pairs(
     n_hint: int | None = None,
     max_cell_size: int = 256,
     centroids: list[list[float]] | None = None,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via LEARNED k-means cells — the
     candidate-generation half of SemDeDup (Abbas et al., "SemDeDup:
@@ -687,23 +926,46 @@ def semantic_neardup_pairs(
     in n."""
     from .dedup import _banded_candidates
 
-    if centroids is None:
-        _, centroids = ivf_index(
-            embeddings,
-            n_centroids=n_centroids,
-            seed=seed,
-            max_iter=max_iter,
-            n_hint=n_hint,
-        )
-    # one materialization (same discipline as the MinHash signature
-    # frame and the SimHash key arrays): _banded_candidates references
-    # the cells frame from 4 plan branches (hot detection, anti/semi
-    # routing, both self-join sides) — uncheckpointed, the corpus scan
-    # + Arrow assignment would re-run per branch. Two longs per row.
-    cells = embeddings.select(
-        F.col("vec_id").alias("doc_id"),
-        nearest_centroid_col(centroids).alias("band_key"),
-    ).localCheckpoint(eager=True)
+    if cells is None:
+        if centroids is None and int(n_centroids) > _LITERAL_K_CAP:
+            # scale path (VERDICT r11 task 2): k grows with the corpus
+            # under the k ~ n/125 cell policy, so past the cap the
+            # centroid set must never be a driver array / plan
+            # literal — train distributed, assign via cogroup.
+            top, sub = distributed_coarse_quantizer(
+                embeddings,
+                int(n_centroids),
+                seed=seed,
+                max_iter=max_iter,
+                n_hint=n_hint,
+            )
+            cells = (
+                assign_cells_scalable(embeddings, top, sub)
+                .select(
+                    F.col("vec_id").alias("doc_id"),
+                    F.col("centroid_id").alias("band_key"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        else:
+            if centroids is None:
+                _, centroids = ivf_index(
+                    embeddings,
+                    n_centroids=n_centroids,
+                    seed=seed,
+                    max_iter=max_iter,
+                    n_hint=n_hint,
+                )
+            # one materialization (same discipline as the MinHash
+            # signature frame and the SimHash key arrays):
+            # _banded_candidates references the cells frame from 4 plan
+            # branches (hot detection, anti/semi routing, both
+            # self-join sides) — uncheckpointed, the corpus scan +
+            # Arrow assignment would re-run per branch. Two longs/row.
+            cells = embeddings.select(
+                F.col("vec_id").alias("doc_id"),
+                nearest_centroid_col(centroids).alias("band_key"),
+            ).localCheckpoint(eager=True)
     cands = _banded_candidates(cells, max_cell_size).select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
@@ -746,19 +1008,48 @@ def semantic_dedup(
     one row per corpus vector, nothing pairwise."""
     from .dedup import neardup_clusters
 
-    _, centroids = ivf_index(
-        embeddings,
-        n_centroids=n_centroids,
-        seed=seed,
-        max_iter=max_iter,
-        n_hint=n_hint,
-    )
-    pairs = semantic_neardup_pairs(
-        embeddings,
-        threshold=threshold,
-        max_cell_size=max_cell_size,
-        centroids=centroids,
-    )
+    scalable = int(n_centroids) > _LITERAL_K_CAP
+    if scalable:
+        # scale path (VERDICT r11 task 2): centroids stay a DataFrame,
+        # assignment is the cogroup join — the driver never holds or
+        # plan-embeds the k-proportional centroid array. One
+        # assignment pass serves both the banding cells AND the
+        # far_from_centroid keeper score (cell_sim).
+        centroids = None
+        top, sub = distributed_coarse_quantizer(
+            embeddings,
+            int(n_centroids),
+            seed=seed,
+            max_iter=max_iter,
+            n_hint=n_hint,
+        )
+        assigned = assign_cells_scalable(
+            embeddings, top, sub, with_sim=(keep == "far_from_centroid")
+        ).localCheckpoint(eager=True)
+        cells = assigned.select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("centroid_id").alias("band_key"),
+        )
+        pairs = semantic_neardup_pairs(
+            embeddings,
+            threshold=threshold,
+            max_cell_size=max_cell_size,
+            cells=cells,
+        )
+    else:
+        _, centroids = ivf_index(
+            embeddings,
+            n_centroids=n_centroids,
+            seed=seed,
+            max_iter=max_iter,
+            n_hint=n_hint,
+        )
+        pairs = semantic_neardup_pairs(
+            embeddings,
+            threshold=threshold,
+            max_cell_size=max_cell_size,
+            centroids=centroids,
+        )
     comp = neardup_clusters(
         pairs.select(
             F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
@@ -779,19 +1070,27 @@ def semantic_dedup(
         )
     if keep != "far_from_centroid":
         raise ValueError(f"keep must be min_id|far_from_centroid: {keep!r}")
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
-    own = F.element_at(cent_lit, nearest_centroid_col(centroids) + 1)
-    sim = cosine_similarity_col(
-        F.col("embedding").cast("array<double>"), own
-    )
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("_csim").asc(), F.col("vec_id").asc()
     )
+    if scalable:
+        # the keeper score came out of the assignment cogroup — a
+        # (vec_id, cell_sim) join, never a centroid literal
+        scored = labeled.join(
+            assigned.select("vec_id", F.col("cell_sim").alias("_csim")),
+            "vec_id",
+        )
+    else:
+        cent_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        )
+        own = F.element_at(cent_lit, nearest_centroid_col(centroids) + 1)
+        sim = cosine_similarity_col(
+            F.col("embedding").cast("array<double>"), own
+        )
+        scored = labeled.withColumn("_csim", sim)
     return (
-        labeled.withColumn("_csim", sim)
-        .withColumn(
+        scored.withColumn(
             "is_kept", (F.row_number().over(w) == 1).cast("int")
         )
         .select("vec_id", "cluster_id", "is_kept")

@@ -327,15 +327,18 @@ def build_and_measure(spark, src_dir: str, work_dir: str, factor: int) -> dict:
 # per-job overhead (session/plan/scheduler, ~0.3-1 s here) is a
 # visible share of t1x — so the assertion is one-sided: e must stay
 # BELOW the near-linear cap; a small e does not prove sublinearity.
-#   doc_duplicate_passages ~1.0 (inverted index, capped buckets;
-#                                measured exactly 100x the spans at
-#                                100x the docs)
-#   semantic_dedup        ~1.0 + the driver kmeans fit's O(k*sample)
-#                                = O(n^2/125^2 * 64) term — made
-#                                affordable by the vectorized fit +
-#                                k-scaled nredo (was 400+ s of driver
-#                                numpy at k=1600 before r11; the 100x
-#                                rung was unmeasurable)
+#   doc_duplicate_passages ~1.0 (inverted index, capped buckets,
+#                                r12 singleton-gram prefilter so only
+#                                repeated grams shuffle posting
+#                                structs; measured exactly 100x the
+#                                spans at 100x the docs)
+#   semantic_dedup        ~1.0 (r12: past _LITERAL_K_CAP the coarse
+#                                quantizer trains DISTRIBUTED and
+#                                assigns via cogroup — the former
+#                                driver-fit O(n^1.5) term and the
+#                                k-linear centroid broadcast are both
+#                                gone; driver cost is now
+#                                corpus-independent)
 TWO_DECADE_QUERIES = (
     "minhash_neardup_pairs",
     "ivf_sq8_topk",
@@ -355,11 +358,25 @@ TWO_DECADE_EXPONENT_CAP = 1.15  # near-linear + noise; quadratic reads ~2
 PER_QUERY_2D_BOUND: dict[str, float] = {}
 PER_QUERY_2D_NOTE = {
     "semantic_dedup": (
-        "k~n/125 keeps cell size constant (pair work linear); the "
-        "coarse fit is the two-level O(n*sqrt(k))/iter trainer, "
-        "leaving an O(n^1.5)-with-tiny-constant driver term "
-        "(~10 s at k=1600). Exactly n fate rows at every rung."
-    )
+        "k~n/125 keeps cell size constant (pair work linear). Past "
+        "_LITERAL_K_CAP=1024 centroids (the 100x rung's k=1600) the "
+        "coarse quantizer is the r12 DISTRIBUTED two-level trainer "
+        "(similarity.distributed_coarse_quantizer): the driver holds "
+        "only ~sqrt(k) top centroids, the full centroid set is a "
+        "DataFrame, sub-fits run per-cell in applyInPandas, and "
+        "assignment is a cogroup join — no k-proportional driver "
+        "array, broadcast, or plan literal anywhere, so the former "
+        "O(n^1.5) driver-fit ceiling is gone. Exactly n fate rows "
+        "at every rung."
+    ),
+    "doc_duplicate_passages": (
+        "r12 singleton-gram prefilter: the inverted index counts "
+        "gram occurrences first (map-side-combined 16-byte rows) "
+        "and only grams seen 2..cap times shuffle their (doc_id, "
+        "pos) structs into posting lists — in a mostly-unique "
+        "corpus the all-occurrence struct shuffle WAS the "
+        "second-decade cost (r11 ratio 5.06)."
+    ),
 }
 
 
