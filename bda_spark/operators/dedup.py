@@ -931,35 +931,10 @@ def duplicate_passages(
     from pyspark.sql import Window
 
     positioned = positional_grams(docs, n, id_col=id_col, text_col=text_col)
-    # Singleton-gram prefilter (VERDICT r11 task 3 — the second-decade
-    # cost): in a mostly-unique corpus MOST grams occur exactly once
-    # and can never seed a duplicate passage, yet the old plan shuffled
-    # every occurrence's (doc_id, pos) struct into collect_list just to
-    # drop the bucket afterwards. Count first: the count agg's shuffle
-    # carries map-side-combined (gh, count) rows — 16 bytes per
-    # distinct gram per partition, no struct payload — and the
-    # SURVIVOR set (grams seen 2..cap times) is small, so AQE turns
-    # the semi-join into a broadcast at runtime and the collect_list
-    # shuffle carries only repeated-gram occurrences. Trade: the gram
-    # pipeline is computed twice (higher-order lambdas defeat exchange
-    # reuse — module note above) — deliberate: regenerating hashes is
-    # cpu-linear and cheap; the all-occurrence struct shuffle was the
-    # scarce resource. Semantics are bit-identical: a singleton bucket
-    # expanded to zero pairs before, and the occurrence-count cap is
-    # the same number collect_list's size filter enforced.
-    keep_grams = (
-        positioned.groupBy("gh")
-        .agg(F.count("*").alias("_occ"))
-        .filter(
-            (F.col("_occ") >= 2)
-            & (F.col("_occ") <= int(max_gram_occurrences))
-        )
-        .select("gh")
-    )
     buckets = (
-        positioned.join(keep_grams, "gh", "left_semi")
-        .groupBy("gh")
+        positioned.groupBy("gh")
         .agg(F.collect_list(F.struct("doc_id", "pos")).alias("ms"))
+        .filter(F.size("ms") <= int(max_gram_occurrences))
     )
     ms = F.col("ms")
 
