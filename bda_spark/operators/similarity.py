@@ -811,6 +811,83 @@ def probe_cells(
     )
 
 
+def probe_cells_scalable(
+    queries: DataFrame,
+    top_centroids: list[list[float]],
+    sub_centroids: DataFrame,
+    n_probe: int,
+) -> DataFrame:
+    """(query_id, centroid_id) for each query's ``n_probe`` nearest
+    cells when the centroid set is a TABLE (two-level layout) — the
+    plan-literal-free twin of ``probe_cells``. Three stages: (1) each
+    query's ``n_probe`` nearest TOP cells via the bounded top literal
+    (the standard hierarchical-IVF heuristic: the globally nearest
+    sub-centroids concentrate in the nearest top cells, so probing
+    n_probe top cells before ranking sub-centroids trades a bounded
+    recall heuristic for corpus-independent driver state — every
+    emitted match is still exact-cosine verified downstream); (2) a
+    cogroup pairs each probed top cell's queries with that cell's
+    sub-centroids and keeps each query's ``n_probe`` nearest WITHIN
+    the group (argpartition — bounds the emitted frame at
+    |queries| x n_probe^2); (3) one window takes the global
+    ``n_probe`` smallest d2 per query (ties to lowest centroid_id,
+    matching ``probe_cells``). Corpus vectors parked in SENTINEL
+    cells (top cells the training sample missed — see
+    ``assign_cells_scalable``) are never probed: the same
+    recall-only, correctness-neutral fallback as assignment."""
+    import pandas as pd
+
+    top_probes = probe_cells(queries, top_centroids, n_probe=n_probe)
+    v = F.col("embedding").cast("array<double>")
+    staged = top_probes.join(
+        queries.select(F.col("vec_id").alias("query_id"), v.alias("qv")),
+        "query_id",
+    ).withColumnRenamed("centroid_id", "_top")
+
+    kp = int(n_probe)
+
+    def _rank(key, qs: "pd.DataFrame", cents: "pd.DataFrame"):
+        if not len(qs) or not len(cents):
+            return pd.DataFrame(
+                {"query_id": [], "centroid_id": [], "d2": []}
+            )
+        cents = cents.sort_values("centroid_id", kind="stable")
+        C = np.stack(
+            [np.asarray(c, dtype=np.float64) for c in cents["centroid"]]
+        )
+        cid = cents["centroid_id"].to_numpy()
+        X = np.stack([np.asarray(q, dtype=np.float64) for q in qs["qv"]])
+        d = (
+            (X ** 2).sum(axis=1)[:, None]
+            + (C ** 2).sum(axis=1)[None, :]
+            - 2.0 * (X @ C.T)
+        )
+        m = min(kp, d.shape[1])
+        part = np.argpartition(d, m - 1, axis=1)[:, :m]
+        rows = np.repeat(qs["query_id"].to_numpy(), m)
+        return pd.DataFrame(
+            {
+                "query_id": rows,
+                "centroid_id": cid[part].ravel(),
+                "d2": np.take_along_axis(d, part, axis=1).ravel(),
+            }
+        )
+
+    ranked = (
+        staged.groupBy("_top")
+        .cogroup(sub_centroids.groupBy("top_id"))
+        .applyInPandas(_rank, "query_id long, centroid_id long, d2 double")
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("centroid_id")
+    )
+    return (
+        ranked.withColumn("_pr", F.row_number().over(wprobe))
+        .filter(F.col("_pr") <= kp)
+        .select("query_id", "centroid_id")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -1119,10 +1196,45 @@ def semantic_index_build(
                    cells. Float embeddings, not SQ8 codes: dedup
                    thresholding wants exact cosine, and the read set
                    per batch is a few cells, not the corpus.
-      ``meta/``  — single row: the centroid list.
+      ``meta/``  — single row: the centroid list (flat layout), or the
+                   TOP-level centroid list plus a layout marker
+                   (two-level layout, below).
+      ``centroids/`` — two-level layout only: the full sub-centroid
+                   TABLE (top_id, centroid_id, centroid).
+
+    Past ``_LITERAL_K_CAP`` centroids the index is built and persisted
+    in the TWO-LEVEL layout (VERDICT r11 task 2, extended to the
+    persisted artifact): the quantizer trains distributed
+    (``distributed_coarse_quantizer``), corpus assignment runs through
+    the cogroup path, ``meta/`` holds only the bounded top-centroid
+    list, and the k-proportional centroid set is a parquet TABLE —
+    so building, matching against, and appending to the index never
+    holds or plan-embeds a k-sized array on the driver.
 
     ``semantic_match_new`` is the read side,
     ``semantic_index_append`` the live-corpus maintenance."""
+    spark = embeddings.sparkSession
+    base = path.rstrip("/")
+    if int(n_centroids) > _LITERAL_K_CAP:
+        top, sub = distributed_coarse_quantizer(
+            embeddings,
+            int(n_centroids),
+            seed=seed,
+            max_iter=max_iter,
+            n_hint=n_hint,
+        )
+        cells = embeddings.select("vec_id", "embedding").join(
+            assign_cells_scalable(embeddings, top, sub), "vec_id"
+        )
+        cells.repartition("centroid_id").write.mode(
+            "overwrite"
+        ).partitionBy("centroid_id").parquet(f"{base}/cells")
+        sub.write.mode("overwrite").parquet(f"{base}/centroids")
+        spark.createDataFrame(
+            [(top, "two_level")],
+            "centroids array<array<double>>, layout string",
+        ).write.mode("overwrite").parquet(f"{base}/meta")
+        return
     _, centroids = ivf_index(
         embeddings,
         n_centroids=n_centroids,
@@ -1135,19 +1247,35 @@ def semantic_index_build(
         "embedding",
         nearest_centroid_col(centroids).alias("centroid_id"),
     )
-    base = path.rstrip("/")
     cells.repartition("centroid_id").write.mode("overwrite").partitionBy(
         "centroid_id"
     ).parquet(f"{base}/cells")
-    spark = embeddings.sparkSession
     spark.createDataFrame(
         [(centroids,)], "centroids array<array<double>>"
     ).write.mode("overwrite").parquet(f"{base}/meta")
 
 
 def _index_centroids(spark, path: str) -> list[list[float]]:
+    """Flat-layout centroid list; raises on a two-level index (whose
+    callers must use the table, never a driver list)."""
     meta = spark.read.parquet(f"{path.rstrip('/')}/meta").collect()[0]
+    if "layout" in meta.__fields__ and meta["layout"] == "two_level":
+        raise ValueError(
+            "two-level semantic index: centroids live in the "
+            "centroids/ table, not a driver list"
+        )
     return [list(c) for c in meta["centroids"]]
+
+
+def _index_layout(spark, path: str):
+    """(layout, top_centroids_or_flat_list) for a persisted index."""
+    meta = spark.read.parquet(f"{path.rstrip('/')}/meta").collect()[0]
+    layout = (
+        meta["layout"]
+        if "layout" in meta.__fields__ and meta["layout"]
+        else "flat"
+    )
+    return layout, [list(c) for c in meta["centroids"]]
 
 
 def semantic_match_new(
@@ -1170,11 +1298,22 @@ def semantic_match_new(
     (the paper's within-cluster semantics) a twin assigned to the
     adjacent cell is missed; 2-3 probes check the runner-up cells at
     proportional extra read cost. A corpus vector lives in exactly one
-    cell, so multi-probe never duplicates a pair."""
+    cell, so multi-probe never duplicates a pair.
+
+    Two-level indexes (built past ``_LITERAL_K_CAP``) probe through
+    the centroid TABLE (``probe_cells_scalable``): the driver holds
+    only the top-centroid list and the touched-cell filter, which is
+    bounded by |batch| x n_probe regardless of k."""
     base = path.rstrip("/")
-    centroids = _index_centroids(spark, base)
+    layout, centroids = _index_layout(spark, base)
     new_embeddings = new_embeddings.select("vec_id", "embedding")
-    probes = probe_cells(new_embeddings, centroids, n_probe=n_probe)
+    if layout == "two_level":
+        sub = spark.read.parquet(f"{base}/centroids")
+        probes = probe_cells_scalable(
+            new_embeddings, centroids, sub, n_probe=n_probe
+        )
+    else:
+        probes = probe_cells(new_embeddings, centroids, n_probe=n_probe)
     touched = [
         r[0] for r in probes.select("centroid_id").distinct().collect()
     ]
@@ -1235,16 +1374,23 @@ def semantic_index_append(
     from ..sources.sinks import idempotent_merge_parquet
 
     base = path.rstrip("/")
-    centroids = _index_centroids(spark, base)
+    layout, centroids = _index_layout(spark, base)
     new_embeddings = new_embeddings.select("vec_id", "embedding")
     # materialize ONCE: three consumers follow (count, the merge
     # write, the touched-cell distinct) and each would otherwise
     # re-run the batch scan + Arrow centroid assignment — on a
     # 1 s-trigger stream that triples the per-batch maintenance work
     # (same discipline as stream_corpus_ingest's id frames)
-    updates = new_embeddings.withColumn(
-        "centroid_id", nearest_centroid_col(centroids)
-    ).localCheckpoint(eager=True)
+    if layout == "two_level":
+        sub = spark.read.parquet(f"{base}/centroids")
+        updates = new_embeddings.join(
+            assign_cells_scalable(new_embeddings, centroids, sub),
+            "vec_id",
+        ).localCheckpoint(eager=True)
+    else:
+        updates = new_embeddings.withColumn(
+            "centroid_id", nearest_centroid_col(centroids)
+        ).localCheckpoint(eager=True)
     appended = updates.count()
     idempotent_merge_parquet(
         spark,

@@ -614,3 +614,60 @@ def test_semantic_dedup_scalable_path_end_to_end(spark):
         assert n_kept == len(rows) - len(planted_pairs)
 
 
+
+
+def test_two_level_persisted_index_build_match_append(spark, tmp_path):
+    """Persisted semantic index past _LITERAL_K_CAP: built in the
+    two-level layout (meta/ holds only top centroids + marker, the
+    full centroid set is the centroids/ parquet table), matching
+    probes through the table (probe_cells_scalable), appends assign
+    through the cogroup, and planted twins are found before AND after
+    an append — no k-proportional driver list anywhere (the flat
+    accessor refuses a two-level index outright)."""
+    from bda_spark.operators.similarity import (
+        _LITERAL_K_CAP,
+        _index_centroids,
+        semantic_index_append,
+        semantic_index_build,
+        semantic_match_new,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 1400
+    X = rng.normal(size=(n, DIM))
+    emb = _embeddings(spark, [(i, X[i]) for i in range(n)])
+    path = str(tmp_path / "semidx")
+    k = _LITERAL_K_CAP + 50
+    semantic_index_build(emb, path, n_centroids=k, seed=42, n_hint=n)
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    assert meta["layout"] == "two_level"
+    assert len(meta["centroids"]) <= 4096  # top list bounded
+    n_cent = spark.read.parquet(f"{path}/centroids").count()
+    assert 0 < n_cent <= n
+    with pytest.raises(ValueError, match="two-level"):
+        _index_centroids(spark, path)
+
+    # twins of corpus vectors 3 and 77 + one novel vector
+    batch = _embeddings(
+        spark, [(9003, X[3]), (9077, X[77]), (9999, rng.normal(size=DIM))]
+    )
+    got = {
+        (r.new_id, r.corpus_id)
+        for r in semantic_match_new(
+            spark, path, batch, threshold=0.999, n_probe=1
+        ).collect()
+    }
+    assert {(9003, 3), (9077, 77)} <= got
+    assert not any(a == 9999 for a, _ in got)
+
+    # append the batch, then a twin of an appended vector must match it
+    stats = semantic_index_append(spark, path, batch)
+    assert stats["appended"] == 3
+    again = _embeddings(spark, [(9998, X[3])])
+    got2 = {
+        (r.new_id, r.corpus_id)
+        for r in semantic_match_new(
+            spark, path, again, threshold=0.999, n_probe=1
+        ).collect()
+    }
+    assert {(9998, 3), (9998, 9003)} <= got2
