@@ -328,10 +328,12 @@ def build_and_measure(spark, src_dir: str, work_dir: str, factor: int) -> dict:
 # visible share of t1x — so the assertion is one-sided: e must stay
 # BELOW the near-linear cap; a small e does not prove sublinearity.
 #   doc_duplicate_passages ~1.0 (inverted index, capped buckets,
-#                                r12 singleton-gram prefilter so only
-#                                repeated grams shuffle posting
-#                                structs; measured exactly 100x the
-#                                spans at 100x the docs)
+#                                r12 array-slice gram hashing — the
+#                                profiled top cost; the counted
+#                                singleton prefilter was measured
+#                                and REVERTED, see PER_QUERY_2D_NOTE;
+#                                measured exactly 100x the spans at
+#                                100x the docs)
 #   semantic_dedup        ~1.0 (r12: past _LITERAL_K_CAP the coarse
 #                                quantizer trains DISTRIBUTED and
 #                                assigns via cogroup — the former
@@ -370,12 +372,17 @@ PER_QUERY_2D_NOTE = {
         "at every rung."
     ),
     "doc_duplicate_passages": (
-        "r12 singleton-gram prefilter: the inverted index counts "
-        "gram occurrences first (map-side-combined 16-byte rows) "
-        "and only grams seen 2..cap times shuffle their (doc_id, "
-        "pos) structs into posting lists — in a mostly-unique "
-        "corpus the all-occurrence struct shuffle WAS the "
-        "second-decade cost (r11 ratio 5.06)."
+        "r12 profiling at the 100x rung: gram GENERATION is the "
+        "largest stage (8.7 of 21 s), not the posting shuffle — "
+        "the r11-suspected singleton-gram count prefilter was "
+        "built, MEASURED (t100x 14.9 -> 24.6 s: 95% of grams are "
+        "distinct, so counting shuffles nearly as many rows as it "
+        "saves while paying the gram pipeline twice), and "
+        "reverted. Shipped instead: xxhash64 over the token-array "
+        "slice (no concat_ws string per gram), 28% off gram "
+        "generation. The decade-2 ratio is amortization of fixed "
+        "overhead, not superlinearity: t100x/t10x < 10 means "
+        "sub-linear growth across the decade."
     ),
 }
 
