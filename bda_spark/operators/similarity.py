@@ -582,12 +582,26 @@ def distributed_coarse_quantizer(
             return pd.DataFrame(
                 {"top_id": [], "centroid_id": [], "centroid": []}
             ).astype({"top_id": "int32", "centroid_id": "int64"})
-        # group-row order is partition-dependent: sort by vec_id so the
-        # kmeans++ seeding sees a deterministic X for (sample, seed)
-        pdf = pdf.sort_values("vec_id", kind="stable")
-        X = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        # Fit on UNIQUE rows: duplicate training points (a duplicate-
+        # heavy corpus is exactly what this operator exists for) would
+        # otherwise yield bitwise-identical centroids, and GEMM's
+        # column-position-dependent accumulation means two identical
+        # centroid columns can score ulps APART in one matmul — the
+        # argmin tie between them then resolves differently for
+        # different assignment batch shapes, breaking the invariant
+        # that identical vectors co-assign (observed: the same vector
+        # assigned to each of two identical centroids from two frames).
+        # np.unique also canonicalizes row order, so the kmeans++
+        # seeding sees a deterministic X for (sample, seed) regardless
+        # of Spark's group-row order. Distinct-centroid sub-ulp ties
+        # remain measure-zero for continuous embeddings.
+        X = np.unique(
+            np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            ),
+            axis=0,
         )
+        kj = min(kj, len(X))
         if kj == 1:
             C = X.mean(axis=0)[None, :]
         else:
@@ -1450,19 +1464,37 @@ def semantic_fuzzy_join(
     chain rescue cross-corpus, so the cap is an honest recall bound;
     ``None`` disarms it. At scale grow ``n_centroids`` with the
     corpora so expected cell size stays constant."""
-    if centroids is None:
+    scalable = centroids is None and int(n_centroids) > _LITERAL_K_CAP
+    if scalable:
+        # corpus-sized k: same table-trained quantizer + cogroup
+        # assignment as semantic_dedup past the cap — ONE partition
+        # shared by both sides (co-assignment stays meaningful), no
+        # k-proportional driver array or plan literal
+        union = left.select("vec_id", "embedding").unionByName(
+            right.select("vec_id", "embedding")
+        )
+        top, sub = distributed_coarse_quantizer(
+            union, int(n_centroids), seed=seed, max_iter=max_iter
+        )
+    elif centroids is None:
         union = left.select("vec_id", "embedding").unionByName(
             right.select("vec_id", "embedding")
         )
         _, centroids = ivf_index(
             union, n_centroids=n_centroids, seed=seed, max_iter=max_iter
         )
-    assign = nearest_centroid_col(centroids)
 
     def _cells(df: DataFrame, idc: str) -> DataFrame:
-        cells = df.select(
-            F.col("vec_id").alias(idc), assign.alias("_cell")
-        )
+        if scalable:
+            cells = assign_cells_scalable(df, top, sub).select(
+                F.col("vec_id").alias(idc),
+                F.col("centroid_id").alias("_cell"),
+            )
+        else:
+            cells = df.select(
+                F.col("vec_id").alias(idc),
+                nearest_centroid_col(centroids).alias("_cell"),
+            )
         if max_cell_size is not None:
             w = Window.partitionBy("_cell").orderBy(idc)
             cells = (

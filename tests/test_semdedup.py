@@ -671,3 +671,35 @@ def test_two_level_persisted_index_build_match_append(spark, tmp_path):
         ).collect()
     }
     assert {(9998, 3), (9998, 9003)} <= got2
+
+
+def test_semantic_fuzzy_join_scalable_path(spark):
+    """semantic_fuzzy_join past _LITERAL_K_CAP routes through the
+    table-trained quantizer + cogroup assignment: planted cross-corpus
+    twins still match exactly (co-assignment on the shared partition),
+    and no centroid literal enters the plan."""
+    from bda_spark.operators.similarity import (
+        _LITERAL_K_CAP,
+        semantic_fuzzy_join,
+    )
+
+    rng = np.random.default_rng(31)
+    nl = 900
+    X = rng.normal(size=(nl, DIM))
+    left = _embeddings(spark, [(i, X[i]) for i in range(nl)])
+    right = _embeddings(
+        spark,
+        [(5000 + i, X[i]) for i in range(0, 60, 3)]
+        + [(7000, rng.normal(size=DIM))],
+    )
+    got = semantic_fuzzy_join(
+        left, right, threshold=0.999, n_centroids=_LITERAL_K_CAP + 30,
+        seed=42,
+    )
+    # the cells frames are checkpointed (lineage truncated), so the
+    # literal-free property shows as a BOUNDED final plan: the flat
+    # path would embed a (cap+30) x DIM double literal (> 100k chars)
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 20_000, f"plan unexpectedly large: {len(plan)}"
+    pairs = {(r.left_id, r.right_id) for r in got.collect()}
+    assert pairs == {(i, 5000 + i) for i in range(0, 60, 3)}
