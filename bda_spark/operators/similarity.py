@@ -745,7 +745,21 @@ def ivf_index(
         seed,
         n_hint=n_hint,
     )
-    centroids = _kmeans_fit(X, n_centroids, seed, max_iter).tolist()
+    C = _kmeans_fit(X, n_centroids, seed, max_iter)
+    # Guard every downstream consumer against DUPLICATE centroids
+    # (possible when the sample has fewer distinct points than k —
+    # kmeans++ re-picks and re-seeding can return identical rows):
+    # two bitwise-identical centroids make nearest-assignment ties,
+    # and GEMM's shape-dependent accumulation can resolve the tie
+    # differently across batches — splitting an exact-duplicate
+    # cluster between two cells, where single-probe matching then
+    # misses it (observed in the r12 distributed path; fixed there by
+    # unique-fitting). Order-PRESERVING dedupe: a no-op on the normal
+    # continuous case, so existing cell labelings are untouched.
+    _, _uidx = np.unique(C, axis=0, return_index=True)
+    if len(_uidx) < len(C):
+        C = C[np.sort(_uidx)]
+    centroids = C.tolist()
     assigned = embeddings.select(
         "vec_id", nearest_centroid_col(centroids).alias("centroid_id")
     )

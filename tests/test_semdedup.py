@@ -703,3 +703,29 @@ def test_semantic_fuzzy_join_scalable_path(spark):
     assert len(plan) < 20_000, f"plan unexpectedly large: {len(plan)}"
     pairs = {(r.left_id, r.right_id) for r in got.collect()}
     assert pairs == {(i, 5000 + i) for i in range(0, 60, 3)}
+
+
+def test_ivf_index_never_returns_duplicate_centroids(spark):
+    """Degenerate corpus (fewer distinct vectors than n_centroids):
+    the returned centroid list is duplicate-free — duplicate centroids
+    make nearest-assignment ties that GEMM's shape-dependent
+    accumulation can resolve differently across batches, splitting an
+    exact-duplicate cluster between cells where single-probe matching
+    misses it. Dedupe is order-preserving, so the continuous case
+    (no duplicates) keeps its exact labels."""
+    from bda_spark.operators.similarity import ivf_index
+
+    rng = np.random.default_rng(3)
+    protos = rng.normal(size=(30, DIM))
+    rows = [
+        (p * 20 + r, protos[p]) for p in range(30) for r in range(20)
+    ]
+    emb = _embeddings(spark, rows)
+    assigned, cents = ivf_index(emb, n_centroids=64, seed=42)
+    C = np.asarray(cents)
+    assert len(np.unique(C, axis=0)) == len(C)
+    assert len(C) <= 30
+    # identical vectors co-assign — the property the dedupe protects
+    a = {r.vec_id: r.centroid_id for r in assigned.collect()}
+    for p in range(30):
+        assert len({a[p * 20 + r] for r in range(20)}) == 1
