@@ -43,6 +43,13 @@ SCALE_SENSITIVE = [
     "events_argmax_daily",
     "events_mode_daily",
     "orders_rank_topk",
+    # r12 window promotions whose values are scale-dependent (sketch
+    # exact regimes hit their capacity/tie edges only with enough
+    # rows; ANN exact-oversample regimes meet more distance ties)
+    "events_quantile_sketch_rollup",
+    "keyword_counts_sketch",
+    "pq_adc_topk",
+    "semantic_dedup_pairs",
 ]
 
 
