@@ -86,6 +86,19 @@ def idempotent_merge_parquet(
     swap — no reader can observe the between-renames window, and no
     heal path is needed. (The partitioned branch keeps per-partition
     swaps; hive layout and generation dirs don't compose — pick one.)
+
+    WRITER concurrency contract: versioned targets are guarded — the
+    read is pinned to one generation and the commit carries that base
+    as a CAS, so a merge racing another merge/delete on the same root
+    fails loudly instead of silently discarding the competitor's
+    commit. PLAIN layouts (flat and hive-partitioned) are STRICTLY
+    single-writer per table: two concurrent writers share the
+    ``__merge_tmp``/``__merge_old`` staging dirs and each one's
+    recovery preamble would treat the other's in-flight staging as
+    crash debris. That is the deliberate trade for the plain layouts'
+    zero-metadata reads — serialize writers externally (one owner per
+    table is the normal streaming-sink shape here) or use a versioned
+    root, which detects the race instead of assuming it away.
     ``vacuum_keep`` / ``vacuum_min_age_seconds`` tune the retention of
     superseded generations: commit-count retention alone gives rapidly
     merged tables (per-micro-batch upserts) a reader grace window of
@@ -315,7 +328,13 @@ def delete_keys_parquet(
     the next invocation. A crash mid-delete is healed by REPLAYING the
     delete (idempotent), not by the merge recovery resurrecting rows:
     emptied partitions are deleted directly (their kept row set is
-    empty — there is nothing to move aside)."""
+    empty — there is nothing to move aside).
+
+    Writer concurrency: same contract as the merge — versioned roots
+    carry the pinned-read + CAS-commit guard (a delete racing a merge
+    fails loudly, never loses the competitor's commit); plain layouts
+    are strictly single-writer per table (shared staging dirs — see
+    ``idempotent_merge_parquet``)."""
     from .versioned import (
         DEFAULT_MAINTENANCE_MIN_AGE_SECONDS,
         commit_generation,

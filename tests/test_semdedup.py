@@ -729,3 +729,99 @@ def test_ivf_index_never_returns_duplicate_centroids(spark):
     a = {r.vec_id: r.centroid_id for r in assigned.collect()}
     for p in range(30):
         assert len({a[p * 20 + r] for r in range(20)}) == 1
+
+
+def test_stream_semantic_dedup_against_two_level_index(spark, tmp_path):
+    """The streaming incremental loop is layout-transparent: against a
+    PRE-BUILT two-level index (k past _LITERAL_K_CAP) a new batch's
+    twin of an indexed vector is flagged through the table-probe path,
+    the batch upserts into the cells, and a replay from a fresh
+    checkpoint duplicates nothing."""
+    import json as _json
+
+    from bda_spark.operators.similarity import (
+        _LITERAL_K_CAP,
+        semantic_index_build,
+    )
+    from bda_spark.streaming.incremental import (
+        stream_semantic_dedup_against_index,
+    )
+
+    rng = np.random.default_rng(41)
+    n = 1300
+    X = rng.normal(size=(n, DIM))
+    corpus = _embeddings(spark, [(i, X[i]) for i in range(n)])
+    idx = str(tmp_path / "semidx")
+    semantic_index_build(
+        corpus, idx, n_centroids=_LITERAL_K_CAP + 40, seed=42, n_hint=n
+    )
+    assert (
+        spark.read.parquet(f"{idx}/meta").collect()[0]["layout"]
+        == "two_level"
+    )
+    d = tmp_path / "emb"
+    d.mkdir()
+    with open(d / "b1.jsonl", "w") as f:
+        rows = [(9007, X[7]), (9999, rng.normal(size=DIM))]
+        for vid, v in rows:
+            f.write(
+                _json.dumps(
+                    {"vec_id": vid, "embedding": [float(x) for x in v]}
+                )
+                + "\n"
+            )
+
+    def run(ckpt):
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).json(str(d))
+        q = stream_semantic_dedup_against_index(
+            stream,
+            idx,
+            str(tmp_path / "flags"),
+            checkpoint=str(tmp_path / ckpt),
+            threshold=0.999,
+            available_now=True,
+        )
+        assert q.awaitTermination(300), "stream wedged"
+        assert q.exception() is None, q.exception()
+
+    run("ckpt1")
+    flags = spark.read.parquet(str(tmp_path / "flags")).collect()
+    assert {(r.new_id, r.corpus_id) for r in flags} == {(9007, 7)}
+    cells = spark.read.parquet(f"{idx}/cells")
+    assert cells.count() == n + 2
+    run("ckpt2")  # replay: keyed merges, nothing duplicates
+    assert spark.read.parquet(f"{idx}/cells").count() == n + 2
+    assert spark.read.parquet(str(tmp_path / "flags")).count() == 1
+
+
+def test_delete_docs_scrubs_two_level_semantic_index(spark, tmp_path):
+    """Takedown against a two-level index: the vector leaves its cell
+    (partition-scoped delete on cells/), stops matching, and the
+    replayed delete is a no-op — same contract as the flat layout."""
+    from bda_spark.operators.deletes import delete_docs
+    from bda_spark.operators.similarity import (
+        _LITERAL_K_CAP,
+        semantic_index_build,
+        semantic_match_new,
+    )
+
+    rng = np.random.default_rng(43)
+    n = 1200
+    X = rng.normal(size=(n, DIM))
+    corpus = _embeddings(spark, [(i, X[i]) for i in range(n)])
+    idx = str(tmp_path / "semidx")
+    semantic_index_build(
+        corpus, idx, n_centroids=_LITERAL_K_CAP + 20, seed=42, n_hint=n
+    )
+    probe = _embeddings(spark, [(9005, X[5])])
+    before = semantic_match_new(spark, idx, probe, threshold=0.999)
+    assert {(r.new_id, r.corpus_id) for r in before.collect()} == {(9005, 5)}
+    removed = delete_docs(spark, [5], semantic_index_path=idx)
+    assert removed == {"semantic_index": 1}
+    after = semantic_match_new(spark, idx, probe, threshold=0.999)
+    assert after.count() == 0
+    assert delete_docs(spark, [5], semantic_index_path=idx) == {
+        "semantic_index": 0
+    }
