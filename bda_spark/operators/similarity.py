@@ -537,7 +537,15 @@ def distributed_coarse_quantizer(
     Scale shape: driver memory O(sqrt(k) x dim + k1) — NOT O(k x dim);
     executor work O(sample x sqrt(k)) for top assignment plus
     independent per-cell fits; the corpus itself is touched only by
-    the one sampling pass here (assignment is the caller's pass)."""
+    the one sampling pass here (assignment is the caller's pass).
+    ``train_per_centroid`` prices the distributed sample at k x tpc
+    rows and each sub-fit task at ~tpc x k/k1 rows: under the
+    k ~ n/125 cell policy, tpc=128 samples ~n (fine through the
+    measured rungs); corpora big enough to make that sampling pass
+    hurt should tune tpc down toward the FAISS-common 32 — per-task
+    load then bounds at 32 x k/k1 (~131k rows at the k1=4096 cap)
+    and quality degrades gracefully (each centroid still sees ~32
+    training points)."""
     spark = embeddings.sparkSession
     import pandas as pd
 
