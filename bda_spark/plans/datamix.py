@@ -27,6 +27,37 @@ _H_SAMPLE = 2654435761
 _H_SPLIT = 2246822519
 _H_MOD = 4294967296  # 2^32
 
+
+def _kh(col, mult: int):
+    """(col * mult) % 2^32 — the Knuth multiplicative hash — computed
+    OVERFLOW-SAFE for any non-negative int64 id. The naive product
+    overflows a long (ANSI error) once id exceeds ~2^63/mult ≈ 3.5e9 —
+    found by the 100x scale rung, whose replicated id space crosses
+    that line (real 100 TB corpora number documents past 2^32 too).
+    Identity used: with x = id mod 2^32 and x = hi*2^16 + lo,
+    (id*mult) mod 2^32 == (((hi*mult) mod 2^16)*2^16 + lo*mult) mod
+    2^32, every intermediate bounded by ~2^48. Bit-equal to the old
+    expression wherever the old one could run at all, so every
+    committed oracle value is unchanged. ``_kh_sql`` is the DuckDB
+    twin — the oracle pays the same discipline (BIGINT overflow raises
+    there too)."""
+    x = col % F.lit(_H_MOD)
+    hi = F.shiftrightunsigned(x, 16)
+    lo = x.bitwiseAND(F.lit(65535))
+    return (
+        ((hi * F.lit(mult)) % F.lit(65536)) * F.lit(65536)
+        + lo * F.lit(mult)
+    ) % F.lit(_H_MOD)
+
+
+def _kh_sql(expr: str, mult: int) -> str:
+    """DuckDB twin of ``_kh`` (integer // division; all BIGINT exact)."""
+    x = f"(({expr}) % {_H_MOD})"
+    return (
+        f"((((({x}) // 65536) * {mult}) % 65536) * 65536"
+        f" + (({x}) % 65536) * {mult}) % {_H_MOD}"
+    )
+
 # GPT-3-style decontamination gram size (Brown et al. 2020 used 13-gram
 # overlap against evaluation sets).
 DECONTAM_NGRAM = 13
@@ -80,7 +111,7 @@ def doc_decontaminate(spark, sf_dir):
     WITH cnt AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source)
     SELECT d.doc_id, d.source
     FROM documents d JOIN cnt USING (source)
-    WHERE ((d.doc_id * {_H_SAMPLE}) % {_H_MOD} % 1000000) * cnt.n_total
+    WHERE (({_kh_sql('d.doc_id', _H_SAMPLE)}) % 1000000) * cnt.n_total
           < 20 * 1000000
     """,
 )
@@ -100,7 +131,7 @@ def docs_stratified_sample(spark, sf_dir):
     """
     docs = t(spark, sf_dir, "documents")
     cnt = docs.groupBy("source").agg(F.count("*").alias("n_total"))
-    h = (F.col("doc_id") * F.lit(_H_SAMPLE)) % F.lit(_H_MOD) % F.lit(1000000)
+    h = _kh(F.col("doc_id"), _H_SAMPLE) % F.lit(1000000)
     return (
         docs.join(F.broadcast(cnt), "source")
         .filter(h * F.col("n_total") < F.lit(20 * 1000000))
@@ -112,7 +143,7 @@ def docs_stratified_sample(spark, sf_dir):
     "docs_train_val_split",
     f"""
     SELECT source,
-           CASE WHEN (doc_id * {_H_SPLIT}) % {_H_MOD} % 100 < 10
+           CASE WHEN ({_kh_sql('doc_id', _H_SPLIT)}) % 100 < 10
                 THEN 'val' ELSE 'train' END AS split,
            count(*) AS n_docs,
            CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
@@ -134,7 +165,7 @@ def docs_train_val_split(spark, sf_dir):
     """
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     split = F.when(
-        (F.col("doc_id") * F.lit(_H_SPLIT)) % F.lit(_H_MOD) % 100 < 10, "val"
+        _kh(F.col("doc_id"), _H_SPLIT) % 100 < 10, "val"
     ).otherwise("train")
     return (
         t(spark, sf_dir, "documents")
@@ -334,9 +365,7 @@ def pack_sequences_salted(docs, seq_len: int = 128, n_buckets: int = 8):
     d = docs.select(
         "doc_id",
         "source",
-        ((F.col("doc_id") * F.lit(_H_SAMPLE)) % F.lit(_H_MOD) % n_buckets).alias(
-            "salt"
-        ),
+        (_kh(F.col("doc_id"), _H_SAMPLE) % n_buckets).alias("salt"),
         F.size(toks).alias("n_tokens"),
     )
     w = (
@@ -692,7 +721,7 @@ def sample_to_token_budget(
         id_col,
         by,
         F.size(toks).alias("n_tokens"),
-        ((F.col(id_col) * F.lit(_H_SAMPLE)) % F.lit(_H_MOD)).alias("_h"),
+        _kh(F.col(id_col), _H_SAMPLE).alias("_h"),
     )
     w = (
         Window.partitionBy(by)
@@ -712,7 +741,7 @@ def sample_to_token_budget(
     WITH d AS (
       SELECT doc_id, source,
              len({_TOKS}) AS n_tokens,
-             (doc_id * {_H_SAMPLE}) % {_H_MOD} AS h
+             {_kh_sql('doc_id', _H_SAMPLE)} AS h
       FROM documents
     ), c AS (
       SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
@@ -980,7 +1009,7 @@ def dsir_select(raw, target, n: int = 100, n_buckets: int | None = None,
     """
     w = dsir_importance_weights(raw, target, n_buckets=n_buckets)
     u = (
-        (F.col("doc_id") * F.lit(_H_DSIR)) % F.lit(_H_MOD) + 1.0
+        _kh(F.col("doc_id"), _H_DSIR) + 1.0
     ) / F.lit(float(_H_MOD + 1))
     score = F.col("log_weight") - F.log(-F.log(u)) if gumbel else F.col(
         "log_weight"
@@ -1019,7 +1048,7 @@ def dsir_select(raw, target, n: int = 100, n_buckets: int | None = None,
     )
     SELECT doc_id, n_tokens, round(log_weight, 6) AS log_weight,
            round(log_weight
-                 - ln(-ln(((doc_id * {_H_DSIR}) % {_H_MOD} + 1.0)
+                 - ln(-ln((({_kh_sql('doc_id', _H_DSIR)}) + 1.0)
                           / {float(_H_MOD + 1)})), 6) AS score
     FROM w
     ORDER BY score DESC, doc_id LIMIT 100

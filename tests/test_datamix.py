@@ -540,3 +540,52 @@ def test_dsir_gumbel_is_deterministic_and_weight_biased(spark):
     # with a vocabulary-scale weight gap, Gumbel noise (stddev ~1.3)
     # cannot promote a spam doc over 20 science docs
     assert all(r.doc_id % 2 == 1 for r in a)
+
+
+def test_knuth_hash_overflow_safe_and_bit_equal(spark):
+    """r12: the naive (id * A) % 2^32 overflows int64 (ANSI error) once
+    id exceeds ~2^63/A — the 100x rung's replicated id space crossed
+    that line inside corpus_build_pipeline. The split form must (a)
+    run at any non-negative int64 id, (b) equal exact big-int
+    arithmetic, and (c) agree with its DuckDB SQL twin — on BOTH sides
+    of the old overflow boundary."""
+    import duckdb
+
+    from bda_spark.plans.datamix import _H_MOD, _H_SAMPLE, _kh, _kh_sql
+    from pyspark.sql import functions as F
+
+    ids = [
+        0, 1, 65535, 65536, 12345678, 2**31 - 1, 2**32 - 1, 2**32,
+        3_500_000_000, 2**40 + 7, 2**62 + 123456789, 2**63 - 1,
+    ]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: r.h
+        for r in df.select(
+            "doc_id", _kh(F.col("doc_id"), _H_SAMPLE).alias("h")
+        ).collect()
+    }
+    duck = duckdb.connect()
+    for i in ids:
+        want = (i * _H_SAMPLE) % _H_MOD  # exact python big-int
+        assert got[i] == want, (i, got[i], want)
+        sql_val = duck.execute(
+            f"SELECT {_kh_sql(str(i), _H_SAMPLE)}"
+        ).fetchone()[0]
+        assert sql_val == want, (i, sql_val, want)
+
+
+def test_salted_packer_runs_past_the_overflow_boundary(spark):
+    """The exact operator/line the 100x rung failed on: pack a corpus
+    whose doc_ids sit past 2^63/A. Conservation holds (every doc
+    packed once)."""
+    from bda_spark.plans.datamix import pack_sequences_salted
+
+    base = 2**62
+    docs = spark.createDataFrame(
+        [(base + i, "s", "alpha beta gamma delta") for i in range(40)],
+        "doc_id long, source string, text string",
+    )
+    out = pack_sequences_salted(docs, seq_len=8, n_buckets=4).collect()
+    assert sum(r.n_docs for r in out) == 40
+    assert all(r.seq_tokens > 0 for r in out)

@@ -347,6 +347,14 @@ TWO_DECADE_QUERIES = (
     "pq_adc_topk",
     "doc_duplicate_passages",
     "semantic_dedup",
+    # r12 additions — the two LARGEST bench operators, previously
+    # unmeasured past 10x. Adding corpus_build_pipeline immediately
+    # paid off: its first 100x attempt CRASHED on an ANSI int64
+    # overflow in the Knuth sampling hash (datamix._kh is the fix —
+    # the rung's replicated id space crossed 2^63/A, as any real
+    # >2^32-document corpus would).
+    "neardup_clusters",
+    "corpus_build_pipeline",
 )
 TWO_DECADE_EXPONENT_CAP = 1.15  # near-linear + noise; quadratic reads ~2
 
@@ -383,6 +391,21 @@ PER_QUERY_2D_NOTE = {
         "generation. The decade-2 ratio is amortization of fixed "
         "overhead, not superlinearity: t100x/t10x < 10 means "
         "sub-linear growth across the decade."
+    ),
+    "neardup_clusters": (
+        "crosses the hybrid-CC threshold between rungs: 1x/10x edge "
+        "lists resolve with the driver union-find (<= 500k edges), "
+        "the 100x rung is the FIRST measurement of the distributed "
+        "pointer-jumping loop at scale — a one-time step cost at the "
+        "crossover (scheduler rounds x O(log diameter)) is expected; "
+        "superlinearity is not."
+    ),
+    "corpus_build_pipeline": (
+        "the composed dedup->quality->decontaminate->pack pipeline — "
+        "the repo's largest bench row, measured end-to-end at the "
+        "second decade. Its first 100x attempt crashed on the Knuth "
+        "sampling hash's int64 overflow (fixed: datamix._kh split "
+        "arithmetic, bit-equal to the old values)."
     ),
 }
 
