@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.cleaning import validate_ticks
 from ..sources.generator import generate_ticks
-from .registry import query, r6, t
+from .registry import query, r6, t, xsum
 
 _N = 10_000
 
@@ -62,7 +62,7 @@ _N = 10_000
            round(max(ask), 6) AS max_ask,
            round(avg(market_sentiment), 6) AS avg_sentiment,
            round(avg(trading_activity), 6) AS avg_activity,
-           round(sum(volume), 6) AS total_volume
+           round(sum(CAST(round((volume) * 1000000) AS BIGINT)) / 1000000.0, 6) AS total_volume
     FROM t GROUP BY symbol, source
     """,
 )
@@ -78,7 +78,7 @@ def generated_ticks_profile(spark, sf_dir):
         r6(F.max("ask")).alias("max_ask"),
         r6(F.avg("market_sentiment")).alias("avg_sentiment"),
         r6(F.avg("trading_activity")).alias("avg_activity"),
-        r6(F.sum("volume")).alias("total_volume"),
+        xsum(F.col("volume")).alias("total_volume"),
     )
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .registry import query, r6, t
+from .registry import query, r6, t, xsum
 
 
 @query(
@@ -25,7 +25,7 @@ from .registry import query, r6, t
            coalesce(o_orderstatus, 'ALL')                AS status,
            coalesce(o_orderpriority, 'ALL')              AS priority,
            count(*)                                      AS n_orders,
-           round(sum(o_totalprice), 6)                   AS total_price
+           round(sum(CAST(round((o_totalprice) * 1000000) AS BIGINT)) / 1000000.0, 6) AS total_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -42,7 +42,7 @@ def orders_rollup_totals(spark, sf_dir):
         .agg(
             F.grouping_id().alias("gid"),
             F.count("*").alias("n_orders"),
-            r6(F.sum("o_totalprice")).alias("total_price"),
+            xsum(F.col("o_totalprice")).alias("total_price"),
         )
         .select(
             "gid",

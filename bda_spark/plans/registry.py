@@ -313,3 +313,34 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def r6(c) -> Column:
     """Round a float aggregate to 6 digits (oracle-match policy)."""
     return F.round(c, 6)
+
+
+def xsum(c, scale: int = 6) -> Column:
+    """Order-independent SUM for corpus-scale money/measure columns:
+    quantize each addend to integer micro-units (round-half-away-from-
+    zero at ``scale`` decimals — the same per-row rounding the r6
+    policy already proves cross-engine), accumulate in exact BIGINT,
+    descale once. Double summation is order-DEPENDENT: Spark's
+    partial-aggregation tree and DuckDB's sequential fold disagree in
+    the final ulp once a group's sum reaches ~1e9 (16 significant
+    digits — past double's precision at 6 fractional digits), where
+    round(·, 6) can no longer absorb the noise. Found by the r12 full
+    sf0.1 oracle sweep: pricing_summary / regional_order_stats /
+    orders_rollup_totals each failed by one ulp exactly this way —
+    invisible at the driver's sf0.01 gate, guaranteed at 100 TB.
+    BIGINT addition is associative, so ANY execution order (including
+    1000-executor partial aggregation) yields identical bits. This
+    generalizes the exact-integer-cents discipline
+    orders_grouping_sets_margins and report_weekly_rollup already
+    use, while keeping each query's existing float output schema.
+
+    SQL twin fragment (DuckDB; sum(BIGINT) -> HUGEINT, the division
+    returns DOUBLE):
+
+        round(sum(CAST(round((expr) * 1000000) AS BIGINT))
+              / 1000000.0, 6)
+    """
+    m = float(10 ** scale)
+    return F.round(
+        F.sum(F.round(c * F.lit(m)).cast("long")) / F.lit(m), scale
+    )

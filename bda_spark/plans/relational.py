@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .registry import query, r6, t
+from .registry import query, r6, t, xsum
 
 
 # ---------------------------------------------------------------- flagship
@@ -19,10 +19,10 @@ from .registry import query, r6, t
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 6)                                        AS sum_qty,
-           round(sum(l_extendedprice), 6)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 6)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)  AS sum_charge,
+           round(sum(CAST(round((l_quantity) * 1000000) AS BIGINT)) / 1000000.0, 6) AS sum_qty,
+           round(sum(CAST(round((l_extendedprice) * 1000000) AS BIGINT)) / 1000000.0, 6) AS sum_base_price,
+           round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) / 1000000.0, 6) AS sum_disc_price,
+           round(sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000) AS BIGINT)) / 1000000.0, 6) AS sum_charge,
            round(avg(l_quantity), 6)                                        AS avg_qty,
            round(avg(l_extendedprice), 6)                                   AS avg_price,
            round(avg(l_discount), 6)                                        AS avg_disc,
@@ -41,15 +41,13 @@ def pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            r6(F.sum("l_quantity")).alias("sum_qty"),
-            r6(F.sum("l_extendedprice")).alias("sum_base_price"),
-            r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
-            r6(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                )
+            xsum(F.col("l_quantity")).alias("sum_qty"),
+            xsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            xsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            xsum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
             ).alias("sum_charge"),
             r6(F.avg("l_quantity")).alias("avg_qty"),
             r6(F.avg("l_extendedprice")).alias("avg_price"),
@@ -95,7 +93,7 @@ def gold_daily_orders(spark, sf_dir):
 @query(
     "top_customers",
     """
-    SELECT c_name, round(sum(o_totalprice), 6) AS revenue, count(*) AS n_orders
+    SELECT c_name, round(sum(CAST(round((o_totalprice) * 1000000) AS BIGINT)) / 1000000.0, 6) AS revenue, count(*) AS n_orders
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_name
     ORDER BY revenue DESC, c_name
@@ -112,7 +110,7 @@ def top_customers(spark, sf_dir):
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name")
-        .agg(r6(F.sum("o_totalprice")).alias("revenue"), F.count("*").alias("n_orders"))
+        .agg(xsum(F.col("o_totalprice")).alias("revenue"), F.count("*").alias("n_orders"))
         .orderBy(F.desc("revenue"), "c_name")
         .limit(10)
     )
@@ -123,7 +121,7 @@ def top_customers(spark, sf_dir):
     """
     SELECT r_name, o_orderstatus,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 6) AS total_revenue
+           round(sum(CAST(round((o_totalprice) * 1000000) AS BIGINT)) / 1000000.0, 6) AS total_revenue
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -146,7 +144,7 @@ def regional_order_stats(spark, sf_dir):
         .groupBy("r_name", "o_orderstatus")
         .agg(
             F.count("*").alias("n_orders"),
-            r6(F.sum("o_totalprice")).alias("total_revenue"),
+            xsum(F.col("o_totalprice")).alias("total_revenue"),
         )
     )
 
@@ -197,7 +195,7 @@ def suppliers_with_orders(spark, sf_dir):
     "customer_order_coalesce",
     """
     SELECT c_custkey,
-           coalesce(round(sum(o_totalprice), 6), 0.0) AS revenue,
+           coalesce(round(sum(CAST(round((o_totalprice) * 1000000) AS BIGINT)) / 1000000.0, 6), 0.0) AS revenue,
            count(o_orderkey) AS n_orders
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     WHERE c_custkey <= 200
@@ -213,7 +211,7 @@ def customer_order_coalesce(spark, sf_dir):
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey")
         .agg(
-            F.coalesce(r6(F.sum("o_totalprice")), F.lit(0.0)).alias("revenue"),
+            F.coalesce(xsum(F.col("o_totalprice")), F.lit(0.0)).alias("revenue"),
             F.count("o_orderkey").alias("n_orders"),
         )
     )
@@ -308,7 +306,7 @@ def count_distinct_custkeys(spark, sf_dir):
 @query(
     "union_account_balances",
     """
-    SELECT kind, count(*) AS n, round(sum(acctbal), 6) AS total
+    SELECT kind, count(*) AS n, round(sum(CAST(round((acctbal) * 1000000) AS BIGINT)) / 1000000.0, 6) AS total
     FROM (
       SELECT 'supplier' AS kind, s_acctbal AS acctbal FROM supplier
       UNION ALL
@@ -327,7 +325,7 @@ def union_account_balances(spark, sf_dir):
     return (
         s.unionByName(c)
         .groupBy("kind")
-        .agg(F.count("*").alias("n"), r6(F.sum("acctbal")).alias("total"))
+        .agg(F.count("*").alias("n"), xsum(F.col("acctbal")).alias("total"))
     )
 
 
@@ -385,7 +383,7 @@ def conditional_repair(spark, sf_dir):
     "orders_recent_window",
     """
     SELECT o_orderpriority, count(*) AS n,
-           round(sum(o_totalprice), 6) AS total
+           round(sum(CAST(round((o_totalprice) * 1000000) AS BIGINT)) / 1000000.0, 6) AS total
     FROM orders
     WHERE o_orderdate >= (SELECT max(o_orderdate) - INTERVAL 300 DAY
                           FROM orders)
@@ -411,5 +409,5 @@ def orders_recent_window(spark, sf_dir):
         o.crossJoin(F.broadcast(anchor))
         .filter(F.col("o_orderdate") >= F.col("_cutoff"))
         .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n"), r6(F.sum("o_totalprice")).alias("total"))
+        .agg(F.count("*").alias("n"), xsum(F.col("o_totalprice")).alias("total"))
     )

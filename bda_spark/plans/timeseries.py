@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .registry import query, r6, t
+from .registry import query, r6, t, xsum
 
 
 @query(
@@ -187,7 +187,7 @@ def events_json_extract(spark, sf_dir):
     SELECT CAST(ts AS DATE) AS day, event_type,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users,
-           round(sum(value), 6) AS total_value,
+           round(sum(CAST(round((value) * 1000000) AS BIGINT)) / 1000000.0, 6) AS total_value,
            round(min(value), 6) AS min_value,
            round(max(value), 6) AS max_value
     FROM events GROUP BY 1, 2
@@ -202,7 +202,7 @@ def events_daily_kpis(spark, sf_dir):
     ).agg(
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        r6(F.sum("value")).alias("total_value"),
+        xsum(F.col("value")).alias("total_value"),
         r6(F.min("value")).alias("min_value"),
         r6(F.max("value")).alias("max_value"),
     )
@@ -484,7 +484,7 @@ def events_asof_join(spark, sf_dir):
     )
     SELECT user_id, min(ts) AS session_start,
            max(ts) + INTERVAL 8 HOUR AS session_end,
-           count(*) AS n_events, round(sum(value), 6) AS total_value
+           count(*) AS n_events, round(sum(CAST(round((value) * 1000000) AS BIGINT)) / 1000000.0, 6) AS total_value
     FROM s GROUP BY user_id, sid
     """,
 )
@@ -510,7 +510,7 @@ def events_sessionize(spark, sf_dir):
         e.groupBy("user_id", F.session_window("ts", "8 hours").alias("sw"))
         .agg(
             F.count("*").alias("n_events"),
-            r6(F.sum("value")).alias("total_value"),
+            xsum(F.col("value")).alias("total_value"),
         )
         .select(
             "user_id",
@@ -527,7 +527,7 @@ def events_sessionize(spark, sf_dir):
     """
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             round(sum(value), 6) AS daily_total
+             round(sum(CAST(round((value) * 1000000) AS BIGINT)) / 1000000.0, 6) AS daily_total
       FROM events GROUP BY 1, 2
     )
     SELECT event_type, day, daily_total,
@@ -557,7 +557,7 @@ def events_trailing_7d(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
-    ).agg(r6(F.sum("value")).alias("daily_total"))
+    ).agg(xsum(F.col("value")).alias("daily_total"))
     # rangeBetween needs a numeric ordering key: days since epoch
     w = (
         Window.partitionBy("event_type")

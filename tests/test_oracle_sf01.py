@@ -50,6 +50,15 @@ SCALE_SENSITIVE = [
     "keyword_counts_sketch",
     "pq_adc_topk",
     "semantic_dedup_pairs",
+    # r12 full-sf0.1 sweep finds: these three failed by one ulp at
+    # sf0.1 (double summation is order-dependent, and round(·,6)
+    # stops absorbing the noise once a group's sum passes ~1e9 —
+    # invisible at the sf0.01 gate, guaranteed at 100 TB). Fixed by
+    # registry.xsum (exact BIGINT micro-unit accumulation); pinned
+    # here at the scale that exposed them.
+    "pricing_summary",
+    "regional_order_stats",
+    "orders_rollup_totals",
 ]
 
 
