@@ -355,6 +355,12 @@ TWO_DECADE_QUERIES = (
     # >2^32-document corpus would).
     "neardup_clusters",
     "corpus_build_pipeline",
+    # r12 second batch: the two remaining 10x-section operators with
+    # the steepest first-decade ratios get their second decade —
+    # dsir's full-corpus token explode + vocab join, and the SimHash
+    # band family (the one LSH family without a 100x point).
+    "docs_dsir_sample",
+    "simhash_neardup_strict",
 )
 TWO_DECADE_EXPONENT_CAP = 1.15  # near-linear + noise; quadratic reads ~2
 
@@ -406,6 +412,18 @@ PER_QUERY_2D_NOTE = {
         "second decade. Its first 100x attempt crashed on the Knuth "
         "sampling hash's int64 overflow (fixed: datamix._kh split "
         "arithmetic, bit-equal to the old values)."
+    ),
+    "docs_dsir_sample": (
+        "full-corpus token explode + broadcast vocab log-ratio join + "
+        "global top-n (TakeOrdered, no full sort); the raw/target "
+        "vocab is rebuilt per rung so the decade ratio carries the "
+        "vocab-growth term too."
+    ),
+    "simhash_neardup_strict": (
+        "the SimHash (random-hyperplane) LSH family's first 100x "
+        "point — band keys via one Arrow matmul pass, banded "
+        "candidates, exact-cosine verify; per-10x bound 8.0 (see "
+        "PER_QUERY_BOUND_PER_10X note)."
     ),
 }
 
