@@ -261,10 +261,22 @@ def vacuum_tombstones(
     cutoff = F.current_timestamp() - F.expr(
         f"INTERVAL {int(max_age_seconds)} SECONDS"
     )
+    # Keyed on (id, tombstoned_at), NOT id alone: the doomed set is
+    # computed from the generation current at THIS read, but
+    # delete_keys_parquet re-pins its own (possibly newer) base
+    # generation for the anti-join and CAS commit. A delete_docs
+    # replay landing between the two reads REFRESHES tombstoned_at;
+    # an id-only doomed set would still sweep that freshly-refreshed
+    # row — the cross-writer lost-update window the CAS alone cannot
+    # see (both writers commit in order, but the stale predicate
+    # rides along). Matching the timestamp re-checks age against the
+    # rows actually present at the delete's pinned generation: a
+    # refreshed tombstone no longer matches and survives, preserving
+    # the "age restarts only ever EXTENDS retention" contract.
     doomed = full.filter(
         F.col("tombstoned_at").isNotNull()
         & (F.col("tombstoned_at") < cutoff)
-    ).select(id_col)
+    ).select(id_col, "tombstoned_at")
     return delete_keys_parquet(
-        spark, doomed, tombstones_path, keys=[id_col]
+        spark, doomed, tombstones_path, keys=[id_col, "tombstoned_at"]
     )

@@ -556,6 +556,17 @@ def distributed_coarse_quantizer(
     )
     k1 = min(k1, max(1, len(Xtop)))
     top = _kmeans_fit(Xtop, k1, seed, max_iter)
+    # Same order-preserving duplicate-centroid guard as ivf_index: a
+    # duplicate-heavy sample with fewer distinct vectors than k1 can
+    # yield bitwise-identical TOP centroids, and GEMM's batch-shape-
+    # dependent tie accumulation would then co-assign identical vectors
+    # to DIFFERENT top cells — band keys diverge and exact duplicates
+    # (this operator's target workload) are missed. Dedupe shrinks k1;
+    # a no-op for continuous embeddings, so existing labelings hold.
+    _, _uidx = np.unique(top, axis=0, return_index=True)
+    if len(_uidx) < len(top):
+        top = top[np.sort(_uidx)]
+        k1 = len(top)
     top_list = top.tolist()
 
     n = int(n_hint) if n_hint is not None else embeddings.count()

@@ -319,20 +319,32 @@ def xsum(c, scale: int = 6) -> Column:
     """Order-independent SUM for corpus-scale money/measure columns:
     quantize each addend to integer micro-units (round-half-away-from-
     zero at ``scale`` decimals — the same per-row rounding the r6
-    policy already proves cross-engine), accumulate in exact BIGINT,
-    descale once. Double summation is order-DEPENDENT: Spark's
-    partial-aggregation tree and DuckDB's sequential fold disagree in
-    the final ulp once a group's sum reaches ~1e9 (16 significant
-    digits — past double's precision at 6 fractional digits), where
-    round(·, 6) can no longer absorb the noise. Found by the r12 full
-    sf0.1 oracle sweep: pricing_summary / regional_order_stats /
+    policy already proves cross-engine), accumulate EXACTLY, descale
+    once. Double summation is order-DEPENDENT: Spark's partial-
+    aggregation tree and DuckDB's sequential fold disagree in the
+    final ulp once a group's sum reaches ~1e9 (16 significant digits —
+    past double's precision at 6 fractional digits), where round(·, 6)
+    can no longer absorb the noise. Found by the r12 full sf0.1 oracle
+    sweep: pricing_summary / regional_order_stats /
     orders_rollup_totals each failed by one ulp exactly this way —
     invisible at the driver's sf0.01 gate, guaranteed at 100 TB.
-    BIGINT addition is associative, so ANY execution order (including
-    1000-executor partial aggregation) yields identical bits. This
-    generalizes the exact-integer-cents discipline
-    orders_grouping_sets_margins and report_weekly_rollup already
-    use, while keeping each query's existing float output schema.
+
+    Accumulation type (r12 ADVICE): the per-row quantized value casts
+    long -> DECIMAL(38,0) (always exact — per-row money magnitudes sit
+    far under 2^63 micro-units) and the SUM runs in DECIMAL(38,0) —
+    exact integer arithmetic, associative under ANY execution order
+    (1000-executor partial aggregation included), with headroom to
+    1e38 micro-units (~1e32 money units; a 100 TB corpus grand total
+    is ~1e23). A pure-BIGINT accumulator would overflow SILENTLY under
+    ANSI-off partial aggregation past ~9.2e12 money units in one group
+    (~TPC-H sf150) while DuckDB's HUGEINT kept going — a cross-engine
+    divergence exactly where the discipline matters. Decimal overflow
+    (unreachable below 1e32 units) yields NULL, a loud failure, never
+    a wrong number. The exact decimal sum converts to double once for
+    the descale (correctly rounded in both engines — identical bits to
+    DuckDB's HUGEINT -> DOUBLE), keeping each query's existing float
+    output schema. Generalizes the exact-integer-cents discipline
+    orders_grouping_sets_margins and report_weekly_rollup already use.
 
     SQL twin fragment (DuckDB; sum(BIGINT) -> HUGEINT, the division
     returns DOUBLE):
@@ -342,5 +354,8 @@ def xsum(c, scale: int = 6) -> Column:
     """
     m = float(10 ** scale)
     return F.round(
-        F.sum(F.round(c * F.lit(m)).cast("long")) / F.lit(m), scale
+        F.sum(F.round(c * F.lit(m)).cast("long").cast("decimal(38,0)"))
+        .cast("double")
+        / F.lit(m),
+        scale,
     )

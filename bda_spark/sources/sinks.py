@@ -153,7 +153,16 @@ def idempotent_merge_parquet(
         kept = existing.join(
             updates.select(*keys).distinct(), on=keys, how="left_anti"
         )
-        merged = kept.unionByName(updates)
+        # allowMissingColumns: schema EVOLUTION, not drift tolerance —
+        # an upgraded writer adding a column (e.g. delete_docs growing
+        # tombstones a ``tombstoned_at``) must merge into the legacy
+        # table it inherits, not raise NUM_COLUMNS_MISMATCH *after* the
+        # caller's physical deletes already ran (the id would then be
+        # deleted but never tombstoned — an at-least-once replay could
+        # resurrect a taken-down document). Legacy rows get NULL in the
+        # new column, which downstream readers treat conservatively
+        # (vacuum_tombstones never sweeps unknown-age rows).
+        merged = kept.unionByName(updates, allowMissingColumns=True)
         commit_generation(
             spark,
             path,
@@ -216,7 +225,10 @@ def idempotent_merge_parquet(
         kept = existing.join(
             updates.select(*keys).distinct(), on=keys, how="left_anti"
         )
-        kept.unionByName(updates).write.mode("overwrite").parquet(tmp)
+        # same schema-evolution contract as the versioned branch above
+        kept.unionByName(updates, allowMissingColumns=True).write.mode(
+            "overwrite"
+        ).parquet(tmp)
         if not fs.rename(target, old_p):
             raise IOError(f"merge swap failed: could not move {path} aside")
         if not fs.rename(tmp_p, target):
@@ -241,7 +253,11 @@ def idempotent_merge_parquet(
         pred = pred | F.col(partition_col).isNull()
     existing = spark.read.option("basePath", path).parquet(path).filter(pred)
     kept = existing.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
-    merged = kept.unionByName(updates.select(*existing.columns))
+    # same schema-evolution contract as the whole-table branches: a new
+    # column on either side unions as NULL on the other instead of
+    # raising mid-merge (only the touched partitions gain the column —
+    # hive layouts schema-merge across partition files on read)
+    merged = kept.unionByName(updates, allowMissingColumns=True)
     merged.write.partitionBy(partition_col).mode("overwrite").parquet(tmp)
 
     for st in fs.listStatus(tmp_p):

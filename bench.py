@@ -265,21 +265,25 @@ def calibration_sec(spark) -> float:
     return best
 
 
-def previous_bench() -> tuple[int | None, dict | None]:
-    """(round, parsed) of the newest usable bench record beside this
-    script, or (None, None). Scans BOTH the driver-written
+def bench_records() -> dict[int, tuple[dict, str]]:
+    """round -> (parsed record, source FILENAME) for every usable bench
+    record beside this script. Scans BOTH the driver-written
     BENCH_r{N}.json (which may be a truncated 2 kB stdout tail — the
     r10 record lost its calibration block exactly that way) and the
     bench's own full-fidelity BENCH_LOCAL_r{N}.json; for the same
-    round a record WITH a calibration row wins, so vs_prev stays
-    drift-normalized even when the driver capture truncates.
-    Read-only, best-effort — the bench must keep its output contract
-    even on a checkout without history."""
+    round a record WITH a calibration row wins, so comparisons stay
+    drift-normalized even when the driver capture truncates. The
+    filename travels with the record so every emitted comparison can
+    name its baseline VERBATIM — the r12 VERDICT blemish was a notes
+    file attributing a vs_prev to the wrong baseline because the
+    provenance lived nowhere in the record. Read-only, best-effort —
+    the bench must keep its output contract even on a checkout
+    without history."""
     import glob as _glob
     import re as _re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    by_round: dict[int, dict] = {}
+    by_round: dict[int, tuple[dict, str]] = {}
     for pat in ("BENCH_r*.json", "BENCH_LOCAL_r*.json"):
         for p in _glob.glob(os.path.join(here, pat)):
             m = _re.search(r"BENCH(?:_LOCAL)?_r(\d+)\.json$", p)
@@ -296,13 +300,10 @@ def previous_bench() -> tuple[int | None, dict | None]:
                 continue
             cur = by_round.get(n)
             if cur is None or (
-                parsed.get("calibration") and not cur.get("calibration")
+                parsed.get("calibration") and not cur[0].get("calibration")
             ):
-                by_round[n] = parsed
-    if not by_round:
-        return None, None
-    n = max(by_round)
-    return n, by_round[n]
+                by_round[n] = (parsed, os.path.basename(p))
+    return by_round
 
 
 BENCH_TICKERS = ["BP", "COP", "SHEL", "XOM"]
@@ -552,33 +553,10 @@ def main() -> None:
         # machine-speed-free per-query numbers (unit: calibrations)
         "normalized": {k: round(v / cal, 3) for k, v in timings.items()},
     }
-    prev_n, prev = previous_bench()
-    if prev is not None and prev.get("sf") != out["sf"]:
-        prev = None  # a different scale factor is not comparable
-    if prev is not None:
-        prev_cal = (prev.get("calibration") or {}).get("sec")
-        pq = prev.get("queries", {})
-        ratios = {}
-        for k, v in timings.items():
-            if not pq.get(k):
-                continue
-            r = v / pq[k]
-            if prev_cal:  # drift-normalized when the prev round has a row
-                r *= prev_cal / cal
-            ratios[k] = round(r, 3)
-        out["vs_prev"] = {
-            "round": prev_n,
-            "prev_calibration": prev_cal,
-            "normalized": bool(prev_cal),
-            "ratios": ratios,
-        }
-
-    # Full-fidelity record -> committed file. The driver captures only
-    # a 2 kB stdout TAIL; r10's record lost its raw queries dict and
-    # calibration block exactly that way (VERDICT r10 finding #1).
-    # The filename round = newest driver BENCH_r{N} + 1 (the driver
+    # The current round = newest driver BENCH_r{N} + 1 (the driver
     # writes BENCH_r{N}.json at the END of round N, so any run during
-    # round N sees N-1 as the newest driver file).
+    # round N sees N-1 as the newest driver file). Computed BEFORE the
+    # comparison so vs_prev can exclude same-round records.
     import glob as _glob
     import re as _re
 
@@ -589,6 +567,54 @@ def main() -> None:
         if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
     ]
     cur = (max(driver_rounds) + 1) if driver_rounds else 1
+
+    def _compare(prev: dict) -> tuple[float | None, dict]:
+        prev_cal = (prev.get("calibration") or {}).get("sec")
+        pq = prev.get("queries", {})
+        ratios = {}
+        for k, v in timings.items():
+            if not pq.get(k):
+                continue
+            r = v / pq[k]
+            if prev_cal:  # drift-normalized when the prev round has a row
+                r *= prev_cal / cal
+            ratios[k] = round(r, 3)
+        return prev_cal, ratios
+
+    # vs_prev: the HEADLINE comparison, always against the newest
+    # PREVIOUS round (r12 VERDICT task 4: mid-round, the newest record
+    # on disk is this round's own earlier commit — comparing against
+    # it silently changes what "vs_prev" means; that drift produced
+    # the r12 notes misattribution). A same-round record still gets a
+    # secondary vs_same_round block, and BOTH name their baseline
+    # file so the provenance is in the record, not in prose.
+    records = {
+        n: rec
+        for n, rec in bench_records().items()
+        if rec[0].get("sf") == out["sf"]
+    }
+    prev_rounds = [n for n in records if n < cur]
+    if prev_rounds:
+        prev_n = max(prev_rounds)
+        prev, prev_file = records[prev_n]
+        prev_cal, ratios = _compare(prev)
+        out["vs_prev"] = {
+            "round": prev_n,
+            "baseline_file": prev_file,
+            "prev_calibration": prev_cal,
+            "normalized": bool(prev_cal),
+            "ratios": ratios,
+        }
+    if cur in records:
+        same, same_file = records[cur]
+        same_cal, same_ratios = _compare(same)
+        out["vs_same_round"] = {
+            "round": cur,
+            "baseline_file": same_file,
+            "prev_calibration": same_cal,
+            "normalized": bool(same_cal),
+            "ratios": same_ratios,
+        }
     local_path = os.path.join(here, f"BENCH_LOCAL_r{cur}.json")
     with open(local_path, "w") as f:
         json.dump(out, f, indent=1)
@@ -614,6 +640,7 @@ def main() -> None:
         rs = sorted(vp["ratios"].values())
         compact["vs_prev"] = {
             "round": vp["round"],
+            "baseline_file": vp["baseline_file"],
             "normalized": vp["normalized"],
             "median_ratio": round(rs[len(rs) // 2], 3) if rs else None,
             # worst offenders only on stdout; the full ratio dict is in

@@ -579,6 +579,45 @@ def test_vacuum_tombstones_age_gate_and_no_resurrection(spark, tmp_path):
     assert vacuum_tombstones(spark, str(tmp_path / "none"), 0) == 0
 
 
+def test_delete_into_legacy_doc_id_only_tombstones_table(spark, tmp_path):
+    """r12 ADVICE (high): delete_docs must merge into a PRE-r12
+    tombstones table (doc_id-only — no tombstoned_at column) instead
+    of raising NUM_COLUMNS_MISMATCH after the physical deletes already
+    ran (the id would be deleted but never tombstoned, and a replayed
+    ingest batch could resurrect it). Covers both legacy layouts: a
+    plain parquet dir and a versioned root born before the timestamp
+    column existed. Legacy rows get null tombstoned_at and are never
+    swept by vacuum (unknown age = conservative keep)."""
+    from bda_spark.operators.deletes import (
+        read_tombstones,
+        vacuum_tombstones,
+    )
+    from bda_spark.sources.sinks import idempotent_merge_parquet
+    from bda_spark.sources.versioned import is_versioned
+
+    legacy = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    # layout A: plain dir (pre-versioned, pre-timestamp)
+    plain = str(tmp_path / "plain_ts")
+    legacy.write.parquet(plain)
+    # layout B: versioned root, doc_id-only generation
+    versioned = str(tmp_path / "versioned_ts")
+    idempotent_merge_parquet(
+        spark, legacy, versioned, keys=["doc_id"], versioned=True
+    )
+    assert is_versioned(spark, versioned)
+
+    for path in (plain, versioned):
+        delete_docs(spark, [2, 3], tombstones_path=path)  # must not raise
+        got = read_tombstones(spark, path)
+        assert {r.doc_id for r in got.collect()} == {1, 2, 3}
+        # ids 2,3 were (re)stamped by the delete; untouched legacy id 1
+        # is null-age and survives even a zero-retention vacuum
+        assert vacuum_tombstones(spark, path, max_age_seconds=0) == 2
+        assert {r.doc_id for r in read_tombstones(spark, path).collect()} == {
+            1,
+        }
+
+
 def test_vacuum_tombstones_is_replay_safe_with_refresh(spark, tmp_path):
     """A REPLAYED delete refreshes tombstoned_at, so the id's
     retention clock restarts from the latest delete — the conservative
@@ -593,4 +632,61 @@ def test_vacuum_tombstones_is_replay_safe_with_refresh(spark, tmp_path):
     delete_docs(spark, [7], tombstones_path=ts_path)  # replay
     assert read_tombstones(spark, ts_path).count() == 1
     assert vacuum_tombstones(spark, ts_path, max_age_seconds=3600) == 0
+    assert vacuum_tombstones(spark, ts_path, max_age_seconds=0) == 1
+
+
+def test_vacuum_spares_tombstone_refreshed_mid_vacuum(
+    spark, tmp_path, monkeypatch
+):
+    """r12 ADVICE (low): the cross-writer window between vacuum's
+    doomed-set read and delete_keys_parquet's pinned re-read. A
+    delete_docs replay that REFRESHES tombstoned_at in that window
+    must not have its fresh tombstone swept by the stale doomed set —
+    the sweep matches on (id, tombstoned_at), so the refreshed row no
+    longer matches and survives. Deterministic interleave: the real
+    delete_keys_parquet is wrapped so the refreshing replay commits
+    between vacuum's read and its delete."""
+    import bda_spark.operators.deletes as deletes_mod
+    from bda_spark.operators.deletes import (
+        read_tombstones,
+        vacuum_tombstones,
+    )
+    from bda_spark.sources.sinks import (
+        delete_keys_parquet as real_delete,
+        idempotent_merge_parquet,
+    )
+
+    ts_path = str(tmp_path / "ts")
+    # plant a BACKDATED tombstone (age >> any max_age we pass) in a
+    # versioned table, exactly the shape delete_docs writes
+    stale = spark.createDataFrame([(7,)], "doc_id long").withColumn(
+        "tombstoned_at", F.lit("2020-01-01 00:00:00").cast("timestamp")
+    )
+    idempotent_merge_parquet(
+        spark, stale, ts_path, keys=["doc_id"], versioned=True
+    )
+
+    fired = {"n": 0}
+
+    def interleaved_delete(spark_, ids, path, keys, **kw):
+        # vacuum has already computed its doomed set from the pre-
+        # refresh generation; the takedown replay now lands and
+        # refreshes id 7's tombstoned_at before the sweep executes
+        if fired["n"] == 0:
+            fired["n"] = 1
+            delete_docs(spark_, [7], tombstones_path=ts_path)
+        return real_delete(spark_, ids, path, keys, **kw)
+
+    monkeypatch.setattr(deletes_mod, "delete_keys_parquet", interleaved_delete)
+    swept = vacuum_tombstones(spark, ts_path, max_age_seconds=60)
+    assert fired["n"] == 1  # the interleave actually happened
+    # the stale (2020) row no longer exists at the sweep's pinned
+    # generation under its refreshed timestamp — nothing is swept and
+    # the fresh tombstone survives
+    assert swept == 0
+    assert {r.doc_id for r in read_tombstones(spark, ts_path).collect()} == {
+        7,
+    }
+    monkeypatch.undo()
+    # sanity: with no refresh, the same backdated row DOES sweep
     assert vacuum_tombstones(spark, ts_path, max_age_seconds=0) == 1

@@ -6,6 +6,8 @@ that window; past it sit pytest-covered twins and post-cap additions
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from bda_spark.plans import get_oracles, get_queries
 from bda_spark.plans.registry import DEFERRED_TAIL, DRIVER_ROW_CAP
 
@@ -201,3 +203,26 @@ def test_no_oracle_emits_driver_hash_unsafe_types(duck):
         "oracle output columns with no Spark type twin (driver hash "
         f"mismatch even when values agree) — add CAST in the SQL: {bad}"
     )
+
+
+def test_xsum_exact_past_bigint_micro_unit_overflow(spark, duck):
+    """r12 ADVICE (medium): a group whose true sum exceeds ~9.2e12
+    money units overflows a BIGINT micro-unit accumulator (2^63 / 1e6)
+    silently under ANSI-off partial aggregation. xsum now accumulates
+    in DECIMAL(38,0): the planted 1.6e13-unit group sum (1.6e19
+    micro-units > 2^63) must come back EXACT and bit-equal to DuckDB's
+    HUGEINT twin."""
+    from bda_spark.plans.registry import xsum
+
+    vals = [4.0e12 + 0.25, 4.0e12 + 0.25, 4.0e12 + 0.25, 4.0e12 + 0.25]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.agg(xsum(F.col("x")).alias("s")).collect()[0]["s"]
+    want = duck.execute(
+        "SELECT round(sum(CAST(round(x * 1000000) AS BIGINT)) / 1000000.0, 6)"
+        " FROM (VALUES (4.0e12 + 0.25), (4.0e12 + 0.25), (4.0e12 + 0.25),"
+        " (4.0e12 + 0.25)) t(x)"
+    ).fetchone()[0]
+    assert got == want, (got, want)
+    # the exact double nearest to 16000000000001.0 — not an overflowed
+    # wraparound (the old BIGINT path returned a large NEGATIVE number)
+    assert got == 16000000000001.0

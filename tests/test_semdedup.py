@@ -825,3 +825,35 @@ def test_delete_docs_scrubs_two_level_semantic_index(spark, tmp_path):
     assert delete_docs(spark, [5], semantic_index_path=idx) == {
         "semantic_index": 0
     }
+
+
+def test_distributed_quantizer_dedupes_duplicate_top_centroids(spark):
+    """r12 ADVICE (low): a duplicate-heavy sample with fewer distinct
+    vectors than k1 can make _kmeans_fit return bitwise-identical TOP
+    centroids; without the order-preserving dedupe, GEMM's batch-shape
+    tie accumulation could co-assign identical vectors to DIFFERENT
+    top cells and miss exact duplicates. Corpus: 3 distinct vectors,
+    hundreds of copies, k large enough that k1 = ceil(sqrt(k)) > 3."""
+    from bda_spark.operators.similarity import (
+        assign_cells_scalable,
+        distributed_coarse_quantizer,
+    )
+
+    rng = np.random.default_rng(21)
+    distinct = rng.normal(size=(3, DIM))
+    rows = [(i, distinct[i % 3]) for i in range(600)]
+    emb = _embeddings(spark, rows)
+    top, sub = distributed_coarse_quantizer(
+        emb, k=100, seed=4, n_hint=len(rows)
+    )
+    # no bitwise-duplicate top centroids survive the fit
+    T = np.asarray(top)
+    assert len(np.unique(T, axis=0)) == len(T)
+    # identical vectors land in ONE cell each — the co-assignment
+    # invariant the dedupe exists to protect
+    assigned = assign_cells_scalable(emb, top, sub).collect()
+    cells_by_variant = {}
+    for r in assigned:
+        cells_by_variant.setdefault(r.vec_id % 3, set()).add(r.centroid_id)
+    for variant, cells in cells_by_variant.items():
+        assert len(cells) == 1, (variant, cells)
