@@ -262,11 +262,20 @@ def _require_batch_layout(spark: SparkSession, root: str) -> None:
         )
 
 
-def compacted_watermark(spark: SparkSession, root: str) -> int:
+def compacted_watermark(
+    spark: SparkSession, root: str, generation: int | None = None
+) -> int:
     """Max batch id absorbed into the compacted generation; -1 when
     nothing has been compacted. One generation-resolve + one tiny file
-    read."""
-    gen = current_generation(spark, root)
+    read. Pass ``generation`` to read a PINNED generation's watermark —
+    read-modify-write callers (compaction, batch-table deletes) derive
+    every read from one generation so a concurrent commit cannot hand
+    them a stale/fresh mix."""
+    gen = (
+        int(generation)
+        if generation is not None
+        else current_generation(spark, root)
+    )
     if gen is None:
         return -1
     line = _read_small_file(
@@ -305,18 +314,23 @@ def write_batch_dir(df: DataFrame, root: str, batch_id: int) -> bool:
 
 
 def _gen_manifest(
-    spark: SparkSession, root: str
+    spark: SparkSession, root: str, generation: int | None = None
 ) -> tuple[int | None, dict[str, int], bool]:
-    """(current_gen, manifest, plain) for the compacted half of the
-    table. ``manifest`` maps hive entry name -> generation that
-    PHYSICALLY holds it (own entries + ``_refs`` carries — a manifest
-    entry always points at the holder directly, never through a chain,
+    """(gen, manifest, plain) for the compacted half of the table.
+    ``manifest`` maps hive entry name -> generation that PHYSICALLY
+    holds it (own entries + ``_refs`` carries — a manifest entry
+    always points at the holder directly, never through a chain,
     because compaction resolves references fully when it writes them).
     ``plain`` = the generation is unpartitioned parquet (no hive
-    entries), read as one dir."""
+    entries), read as one dir. ``generation`` pins the read (see
+    ``compacted_watermark``)."""
     from ..sources.versioned import generation_manifest
 
-    gen = current_generation(spark, root)
+    gen = (
+        int(generation)
+        if generation is not None
+        else current_generation(spark, root)
+    )
     if gen is None:
         return None, {}, False
     manifest, plain = generation_manifest(spark, root, gen)
@@ -324,18 +338,23 @@ def _gen_manifest(
 
 
 def _read_compacted(
-    spark: SparkSession, root: str, schema: StructType | None = None
+    spark: SparkSession,
+    root: str,
+    schema: StructType | None = None,
+    generation: int | None = None,
 ) -> DataFrame | None:
     """The compacted half of the table — ``versioned.read_versioned``
     (the shared manifest-resolving reader) behind batchdir's
-    conventions: None when nothing is compacted yet or the current
-    generation holds no data at all (an empty-stream absorb)."""
+    conventions: None when nothing is compacted yet or the generation
+    holds no data at all (an empty-stream absorb). ``generation`` pins
+    the read so a read-modify-write cycle's data derives from the same
+    generation as its watermark/manifest and CAS base."""
     from ..sources.versioned import read_versioned
 
-    gen, manifest, plain = _gen_manifest(spark, root)
+    gen, manifest, plain = _gen_manifest(spark, root, generation)
     if gen is None or (not manifest and not plain):
         return None
-    return read_versioned(spark, root, schema=schema)
+    return read_versioned(spark, root, generation=gen, schema=schema)
 
 
 def _cast_to(df: DataFrame, schema: StructType) -> DataFrame:
@@ -451,9 +470,58 @@ def compact_batch_dirs(
     invisible debris (next run redoes the work); after the marker, the
     absorbed dirs sit <= watermark where readers and the batch writer
     already ignore them, and the next run sweeps them before absorbing
-    anything new."""
+    anything new.
+
+    Cross-WRITER safe (r12 VERDICT task 5): the whole cycle — watermark,
+    manifest, compacted-data read — derives from ONE pinned generation
+    and the commit carries that base as a CAS (``expected_base``), so a
+    merge/delete/competing-compaction landing between this cycle's read
+    and its commit makes THIS writer fail its commit instead of
+    publishing a generation that silently discards the competitor's —
+    the same lost-update guard idempotent_merge_parquet and
+    delete_keys_parquet carry. A detected race re-runs the cycle
+    against the new current generation (bounded retries)."""
+    last_race: IOError | None = None
+    for _attempt in range(3):
+        try:
+            return _compact_cycle(
+                spark,
+                root,
+                partition_by,
+                vacuum_keep,
+                vacuum_min_age_seconds,
+                full,
+            )
+        except IOError as e:
+            if not _is_commit_race(e):
+                raise
+            last_race = e
+    raise last_race
+
+
+def _is_commit_race(e: IOError) -> bool:
+    """commit_generation's three detected-race shapes (stale base at
+    entry, competitor landed while writing, same-base marker race) —
+    all safely retryable: the loser published nothing."""
+    msg = str(e)
+    return (
+        "stale writer" in msg
+        or "committed under" in msg
+        or "lost a same-base commit race" in msg
+    )
+
+
+def _compact_cycle(
+    spark: SparkSession,
+    root: str,
+    partition_by: list[str] | None,
+    vacuum_keep: int,
+    vacuum_min_age_seconds: float | None,
+    full: bool,
+) -> int:
     _require_batch_layout(spark, root)
-    wm = compacted_watermark(spark, root)
+    base_gen = current_generation(spark, root)
+    wm = compacted_watermark(spark, root, generation=base_gen)
     dirs = _batch_dirs(spark, root)
     fs, _ = _hadoop_path(spark, root)
     # grace-period sweep: dirs the PREVIOUS compaction absorbed (and
@@ -468,7 +536,7 @@ def compact_batch_dirs(
         # their writer (live stream or crash-replay) to commit
         committed = {b: p for b, p in committed.items() if b < blocked}
         with_data = {b: p for b, p in with_data.items() if b < blocked}
-    cur_gen, manifest, plain_gen = _gen_manifest(spark, root)
+    cur_gen, manifest, plain_gen = _gen_manifest(spark, root, base_gen)
     has_refs = any(g != cur_gen for g in manifest.values())
     if not committed:
         if not (full and has_refs):
@@ -536,7 +604,9 @@ def compact_batch_dirs(
             if any(t is None for t in touched):
                 pred = pred | F.col(pcol).isNull()
             merged = fresh_df
-            old = _read_compacted(spark, root, fresh_df.schema)
+            old = _read_compacted(
+                spark, root, fresh_df.schema, generation=base_gen
+            )
             if old is not None:
                 merged = old.filter(pred).unionByName(fresh_df)
             _spread_within_partitions(merged, [pcol]).write.partitionBy(
@@ -566,7 +636,10 @@ def compact_batch_dirs(
             # collapse; with no fresh data the old table rewrites
             # alone)
             old = _read_compacted(
-                spark, root, fresh_df.schema if fresh_df is not None else None
+                spark,
+                root,
+                fresh_df.schema if fresh_df is not None else None,
+                generation=base_gen,
             )
             if fresh_df is None:
                 merged = old
@@ -595,7 +668,7 @@ def compact_batch_dirs(
                 merged.write.mode("overwrite").parquet(data_dir)
         _write_watermark(spark, data_dir, new_wm)
 
-    commit_generation(spark, root, _write)
+    commit_generation(spark, root, _write, expected_base=base_gen or 0)
     if vacuum_min_age_seconds is None:
         from ..sources.versioned import DEFAULT_MAINTENANCE_MIN_AGE_SECONDS
 
@@ -606,6 +679,192 @@ def compact_batch_dirs(
     # absorbed dirs are left in place (<= watermark: invisible); the
     # NEXT compaction's sweep deletes them after the grace period
     return new_wm
+
+
+def _hive_levels(fs, jvm, holder_dir: str) -> list[str]:
+    """Partition column names of a hive layout, by walking the first
+    entry chain down (``day=3/sym=BP/part-...`` -> ["day", "sym"]).
+    Empty list = unpartitioned."""
+    levels: list[str] = []
+    path = jvm.org.apache.hadoop.fs.Path(holder_dir)
+    while True:
+        nxt = None
+        for st in fs.listStatus(path):
+            name = st.getPath().getName()
+            if st.isDirectory() and "=" in name:
+                nxt = st
+                break
+        if nxt is None:
+            return levels
+        levels.append(nxt.getPath().getName().partition("=")[0])
+        path = nxt.getPath()
+
+
+def delete_keys_batch_table(
+    spark: SparkSession,
+    root: str,
+    ids: DataFrame,
+    keys: list[str],
+    vacuum_keep: int = 2,
+    vacuum_min_age_seconds: float | None = None,
+) -> int:
+    """Key-based DELETE over a batch-dir table — the takedown path for
+    streaming-compacted artifact stores (predictions, correlations,
+    incremental indexes held in this layout). A GENERIC versioned
+    delete (``sources.sinks.delete_keys_parquet``) must NOT be pointed
+    at a batch-dir root: it would commit a generation without the
+    ``_watermark`` sidecar (regressing the watermark to -1, so
+    already-absorbed-but-unswept batch dirs double-count on the next
+    read) and without the ``_refs`` manifest (silently dropping every
+    partition the current generation carries by reference). This
+    operator deletes with the layout's own invariants:
+
+    - COMPACTED half: partition-scoped, manifest-aware — one semi-join
+      finds the touched top-level partitions, only those rewrite into
+      the new generation, every untouched entry carries forward by
+      reference, and the watermark rides along. O(touched partitions),
+      the same cost shape as incremental compaction.
+    - FRESH ``batch=<id>`` dirs (committed, above the watermark):
+      each dir holding doomed rows is rewritten in place — the same
+      single-writer-per-dir contract the stream's own replay overwrite
+      relies on (run takedowns from the maintenance owner, not
+      concurrently with that exact batch's replay).
+    - CAS + retry: the compacted rewrite derives every read from one
+      pinned generation and commits with ``expected_base`` — a racing
+      compaction/merge makes this delete retry against the new
+      generation instead of silently discarding the competitor's
+      commit (and vice versa: ``compact_batch_dirs`` carries the same
+      guard, so whichever writer loses the race re-runs).
+
+    Returns total rows removed; 0 = nothing rewritten anywhere (a
+    replayed delete is a pure read). Physical removal only — pair with
+    ``operators.deletes`` tombstones when the upstream source can
+    replay batches that still carry the id."""
+    ids = ids.select(*keys).distinct()
+    last_race: IOError | None = None
+    removed_compacted = None
+    for _attempt in range(3):
+        try:
+            removed_compacted = _delete_compacted_cycle(
+                spark, root, ids, keys, vacuum_keep, vacuum_min_age_seconds
+            )
+            break
+        except IOError as e:
+            if not _is_commit_race(e):
+                raise
+            last_race = e
+    if removed_compacted is None:
+        raise last_race
+
+    # fresh committed dirs above the (possibly just-advanced) watermark
+    removed_fresh = 0
+    wm = compacted_watermark(spark, root)
+    dirs = _batch_dirs(spark, root)
+    _committed, with_data, _blocked = _classify_fresh(spark, root, dirs, wm)
+    for bid in sorted(with_data):
+        path = with_data[bid]
+        df = spark.read.parquet(glob_escape(path))
+        hits = df.join(ids, on=keys, how="left_semi").count()
+        if hits == 0:
+            continue
+        kept = df.join(ids, on=keys, how="left_anti").localCheckpoint(
+            eager=True
+        )  # materialize BEFORE overwriting the dir being read
+        kept.write.mode("overwrite").parquet(path)
+        removed_fresh += int(hits)
+    return int(removed_compacted) + removed_fresh
+
+
+def _delete_compacted_cycle(
+    spark: SparkSession,
+    root: str,
+    ids: DataFrame,
+    keys: list[str],
+    vacuum_keep: int,
+    vacuum_min_age_seconds: float | None,
+) -> int:
+    """One pinned-read -> CAS-commit attempt over the compacted half;
+    raises the commit-race IOErrors for the caller's retry loop."""
+    _require_batch_layout(spark, root)
+    base_gen = current_generation(spark, root)
+    if base_gen is None:
+        return 0
+    wm = compacted_watermark(spark, root, generation=base_gen)
+    _, manifest, plain = _gen_manifest(spark, root, base_gen)
+    compacted = _read_compacted(spark, root, generation=base_gen)
+    if compacted is None:
+        return 0
+    fs, _ = _hadoop_path(spark, root)
+    jvm = spark._jvm
+
+    if plain:
+        removed = compacted.join(ids, on=keys, how="left_semi").count()
+        if removed == 0:
+            return 0
+        kept = compacted.join(ids, on=keys, how="left_anti")
+
+        def _write_plain(data_dir: str) -> None:
+            kept.write.mode("overwrite").parquet(data_dir)
+            _write_watermark(spark, data_dir, wm)
+
+        commit_generation(
+            spark, root, _write_plain, expected_base=base_gen
+        )
+    else:
+        from ..sources.sinks import _hive_part_dirname
+
+        pcol = next(iter(manifest)).partition("=")[0]
+        doomed = compacted.join(ids, on=keys, how="left_semi")
+        touched = [
+            (r[0], r[1])
+            for r in doomed.groupBy(pcol)
+            .agg(F.count("*").alias("_n"))
+            .collect()
+        ]
+        if not touched:
+            return 0
+        removed = int(sum(n for _, n in touched))
+        vals = [v for v, _ in touched]
+        non_null = [v for v in vals if v is not None]
+        pred = F.col(pcol).isin(non_null) if non_null else F.lit(False)
+        if any(v is None for v in vals):
+            pred = pred | F.col(pcol).isNull()
+        touched_names = {_hive_part_dirname(pcol, v) for v in vals}
+        # deeper partition levels (if any) come from the holder dir of
+        # the first touched entry, so the rewrite preserves the layout
+        first_touched = next(
+            n for n in manifest if n in touched_names
+        )
+        holder_dir = _gen_dir(root, manifest[first_touched])
+        levels = [pcol] + _hive_levels(
+            fs, jvm, f"{holder_dir}/{first_touched}"
+        )
+        kept = compacted.filter(pred).join(ids, on=keys, how="left_anti")
+
+        def _write_hive(data_dir: str) -> None:
+            _, data_p = _hadoop_path(spark, data_dir)
+            _spread_within_partitions(kept, levels).write.partitionBy(
+                *levels
+            ).mode("overwrite").parquet(data_dir)
+            # carry every untouched entry by reference; a touched entry
+            # whose rows were all doomed appears nowhere — gone
+            refs = {
+                n: g for n, g in manifest.items() if n not in touched_names
+            }
+            if refs:
+                write_generation_refs(spark, data_dir, refs)
+            _write_watermark(spark, data_dir, wm)
+
+        commit_generation(spark, root, _write_hive, expected_base=base_gen)
+
+    if vacuum_min_age_seconds is None:
+        from ..sources.versioned import DEFAULT_MAINTENANCE_MIN_AGE_SECONDS
+
+        vacuum_min_age_seconds = DEFAULT_MAINTENANCE_MIN_AGE_SECONDS
+    vacuum_versions(
+        spark, root, keep=vacuum_keep, min_age_seconds=vacuum_min_age_seconds
+    )
+    return int(removed)
 
 
 def migrate_batch_layout(

@@ -623,3 +623,92 @@ def test_batch_table_roundtrip_with_glob_metachar_root(spark, tmp_path):
     assert wm == 0
     assert compacted_watermark(spark, root) == 0
     assert read_batch_table(spark, root, schema).count() == 10
+
+
+# --- r12 VERDICT task 5: compaction CAS + batch-table takedown --------
+
+
+def test_delete_keys_batch_table_keeps_layout_invariants(spark, tmp_path):
+    """Key-delete over a batch-dir table: watermark carried (NOT
+    regressed to -1 — the corruption a generic versioned delete would
+    cause), untouched partitions carried by reference, doomed rows
+    removed from BOTH the compacted generation and fresh committed
+    batch dirs, and a replayed delete removes 0 and rewrites nothing."""
+    from bda_spark.streaming.batchdir import delete_keys_batch_table
+
+    root = str(tmp_path / "tbl")
+    for bid in range(2):
+        assert write_batch_dir(_batch(spark, bid), root, bid)
+    assert compact_batch_dirs(spark, root, partition_by=["day"]) == 1
+    # fresh, not-yet-absorbed batch holding two doomed rows
+    assert write_batch_dir(_batch(spark, 2), root, 2)
+    before = dict(_rows_by_k(spark, root))
+
+    ids = spark.createDataFrame(
+        [(0,), (100,), (200,), (201,), (99999,)], "k long"
+    )
+    removed = delete_keys_batch_table(spark, root, ids, keys=["k"])
+    assert removed == 4  # 0,100 compacted; 200,201 fresh; 99999 absent
+    assert compacted_watermark(spark, root) == 1  # NOT -1
+    got = dict(_rows_by_k(spark, root))
+    assert set(before) - set(got) == {0, 100, 200, 201}
+    assert got == {k: v for k, v in before.items() if k not in (0, 100, 200, 201)}
+    # replay: pure read, no rewrite anywhere
+    assert delete_keys_batch_table(spark, root, ids, keys=["k"]) == 0
+    # the table still compacts and reads normally afterwards
+    assert compact_batch_dirs(spark, root, partition_by=["day"]) == 2
+    assert dict(_rows_by_k(spark, root)) == got
+
+
+def _rows_by_k(spark, root):
+    return [
+        (r.k, (r.v, r.day))
+        for r in read_batch_table(spark, root, SCHEMA).collect()
+    ]
+
+
+def test_compaction_cas_retries_and_preserves_racing_delete(
+    spark, tmp_path, monkeypatch
+):
+    """The r12 VERDICT task-5 interleave, mirroring test_deletes'
+    stale-writer test: a takedown commits between a compaction cycle's
+    pinned read and its commit. The compaction's CAS must detect the
+    race, retry against the new generation, and the final table must
+    NOT resurrect the deleted row (the lost update an unguarded
+    compactor would publish)."""
+    import bda_spark.streaming.batchdir as bd
+    from bda_spark.sources.versioned import (
+        commit_generation as real_commit,
+    )
+    from bda_spark.streaming.batchdir import delete_keys_batch_table
+
+    root = str(tmp_path / "tbl")
+    assert write_batch_dir(_batch(spark, 0), root, 0)
+    assert compact_batch_dirs(spark, root, partition_by=["day"]) == 0
+    assert write_batch_dir(_batch(spark, 1), root, 1)
+
+    fired = {"n": 0}
+
+    def racing_commit(spark_, root_, write_fn, expected_base=None):
+        # the compactor has pinned its reads; the takedown lands NOW,
+        # before the compactor's commit captures its base
+        if fired["n"] == 0:
+            fired["n"] = 1
+            ids = spark_.createDataFrame([(3,)], "k long")
+            assert (
+                delete_keys_batch_table(spark_, root_, ids, keys=["k"]) == 1
+            )
+        return real_commit(
+            spark_, root_, write_fn, expected_base=expected_base
+        )
+
+    monkeypatch.setattr(bd, "commit_generation", racing_commit)
+    wm = compact_batch_dirs(spark, root, partition_by=["day"])
+    monkeypatch.undo()
+    assert wm == 1
+    assert fired["n"] == 1  # the interleave actually happened
+    ks = {k for k, _ in _rows_by_k(spark, root)}
+    assert 3 not in ks, "racing takedown was silently discarded"
+    assert ks == {k for k in range(10) if k != 3} | {
+        100 + i for i in range(10)
+    }
