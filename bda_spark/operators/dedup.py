@@ -273,7 +273,9 @@ def band_keys(
     return signatures.select("doc_id", F.explode(keys).alias("band_key"))
 
 
-def _banded_candidates(bands: DataFrame, max_bucket_size: int) -> DataFrame:
+def _banded_candidates(
+    bands: DataFrame, max_bucket_size: int, distinct: bool = True
+) -> DataFrame:
     """(doc_a, doc_b) candidate pairs from band-bucket collisions, with
     the hot-bucket cap built into the join predicate: members are
     ranked within their bucket (row_number over band_key, ordered by
@@ -323,7 +325,14 @@ def _banded_candidates(bands: DataFrame, max_bucket_size: int) -> DataFrame:
     # would still buffer and cross-check the whole group.
     hot_members = bands.join(F.broadcast(hot), "band_key", "left_semi")
     chain_pairs = _rank_gap_chain_pairs(hot_members, max_bucket_size)
-    return all_pairs.unionByName(chain_pairs).distinct()
+    out = all_pairs.unionByName(chain_pairs)
+    # distinct=False lets a caller with a CHEAP map-side pair filter
+    # (the SimHash Hamming prefilter) run it BEFORE deduplication, so
+    # the dedup shuffle moves only surviving pairs instead of every
+    # raw band collision — at the 100x ladder rung that is a 39M-row
+    # exchange collapsing to ~the true-pair count. Such callers must
+    # apply .distinct() themselves after filtering.
+    return out.distinct() if distinct else out
 
 
 def _rank_gap_chain_pairs(members: DataFrame, gap: int) -> DataFrame:

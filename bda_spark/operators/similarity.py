@@ -93,25 +93,9 @@ def _candidates(
         )
 
     if anti_reflexive:
-        # self-join near-dup path: a k-member near-identical embedding
-        # cluster shares every band key, so the uncapped bucket join is
-        # O(k^2 * num_bands) — route through the same rank-gap chain
-        # cap as MinHash (dedup._banded_candidates). The per-vector key
-        # ARRAY is checkpointed once (one UDF pass, ~num_bands longs
-        # per vector) so the cap's extra consumers explode cheap
-        # materialized rows instead of re-running the matmul.
-        from .dedup import _banded_candidates
-
-        sig = left.select(
-            F.col("vec_id").alias("doc_id"),
-            udf(F.col("embedding")).alias("_keys"),
-        ).localCheckpoint(eager=True)
-        bands = sig.select("doc_id", F.explode("_keys").alias("band_key"))
-        return (
-            _banded_candidates(bands, max_bucket_size)
-            .withColumnRenamed("doc_a", "id_a")
-            .withColumnRenamed("doc_b", "id_b")
-        )
+        return _self_join_candidates(
+            left, dim, band_rows, num_bands, seed, max_bucket_size
+        )[0]
     return (
         keyed(left, "a")
         .join(keyed(right, "b"), "band_key")
@@ -119,6 +103,96 @@ def _candidates(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def _self_join_candidates(
+    embeddings: DataFrame,
+    dim: int,
+    band_rows: int,
+    num_bands: int,
+    seed: int,
+    max_bucket_size: int,
+    distinct: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Self-join near-dup candidate path: (candidates(id_a, id_b),
+    sig(doc_id, _keys) checkpointed). A k-member near-identical
+    embedding cluster shares every band key, so the uncapped bucket
+    join is O(k^2 * num_bands) — route through the same rank-gap chain
+    cap as MinHash (dedup._banded_candidates). The per-vector key
+    ARRAY is checkpointed once (one UDF pass, ~num_bands longs per
+    vector) so every downstream consumer — the cap's extra band
+    explodes AND the Hamming prefilter's packed-word projection —
+    reads cheap materialized rows instead of re-running the matmul."""
+    from .dedup import _banded_candidates
+
+    udf = simhash_band_udf(dim, band_rows, num_bands, seed)
+    sig = embeddings.select(
+        F.col("vec_id").alias("doc_id"),
+        udf(F.col("embedding")).alias("_keys"),
+    ).localCheckpoint(eager=True)
+    bands = sig.select("doc_id", F.explode("_keys").alias("band_key"))
+    cands = (
+        _banded_candidates(bands, max_bucket_size, distinct=distinct)
+        .withColumnRenamed("doc_a", "id_a")
+        .withColumnRenamed("doc_b", "id_b")
+    )
+    return cands, sig
+
+
+def _packed_sig_words(band_rows: int, num_bands: int) -> list["F.Column"]:
+    """Projection of a ``_keys`` band-key array into packed 64-bit
+    signature words ``_w0.._wN`` — the WHOLE r*b-bit SimHash signature
+    as plain long columns, derived JVM-side from the checkpointed key
+    array (each key's low ``band_rows`` bits are its band's sign-bit
+    pattern; the band-index offset sits above bit 32 and is masked
+    off). Words pack ``64 // band_rows`` bands each; unused high bits
+    are zero on BOTH sides of any pair, so they contribute nothing to
+    an xor-popcount. Pure codegen arithmetic — no UDF, no arrays on
+    the hot path."""
+    bpw = max(1, 64 // band_rows)
+    mask = (1 << band_rows) - 1
+    cols: list[F.Column] = []
+    w = 0
+    for start in range(0, num_bands, bpw):
+        parts = []
+        for j, i in enumerate(range(start, min(start + bpw, num_bands))):
+            parts.append(
+                F.shiftleft(
+                    F.element_at("_keys", i + 1).bitwiseAND(F.lit(mask)),
+                    j * band_rows,
+                )
+            )
+        expr = parts[0]
+        for p in parts[1:]:
+            expr = expr.bitwiseOR(p)
+        cols.append(expr.alias(f"_w{w}"))
+        w += 1
+    return cols
+
+
+def _hamming_min_match_bits(
+    threshold: float, band_rows: int, num_bands: int, z: float = 7.0
+) -> int:
+    """Minimum matching sign-bits a candidate pair must show to be
+    worth the exact-cosine rescore. For a pair at angle theta each of
+    the r*b hyperplane bits matches independently with
+    p = 1 - theta/pi (the SimHash identity), so matched bits ~
+    Binomial(r*b, p): a pair AT the cosine threshold sits at
+    mu = r*b*p with sigma = sqrt(r*b*p*(1-p)), while a RANDOM
+    (near-orthogonal) pair sits at r*b/2. The bound mu - z*sigma with
+    z = 7 keeps the per-pair false-drop probability below ~1e-12 —
+    nine orders of magnitude under the banding scheme's own miss rate
+    (e.g. 3.6e-3 at cosine 0.9, r=16, b=64) — while rejecting random
+    collisions at ~18 sigma. Conditioning on the banding collision
+    that MADE the pair a candidate only shifts its matched-bit count
+    UP, so the unconditional bound is conservative."""
+    import math
+
+    total = band_rows * num_bands
+    p = 1.0 - math.acos(max(-1.0, min(1.0, float(threshold)))) / math.pi
+    mu = total * p
+    sigma = math.sqrt(total * p * (1.0 - p)) if 0.0 < p < 1.0 else 0.0
+    return max(0, int(math.floor(mu - z * sigma)))
 
 
 def _rescored(candidates: DataFrame, embeddings: DataFrame) -> DataFrame:
@@ -155,6 +229,13 @@ def _rescored(candidates: DataFrame, embeddings: DataFrame) -> DataFrame:
     )
 
 
+# Size cap for broadcasting the packed-signature word table into the
+# Hamming prefilter joins (raw row-bytes estimate; ~64 MB covers ~3M
+# 1024-bit signatures). Past it the words join distributed — at that
+# corpus size the production move is raising band_rows anyway.
+_SIG_WORDS_BROADCAST_CAP = 64 << 20
+
+
 def simhash_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.45,
@@ -173,13 +254,62 @@ def simhash_neardup_pairs(
     rank-gap chain edges, so a mega-cluster's PAIR list is partial but
     its connected-component (the dedup outcome) is identical. Raise it
     when exact pair enumeration inside huge clusters matters more than
-    the quadratic cost."""
-    cands = _candidates(
-        embeddings, embeddings, dim, band_rows, num_bands, seed,
-        anti_reflexive=True, max_bucket_size=max_bucket_size,
+    the quadratic cost.
+
+    HAMMING PREFILTER (the r13 scale fix): the dominant 100x-rung cost
+    was exact-rescoring the ~b * 2^-r * n^2 / 2 RANDOM band collisions
+    — 39M candidate pairs at the 200k-vector rung, 110 of 98 s, zero
+    survivors at 0.9. Before any embedding travels, each candidate
+    pair now compares its FULL r*b-bit signature (packed into long
+    columns from the already-checkpointed key arrays —
+    ``_packed_sig_words``) with pure codegen xor+bit_count; pairs
+    below ``_hamming_min_match_bits`` (a 7-sigma Binomial bound, see
+    its docstring for why it cannot meaningfully dent recall) are
+    dropped before the 64-double join + interpreted dot product. A
+    random collision sits ~18 sigma below the bound, so the rescore
+    sees ~only true pairs; the signature matmul already paid for
+    every bit this filter reads."""
+    cands, sig = _self_join_candidates(
+        embeddings, dim, band_rows, num_bands, seed, max_bucket_size,
+        distinct=False,  # dedup AFTER the prefilter: the distinct's
+        # exchange then moves surviving pairs, not every raw collision
+    )
+    words = sig.select("doc_id", *_packed_sig_words(band_rows, num_bands))
+    n_words = len(words.columns) - 1
+    wa = words.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"_w{i}").alias(f"_wa{i}") for i in range(n_words)],
+    )
+    wb = words.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"_w{i}").alias(f"_wb{i}") for i in range(n_words)],
+    )
+    # sig is localCheckpoint-ed, so this count is a cached-rows read,
+    # not a recompute — it prices the broadcast decision exactly.
+    # Under the cap both word joins are map-side (the raw collision
+    # stream never shuffles for them); past it they fall back to the
+    # distributed join, which is the right shape once the corpus is
+    # big enough that r itself must grow (module docstring).
+    if sig.count() * (n_words + 1) * 8 <= _SIG_WORDS_BROADCAST_CAP:
+        wa, wb = F.broadcast(wa), F.broadcast(wb)
+    hamming = sum(
+        F.bit_count(
+            F.col(f"_wa{i}").bitwiseXOR(F.col(f"_wb{i}"))
+        ).cast("int")
+        for i in range(n_words)
+    )
+    max_ham = band_rows * num_bands - _hamming_min_match_bits(
+        threshold, band_rows, num_bands
+    )
+    pre = (
+        cands.join(wa, "id_a")
+        .join(wb, "id_b")
+        .filter(hamming <= F.lit(max_ham))
+        .select("id_a", "id_b")
+        .distinct()
     )
     return (
-        _rescored(cands, embeddings)
+        _rescored(pre, embeddings)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

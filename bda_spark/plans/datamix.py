@@ -922,6 +922,26 @@ def redact_spans(docs, spans, margin: int = 0):
 
 _H_DSIR = 2447445413  # third independent odd Knuth-style multiplier
 
+# Auto-regime switch for DSIR's feature space (r12 VERDICT task 2):
+# below this many raw documents the WORD regime runs (exact observed
+# vocab — the oracle-verified shape; every driver/bench scale sits
+# here), above it the HASHED regime (the paper's own web-scale device:
+# a fixed 2^18-bucket feature space). The word regime's scale risk is
+# the vocab table itself: the log-ratio join back to the token stream
+# is only map-side while the vocab broadcasts, and a web corpus'
+# observed vocab (Heaps' law, plus tokenization noise/typos that grow
+# ~linearly) eventually pushes the table past any broadcast budget —
+# at which point EVERY exploded token row would shuffle for the join.
+# The hashed table is <= DSIR_N_BUCKETS rows (~6 MB) at any corpus
+# size, so the join stays map-side forever; add-1 smoothing uses the
+# fixed bucket count, matching Xie et al.'s published estimator.
+# Like the hybrid-CC 500k-edge threshold, crossing the switch changes
+# RESULTS slightly (a coarser feature space), never correctness
+# semantics: selection is still importance resampling, just under the
+# hashed model the paper itself specifies at scale.
+DSIR_HASHED_MIN_DOCS = 200_000
+DSIR_N_BUCKETS = 1 << 18
+
 
 def dsir_importance_weights(raw, target, n_buckets: int | None = None):
     """(doc_id, n_tokens, log_weight) for every ``raw`` document:
@@ -992,8 +1012,9 @@ def dsir_importance_weights(raw, target, n_buckets: int | None = None):
     )
 
 
-def dsir_select(raw, target, n: int = 100, n_buckets: int | None = None,
-                gumbel: bool = True):
+def dsir_select(raw, target, n: int = 100,
+                n_buckets: int | None | str = "auto",
+                gumbel: bool = True, n_hint: int | None = None):
     """DSIR selection: top-``n`` raw documents by importance weight,
     resampled WITHOUT replacement via Gumbel-top-k (score = log_weight
     + g_i with g_i = -ln(-ln u_i); taking the n largest scores is
@@ -1006,7 +1027,19 @@ def dsir_select(raw, target, n: int = 100, n_buckets: int | None = None,
     regime for tests and greedy selection). Returns (doc_id, n_tokens,
     log_weight, score) rounded to the 6-digit oracle policy; the
     global top-n is a TakeOrdered, not a full sort.
-    """
+
+    ``n_buckets="auto"`` (default) picks the feature regime by corpus
+    size: the exact word vocab below ``DSIR_HASHED_MIN_DOCS`` raw
+    docs, the paper's fixed ``DSIR_N_BUCKETS`` hash space above it
+    (see the constants' comment). The decision is priced by one cheap
+    filtered-scan count of ``raw`` — pass ``n_hint`` to skip it when
+    the caller already knows the size, or an explicit int/None to pin
+    a regime regardless of size."""
+    if n_buckets == "auto":
+        n_raw = int(n_hint) if n_hint is not None else raw.count()
+        n_buckets = (
+            DSIR_N_BUCKETS if n_raw >= DSIR_HASHED_MIN_DOCS else None
+        )
     w = dsir_importance_weights(raw, target, n_buckets=n_buckets)
     u = (
         _kh(F.col("doc_id"), _H_DSIR) + 1.0

@@ -530,6 +530,38 @@ def test_dsir_hashed_regime_matches_on_separated_fixture(spark):
     assert hashed == exact
 
 
+def test_dsir_auto_regime_switches_on_corpus_size(spark):
+    """r12 VERDICT task 2: n_buckets="auto" runs the exact word vocab
+    below DSIR_HASHED_MIN_DOCS (bit-identical to the oracle-verified
+    regime) and the paper's fixed hash space above it. n_hint prices
+    the decision without a count; the hashed pick on the separated
+    fixture still lands entirely on target-matching docs."""
+    from bda_spark.plans.datamix import (
+        DSIR_HASHED_MIN_DOCS,
+        DSIR_N_BUCKETS,
+        dsir_select,
+    )
+
+    raw, tgt = _dsir_fixture(spark)
+    word = dsir_select(raw, tgt, n=20, n_buckets=None, gumbel=False)
+    auto_small = dsir_select(
+        raw, tgt, n=20, gumbel=False, n_hint=DSIR_HASHED_MIN_DOCS - 1
+    )
+    assert [r.asDict() for r in auto_small.collect()] == [
+        r.asDict() for r in word.collect()
+    ]
+    hashed = dsir_select(
+        raw, tgt, n=20, n_buckets=DSIR_N_BUCKETS, gumbel=False
+    )
+    auto_big = dsir_select(
+        raw, tgt, n=20, gumbel=False, n_hint=DSIR_HASHED_MIN_DOCS
+    )
+    assert [r.asDict() for r in auto_big.collect()] == [
+        r.asDict() for r in hashed.collect()
+    ]
+    assert {r.doc_id % 2 for r in auto_big.collect()} == {1}
+
+
 def test_dsir_gumbel_is_deterministic_and_weight_biased(spark):
     from bda_spark.plans.datamix import dsir_select
 

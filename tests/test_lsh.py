@@ -643,3 +643,58 @@ def test_fuzzy_join_side_cap_bounds_bucket_fanout(spark):
         left, right, threshold=0.5, max_bucket_size=None
     ).count()
     assert full == 900
+
+
+def test_simhash_hamming_prefilter_math_and_recall_at_threshold(spark):
+    """r13 Hamming prefilter (the simhash 100x-rung fix): the bound
+    must sit far below a threshold pair's expected matched bits and
+    far above a random pair's, and pairs planted NEAR the cosine
+    threshold must survive the full operator (the prefilter may only
+    ever drop what the exact rescore would reject anyway)."""
+    import math
+
+    from bda_spark.operators.similarity import (
+        _hamming_min_match_bits,
+        simhash_neardup_pairs,
+    )
+
+    # strict setting: 1024 bits, p(0.9) ~ 0.8564
+    bits_min = _hamming_min_match_bits(0.9, 16, 64)
+    p = 1 - math.acos(0.9) / math.pi
+    mu, sigma = 1024 * p, math.sqrt(1024 * p * (1 - p))
+    assert bits_min <= mu - 6.9 * sigma  # >= ~7-sigma below the mean
+    assert bits_min >= 512 + 15 * 16  # >= ~15-sigma above random (512, 16)
+
+    # planted pairs straddling the threshold: ~0.92 must be found,
+    # the exact filter (not the prefilter) decides the ~0.88 one
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal(64)
+    base /= np.linalg.norm(base)
+
+    def at_cosine(c):
+        o = rng.standard_normal(64)
+        o -= o.dot(base) * base
+        o /= np.linalg.norm(o)
+        return c * base + math.sqrt(1 - c * c) * o
+
+    rows = [
+        Row(vec_id=0, embedding=[float(x) for x in base]),
+        Row(vec_id=1, embedding=[float(x) for x in at_cosine(0.92)]),
+        Row(vec_id=2, embedding=[float(x) for x in at_cosine(0.88)]),
+    ]
+    for i in range(3, 60):
+        rows.append(
+            Row(
+                vec_id=i,
+                embedding=[float(x) for x in rng.standard_normal(64)],
+            )
+        )
+    emb = spark.createDataFrame(rows)
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in simhash_neardup_pairs(
+            emb, threshold=0.9, band_rows=16, num_bands=64
+        ).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] == pytest.approx(0.92, abs=1e-6)
+    assert (0, 2) not in got  # below threshold: rejected by exact filter

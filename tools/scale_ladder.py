@@ -414,16 +414,37 @@ PER_QUERY_2D_NOTE = {
         "arithmetic, bit-equal to the old values)."
     ),
     "docs_dsir_sample": (
-        "full-corpus token explode + broadcast vocab log-ratio join + "
-        "global top-n (TakeOrdered, no full sort); the raw/target "
-        "vocab is rebuilt per rung so the decade ratio carries the "
-        "vocab-growth term too."
+        "full-corpus token explode + log-ratio join + global top-n "
+        "(TakeOrdered, no full sort). r13: n_buckets='auto' switches "
+        "to the paper's fixed hashed feature space (2^18 buckets) "
+        "past DSIR_HASHED_MIN_DOCS=200k raw docs — the 100x rung "
+        "(450k docs) runs hashed, so the log-ratio table stays <= "
+        "~6 MB and the token-stream join stays map-side at any "
+        "corpus size, where the word regime's vocab table (which the "
+        "bijective fixture grows LINEARLY by construction — real "
+        "corpora grow it by Heaps' law) would eventually outgrow any "
+        "broadcast budget. 1x/10x rungs stay in the exact word "
+        "regime, bit-identical to the oracle-verified driver shape; "
+        "the residual 100x cost is the token explode itself, which "
+        "is linear and irreducible."
     ),
     "simhash_neardup_strict": (
-        "the SimHash (random-hyperplane) LSH family's first 100x "
-        "point — band keys via one Arrow matmul pass, banded "
-        "candidates, exact-cosine verify; per-10x bound 8.0 (see "
-        "PER_QUERY_BOUND_PER_10X note)."
+        "r13 profiling at the 100x rung (200k vectors): 110 of 98 s "
+        "was exact-rescoring the ~b*2^-r*n^2/2 RANDOM band collisions "
+        "(39.1M candidate pairs, zero survivors at 0.9) — the "
+        "operator's one quadratic term, previously paid in full. "
+        "Fix: a Hamming prefilter over the whole r*b-bit signature "
+        "(packed long columns derived JVM-side from the checkpointed "
+        "key arrays; codegen xor+bit_count; 7-sigma Binomial bound — "
+        "per-pair false-drop ~1e-12 vs banding's own 3.6e-3 miss), "
+        "run BEFORE the pair distinct so the dedup exchange moves "
+        "survivors only, with the word table broadcast under a size "
+        "cap. Same-session before/after at the rung: 97.5 -> 12.5 s; "
+        "the n^2 term still exists (random collisions are generated "
+        "and filtered) but now costs ~ns of codegen per pair instead "
+        "of an embedding join + interpreted dot; past the broadcast "
+        "cap the production knob remains raising r. per-10x bound "
+        "8.0 (see PER_QUERY_BOUND_PER_10X note)."
     ),
 }
 
