@@ -197,6 +197,45 @@ def _semantic_dedup_scaled(spark, sf_dir):
     )
 
 
+def _docs_fuzzy_join_scaled(spark, sf_dir):
+    """Text fuzzy join at the ladder's scale regime: default hot-bucket
+    cap ARMED (the registry query disarms it to be its own exact
+    oracle — deliberately quadratic for verification, wrong shape to
+    time). The rung fixture's token bijection keeps cross-copy shingle
+    sets disjoint, so true cross-side pairs grow exactly linearly with
+    the factor."""
+    from bda_spark.operators.dedup import minhash_fuzzy_join
+    from bda_spark.sources.batch import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_fuzzy_join(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        threshold=0.5,
+    )
+
+
+def _embeddings_fuzzy_join_scaled(spark, sf_dir):
+    """Embedding fuzzy join at the ladder's scale regime: n_centroids
+    grows with the UNION size (same n/125 discipline as
+    _semantic_dedup_scaled, so the expected cell stays constant-sized)
+    and the default hot-cell cap stays armed. The registry query's
+    n_centroids=1 exact regime is the all-cross-pairs oracle anchor —
+    quadratic by construction, wrong shape to time."""
+    from bda_spark.operators.similarity import semantic_fuzzy_join
+    from bda_spark.sources.batch import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    return semantic_fuzzy_join(
+        e.filter(F.col("vec_id") % 2 == 0),
+        e.filter(F.col("vec_id") % 2 == 1),
+        threshold=0.45,
+        n_centroids=max(16, n // 125),
+        seed=42,
+    )
+
+
 def ladder_queries(base_dir: str) -> dict:
     """The superlinear-risk set called out in VERDICT r7/r8, each a
     (spark, sf_dir) -> DataFrame callable."""
@@ -239,6 +278,14 @@ def ladder_queries(base_dir: str) -> dict:
         # join back — the same Zipf-bounded-vocab scale argument as
         # doc_unigram_logprob, measured here.
         "docs_dsir_sample": qs["docs_dsir_sample"],
+        # r13 additions: the cross-corpus fuzzy joins — the one LSH
+        # family without a ladder point. Same banding/cell candidate
+        # machinery as the self-join paths but across two tables, so
+        # the superlinear risk (bucket fan-out = |L| x |R| per key) is
+        # the same class; measured in their SCALE regimes (caps armed,
+        # cell count scaled), not the registry's exact-oracle regimes.
+        "docs_fuzzy_join": _docs_fuzzy_join_scaled,
+        "embeddings_fuzzy_join": _embeddings_fuzzy_join_scaled,
     }
 
 
@@ -265,11 +312,19 @@ def _time_query(spark, fn, sf_dir: str) -> float:
     return best
 
 
-def measure(spark, rung_dirs: dict[int, str], base_dir: str) -> dict:
+def measure(
+    spark, rung_dirs: dict[int, str], base_dir: str, only=None
+) -> dict:
     """Time each ladder query on each rung (min of 2 runs — the shared
     local JVM needs de-noising exactly as bench.py does) and compute
-    per-query scaling ratios against the smallest rung."""
+    per-query scaling ratios against the smallest rung. ``only``
+    restricts to a named subset (the targeted re-measure mode: after
+    an optimization lands on one operator, re-run just its rungs and
+    merge into the committed evidence instead of paying the full
+    ladder — see main())."""
     queries = ladder_queries(base_dir)
+    if only:
+        queries = {k: v for k, v in queries.items() if k in only}
     factors = sorted(rung_dirs)
     out: dict = {"factors": factors, "queries": {}}
     for name, fn in queries.items():
@@ -288,7 +343,9 @@ def measure(spark, rung_dirs: dict[int, str], base_dir: str) -> dict:
     return out
 
 
-def build_and_measure(spark, src_dir: str, work_dir: str, factor: int) -> dict:
+def build_and_measure(
+    spark, src_dir: str, work_dir: str, factor: int, only=None
+) -> dict:
     rungs = {}
     for f in (1, factor):
         d = os.path.join(work_dir, f"rung{f}x")
@@ -296,7 +353,7 @@ def build_and_measure(spark, src_dir: str, work_dir: str, factor: int) -> dict:
         rungs[f] = d
     # the benchmark side of decontamination stays at BASE scale (its
     # real-world size is fixed); everything else reads from the rungs
-    report = measure(spark, rungs, rungs[1])
+    report = measure(spark, rungs, rungs[1], only=only)
     report["src"] = src_dir
     return report
 
@@ -361,6 +418,11 @@ TWO_DECADE_QUERIES = (
     # band family (the one LSH family without a 100x point).
     "docs_dsir_sample",
     "simhash_neardup_strict",
+    # r13 additions: the cross-corpus fuzzy joins get their first
+    # ladder points in the same round their self-join siblings'
+    # second decades were re-measured (ladder_queries comment).
+    "docs_fuzzy_join",
+    "embeddings_fuzzy_join",
 )
 TWO_DECADE_EXPONENT_CAP = 1.15  # near-linear + noise; quadratic reads ~2
 
@@ -373,6 +435,23 @@ TWO_DECADE_EXPONENT_CAP = 1.15  # near-linear + noise; quadratic reads ~2
 # moved back under the generic bound).
 PER_QUERY_2D_BOUND: dict[str, float] = {}
 PER_QUERY_2D_NOTE = {
+    "docs_fuzzy_join": (
+        "cross-corpus MinHash band join, scale regime (hot-bucket cap "
+        "256 armed; the registry query disarms it to BE the exact "
+        "oracle): shingle -> sign -> band on both sides, bucket "
+        "co-membership candidates, inverted-index Jaccard verify. "
+        "The fixture's token bijection keeps cross-copy shingles "
+        "disjoint so true pairs grow linearly with the factor."
+    ),
+    "embeddings_fuzzy_join": (
+        "cross-corpus embedding join, scale regime (n_centroids ~ "
+        "n/125 so the expected cell stays constant-sized; hot-cell "
+        "cap 256 armed; the registry query's n_centroids=1 regime is "
+        "the quadratic oracle anchor): union-trained cells, per-side "
+        "assignment, cell equi-join candidates, exact-cosine verify. "
+        "The fixture's orthogonal per-copy transform keeps cross-copy "
+        "cosines near-orthogonal so true pairs grow linearly."
+    ),
     "semantic_dedup": (
         "k~n/125 keeps cell size constant (pair work linear). Past "
         "_LITERAL_K_CAP=1024 centroids (the 100x rung's k=1600) the "
@@ -426,7 +505,9 @@ PER_QUERY_2D_NOTE = {
         "broadcast budget. 1x/10x rungs stay in the exact word "
         "regime, bit-identical to the oracle-verified driver shape; "
         "the residual 100x cost is the token explode itself, which "
-        "is linear and irreducible."
+        "is linear and irreducible. Committed before/after (this "
+        "file's two_decades entry): t100x 18.2 -> 12.8 s, exponent "
+        "0.705 -> 0.598."
     ),
     "simhash_neardup_strict": (
         "r13 profiling at the 100x rung (200k vectors): 110 of 98 s "
@@ -439,12 +520,13 @@ PER_QUERY_2D_NOTE = {
         "per-pair false-drop ~1e-12 vs banding's own 3.6e-3 miss), "
         "run BEFORE the pair distinct so the dedup exchange moves "
         "survivors only, with the word table broadcast under a size "
-        "cap. Same-session before/after at the rung: 97.5 -> 12.5 s; "
-        "the n^2 term still exists (random collisions are generated "
-        "and filtered) but now costs ~ns of codegen per pair instead "
-        "of an embedding join + interpreted dot; past the broadcast "
-        "cap the production knob remains raising r. per-10x bound "
-        "8.0 (see PER_QUERY_BOUND_PER_10X note)."
+        "cap. Committed before/after at the rung (this file's "
+        "two_decades entry): t100x 63.7 -> 16.9 s, exponent 0.954 -> "
+        "0.407; the n^2 term still exists (random collisions are "
+        "generated and filtered) but now costs ~ns of codegen per "
+        "pair instead of an embedding join + interpreted dot; past "
+        "the broadcast cap the production knob remains raising r. "
+        "per-10x bound 8.0 (see PER_QUERY_BOUND_PER_10X note)."
     ),
 }
 
@@ -456,6 +538,7 @@ def measure_two_decades(
     work_dir: str,
     src_dir: str,
     hi_factor: int = 100,
+    only=None,
 ) -> dict:
     """Extend the ladder to ``hi_factor`` for TWO_DECADE_QUERIES.
     Reuses the already-built 1x/10x rungs in ``rung_dirs`` and
@@ -474,6 +557,8 @@ def measure_two_decades(
     factors = sorted(rungs)
     out: dict = {"factors": factors, "queries": {}}
     for name in TWO_DECADE_QUERIES:
+        if only and name not in only:
+            continue
         fn = queries[name]
         row: dict = {}
         for f in factors:
@@ -619,25 +704,49 @@ def main() -> None:
     factor2 = int(os.environ.get("SCALE_LADDER_FACTOR2", "100"))
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(here, "SCALE_LADDER.json")
+    # Targeted re-measure: SCALE_LADDER_ONLY=q1,q2 re-runs just those
+    # operators' rungs and MERGES their rows into the committed
+    # evidence file (every other operator's numbers untouched,
+    # maintenance section skipped). This is the post-optimization
+    # loop: change one operator, re-measure one operator — the full
+    # 9-query x 3-rung ladder is an hour-class job.
+    only = frozenset(
+        s for s in os.environ.get("SCALE_LADDER_ONLY", "").split(",") if s
+    ) or None
 
     def _flush(r: dict) -> None:
         # flush after EVERY section: a crash in a later section (the
         # 100x rung is the most OOM-prone job in the repo) must not
         # throw away the finished sections' evidence
+        if only and os.path.exists(out_path):
+            with open(out_path) as fh:
+                merged = json.load(fh)
+            for section in ("queries",):
+                merged.setdefault(section, {}).update(r.get(section, {}))
+            if "two_decades" in r:
+                merged.setdefault("two_decades", {}).setdefault(
+                    "queries", {}
+                ).update(r["two_decades"].get("queries", {}))
+                merged["two_decades"]["factors"] = r["two_decades"][
+                    "factors"
+                ]
+            r = merged
         with open(out_path, "w") as fh:
             json.dump(r, fh, indent=1)
 
     try:
-        report = build_and_measure(spark, src, work, factor)
+        report = build_and_measure(spark, src, work, factor, only=only)
         _flush(report)
-        report["maintenance"] = measure_maintenance(spark, work, factor)
-        _flush(report)
+        if not only:
+            report["maintenance"] = measure_maintenance(spark, work, factor)
+            _flush(report)
         if factor2 > factor:
             rungs = {
                 f: os.path.join(work, f"rung{f}x") for f in (1, factor)
             }
             report["two_decades"] = measure_two_decades(
-                spark, rungs, rungs[1], work, src, hi_factor=factor2
+                spark, rungs, rungs[1], work, src, hi_factor=factor2,
+                only=only,
             )
             _flush(report)
     finally:
