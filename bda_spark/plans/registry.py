@@ -145,6 +145,31 @@ DRIVER_ROW_CAP = 50
 #   events_pivot_daily     -> events_variant_extract (reshape family
 #     held in-window by docs_unpivot_stats; Spark-4 VARIANT decode
 #     never driver-seen)
+#
+# ROUND-13 REFRESH (VERDICT r12 task 6 — with the verification debt
+# closed, keep the rotation pointed at SCALE: the r12 sf0.1 sweep's
+# ulp find proved the gate's data volume matters, so rotate rows whose
+# VALUES are scale-dependent — percentile boundaries, tie-breaks,
+# span/pivot structure, exact-sum magnitude — back through the driver
+# gate; every swapped-in name is in tests/test_oracle_sf01.py's
+# SCALE_SENSITIVE pool, every ceding row was r12 driver-green and
+# keeps its oracle in the tail):
+#   orders_cube_customers  -> orders_rollup_totals (the third
+#     xsum-converted ulp query — the exact class the rotation exists
+#     to catch — takes the row; CUBE and ROLLUP are both special
+#     cases of the in-window orders_grouping_sets_margins)
+#   events_variant_extract -> events_pivot_daily (pivot's daily
+#     bucket structure is data-dependent; VARIANT decode r12-green)
+#   docs_listagg_sources   -> events_argmax_daily (argmax tie-breaks
+#     need colliding rows; listagg r12-green, max_by family keeps
+#     events_mode_daily in-window)
+#   doc_canonical_fingerprints -> lineitem_quantity_quantiles
+#     (percentile boundaries move with row count; fingerprints
+#     r12-green, dedup family anchored by minhash/neardup rows)
+#   doc_decontaminate_bloom -> doc_duplicate_passages (substring
+#     span output is corpus-structure-dependent and the operator was
+#     re-profiled this round; bloom r12-green, contamination family
+#     keeps doc_contamination_spans in-window)
 DRIVER_WINDOW = [
     "doc_contamination_spans",
     "docs_stratified_sample",
@@ -161,10 +186,10 @@ DRIVER_WINDOW = [
     "media_image_features",
     "media_video_frame_sample",
     "orders_grouping_sets_margins",
-    "orders_cube_customers",
-    "events_variant_extract",
+    "orders_rollup_totals",
+    "events_pivot_daily",
     "docs_unpivot_stats",
-    "docs_listagg_sources",
+    "events_argmax_daily",
     "events_quantile_sketch_rollup",
     "customer_balance_ntiles",
     "pricing_summary",
@@ -182,8 +207,8 @@ DRIVER_WINDOW = [
     "doc_quality_scores",
     "events_mode_daily",
     "doc_tfidf_terms",
-    "doc_canonical_fingerprints",
-    "doc_decontaminate_bloom",
+    "lineitem_quantity_quantiles",
+    "doc_duplicate_passages",
     "doc_repetition_scores",
     "doc_pii_scan",
     "events_windowed_10min",
@@ -233,7 +258,6 @@ DEFERRED_TAIL = [
     "features_json_roundtrip",  # JSON path twin of events_json_extract + pytest inverse
     "docs_train_val_split",     # Knuth-hash split; family row docs_stratified_sample
     # Ceded their driver rows in the ROUND-10 REFRESH (see DRIVER_WINDOW):
-    "orders_rollup_totals",     # ROLLUP c GROUPING SETS; cube row stays in-window
     "suppliers_with_orders",    # semi half; anti twin orders_without_lineitems stays
     "regex_token_stats",        # token-count family: keyword_counts stays in-window
     "docs_token_budget_sample", # r09-verified; sampling family row docs_stratified_sample stays
@@ -247,14 +271,16 @@ DEFERRED_TAIL = [
     "doc_decontaminate",        # r01-r11 driver-green; family keeps spans + bloom in-window
     "semantic_dedup_keepers",   # r11 driver-green; pairs (exact regime) takes the row
     "docs_pack_sequences",      # r09-r11 driver-green; chunking twin takes the row
-    "lineitem_quantity_quantiles",  # quantile family row -> events_quantile_sketch_rollup
     "orders_rank_topk",         # window-fn family row -> customer_balance_ntiles
     "keyword_counts",           # r01-r11 driver-green; Misra-Gries exact twin takes the row
     "exact_dedup_keyset",       # r01-r11 driver-green; canonical fingerprints take the row
-    "doc_duplicate_passages",   # r11 driver-green; Bloom decontaminate takes the row
     "events_trailing_7d",       # r09-r11 driver-green; PQ/ADC ANN takes the row
-    "events_argmax_daily",      # max_by family held by events_mode_daily
-    "events_pivot_daily",       # reshape family held by docs_unpivot_stats
+    # Ceded their driver rows in the ROUND-13 REFRESH (see DRIVER_WINDOW):
+    "orders_cube_customers",    # r01-r12 driver-green; grouping family keeps grouping_sets_margins + rollup in-window
+    "events_variant_extract",   # r12 driver-green; VARIANT decode stays oracle-verified
+    "docs_listagg_sources",     # r12 driver-green; listagg stays oracle-verified
+    "doc_canonical_fingerprints", # r12 driver-green; key-dedup family anchored by minhash/neardup rows
+    "doc_decontaminate_bloom",  # r12 driver-green; contamination family keeps doc_contamination_spans in-window
 ]
 
 

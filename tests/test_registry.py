@@ -25,9 +25,9 @@ MUST_BE_IN_WINDOW = [
     "docs_stratified_sample",
     "doc_unigram_logprob",
     "events_sessionize",
-    # round-4 OLAP widening: reshape + grouping-set rows (pivot/argmax
-    # ceded in r12 to their in-window family twins)
-    "orders_cube_customers",
+    # round-4 OLAP widening: reshape + grouping-set rows (cube ceded
+    # its row in the r13 scale rotation to orders_rollup_totals; the
+    # grouping-analytics family anchor is grouping_sets_margins)
     "docs_unpivot_stats",
     # flagship dedup/ANN + multimodal rows — the LLM-pipeline surface the
     # judge grades first-class; must never lose their driver rows
@@ -55,17 +55,23 @@ MUST_BE_IN_WINDOW = [
     # round-12 window refresh: the 11 promotions that close the
     # verification debt — every SQL-expressible registered query has
     # now held a driver row in some CORRECTNESS_r01..r12 window
+    # (doc_canonical_fingerprints / doc_decontaminate_bloom /
+    # docs_listagg_sources / events_variant_extract held their rows
+    # green in r12 and ceded them in the r13 scale rotation)
     "doc_contamination_spans",
     "semantic_dedup_pairs",
     "doc_chunks_overlap",
     "events_quantile_sketch_rollup",
     "customer_balance_ntiles",
     "keyword_counts_sketch",
-    "doc_canonical_fingerprints",
-    "doc_decontaminate_bloom",
     "pq_adc_topk",
-    "docs_listagg_sources",
-    "events_variant_extract",
+    # round-13 window refresh: the scale-sensitive promotions (VERDICT
+    # r12 task 6) — every one is in test_oracle_sf01.py's pool
+    "orders_rollup_totals",
+    "events_pivot_daily",
+    "events_argmax_daily",
+    "lineitem_quantity_quantiles",
+    "doc_duplicate_passages",
 ]
 
 
@@ -89,10 +95,10 @@ def test_driver_window_keys_are_frozen():
     module import order, a forgotten DEFERRED_TAIL entry) silently
     swaps which operators get driver verification. The window is pinned
     by registry.DRIVER_WINDOW; this test asserts the runtime order
-    matches the pin AND that the delta vs the r11-recorded window is
-    EXACTLY the eleven deliberate round-12 swaps (VERDICT r11 task 1:
-    the rotation that closes the last verification debt) — any other
-    drift is an accident."""
+    matches the pin AND that the delta vs the r12-recorded window is
+    EXACTLY the five deliberate round-13 swaps (VERDICT r12 task 6:
+    the scale-sensitivity rotation) — any other drift is an
+    accident."""
     import json
     import os
 
@@ -100,35 +106,23 @@ def test_driver_window_keys_are_frozen():
 
     got = list(get_queries())[:DRIVER_ROW_CAP]
     assert got == DRIVER_WINDOW
-    r11 = os.path.join(
-        os.path.dirname(os.path.dirname(__file__)), "CORRECTNESS_r11.json"
+    r12 = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "CORRECTNESS_r12.json"
     )
-    old = set(json.load(open(r11)))
+    old = set(json.load(open(r12)))
     assert old - set(got) == {
-        "doc_decontaminate",
-        "semantic_dedup_keepers",
-        "docs_pack_sequences",
-        "lineitem_quantity_quantiles",
-        "orders_rank_topk",
-        "keyword_counts",
-        "exact_dedup_keyset",
-        "doc_duplicate_passages",
-        "events_trailing_7d",
-        "events_argmax_daily",
-        "events_pivot_daily",
-    }
-    assert set(got) - old == {
-        "doc_contamination_spans",
-        "semantic_dedup_pairs",
-        "doc_chunks_overlap",
-        "events_quantile_sketch_rollup",
-        "customer_balance_ntiles",
-        "keyword_counts_sketch",
+        "orders_cube_customers",
+        "events_variant_extract",
+        "docs_listagg_sources",
         "doc_canonical_fingerprints",
         "doc_decontaminate_bloom",
-        "pq_adc_topk",
-        "docs_listagg_sources",
-        "events_variant_extract",
+    }
+    assert set(got) - old == {
+        "orders_rollup_totals",
+        "events_pivot_daily",
+        "events_argmax_daily",
+        "lineitem_quantity_quantiles",
+        "doc_duplicate_passages",
     }
 
 
