@@ -235,6 +235,18 @@ def _rescored(candidates: DataFrame, embeddings: DataFrame) -> DataFrame:
 # corpus size the production move is raising band_rows anyway.
 _SIG_WORDS_BROADCAST_CAP = 64 << 20
 
+# Below this many vectors the Hamming prefilter is pure overhead and
+# is skipped: the random-collision rescore volume it exists to kill is
+# ~b * 2^-r * n^2 / 2 pairs (module docstring) — ~2k pairs at n=2k,
+# sub-second to rescore directly — while the prefilter's fixed cost
+# (two word joins + a post-filter distinct + the wide packed-word
+# codegen) measured ~1.8 s at the sf0.1 ladder 1x rung (t1x 0.79 ->
+# 2.59 s with it always-on). At the threshold (~16k vectors, ~125k
+# random pairs at r=16/b=64) the rescore cost and the prefilter's
+# fixed cost are the same order; past it the prefilter wins and its
+# advantage grows with n^2 (the 100x rung: 63.7 -> 16.9 s).
+_HAMMING_PREFILTER_MIN_VECTORS = 16_384
+
 
 def simhash_neardup_pairs(
     embeddings: DataFrame,
@@ -244,6 +256,7 @@ def simhash_neardup_pairs(
     num_bands: int = 96,
     seed: int = 42,
     max_bucket_size: int = 256,
+    hamming_prefilter: bool | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via SimHash candidates + exact rerank.
     Replaces the all-pairs broadcast O(n^2) plan: the corpus is never
@@ -268,46 +281,64 @@ def simhash_neardup_pairs(
     dropped before the 64-double join + interpreted dot product. A
     random collision sits ~18 sigma below the bound, so the rescore
     sees ~only true pairs; the signature matmul already paid for
-    every bit this filter reads."""
+    every bit this filter reads. ``hamming_prefilter=None`` (default)
+    arms it by corpus size (``_HAMMING_PREFILTER_MIN_VECTORS`` — below
+    it the filter's fixed cost exceeds the rescore it saves);
+    True/False pin a regime (tests pin True to exercise the filter on
+    small planted fixtures). Output is identical in every regime — the
+    prefilter only ever drops pairs the exact filter rejects."""
     cands, sig = _self_join_candidates(
         embeddings, dim, band_rows, num_bands, seed, max_bucket_size,
         distinct=False,  # dedup AFTER the prefilter: the distinct's
         # exchange then moves surviving pairs, not every raw collision
     )
-    words = sig.select("doc_id", *_packed_sig_words(band_rows, num_bands))
-    n_words = len(words.columns) - 1
-    wa = words.select(
-        F.col("doc_id").alias("id_a"),
-        *[F.col(f"_w{i}").alias(f"_wa{i}") for i in range(n_words)],
-    )
-    wb = words.select(
-        F.col("doc_id").alias("id_b"),
-        *[F.col(f"_w{i}").alias(f"_wb{i}") for i in range(n_words)],
-    )
     # sig is localCheckpoint-ed, so this count is a cached-rows read,
-    # not a recompute — it prices the broadcast decision exactly.
-    # Under the cap both word joins are map-side (the raw collision
-    # stream never shuffles for them); past it they fall back to the
-    # distributed join, which is the right shape once the corpus is
-    # big enough that r itself must grow (module docstring).
-    if sig.count() * (n_words + 1) * 8 <= _SIG_WORDS_BROADCAST_CAP:
-        wa, wb = F.broadcast(wa), F.broadcast(wb)
-    hamming = sum(
-        F.bit_count(
-            F.col(f"_wa{i}").bitwiseXOR(F.col(f"_wb{i}"))
-        ).cast("int")
-        for i in range(n_words)
-    )
-    max_ham = band_rows * num_bands - _hamming_min_match_bits(
-        threshold, band_rows, num_bands
-    )
-    pre = (
-        cands.join(wa, "id_a")
-        .join(wb, "id_b")
-        .filter(hamming <= F.lit(max_ham))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    # not a recompute — it prices both regime decisions exactly.
+    n_vecs = sig.count()
+    if hamming_prefilter is None:
+        hamming_prefilter = n_vecs >= _HAMMING_PREFILTER_MIN_VECTORS
+    if not hamming_prefilter:
+        # small-corpus regime: the rescore volume the prefilter kills
+        # is quadratically small here; its fixed cost dominates (see
+        # the constant's comment). Identical output either way — the
+        # prefilter only ever drops pairs the exact filter rejects.
+        pre = cands.distinct()
+    else:
+        words = sig.select(
+            "doc_id", *_packed_sig_words(band_rows, num_bands)
+        )
+        n_words = len(words.columns) - 1
+        wa = words.select(
+            F.col("doc_id").alias("id_a"),
+            *[F.col(f"_w{i}").alias(f"_wa{i}") for i in range(n_words)],
+        )
+        wb = words.select(
+            F.col("doc_id").alias("id_b"),
+            *[F.col(f"_w{i}").alias(f"_wb{i}") for i in range(n_words)],
+        )
+        # Under the cap both word joins are map-side (the raw
+        # collision stream never shuffles for them); past it they
+        # fall back to the distributed join, which is the right shape
+        # once the corpus is big enough that r itself must grow
+        # (module docstring).
+        if n_vecs * (n_words + 1) * 8 <= _SIG_WORDS_BROADCAST_CAP:
+            wa, wb = F.broadcast(wa), F.broadcast(wb)
+        hamming = sum(
+            F.bit_count(
+                F.col(f"_wa{i}").bitwiseXOR(F.col(f"_wb{i}"))
+            ).cast("int")
+            for i in range(n_words)
+        )
+        max_ham = band_rows * num_bands - _hamming_min_match_bits(
+            threshold, band_rows, num_bands
+        )
+        pre = (
+            cands.join(wa, "id_a")
+            .join(wb, "id_b")
+            .filter(hamming <= F.lit(max_ham))
+            .select("id_a", "id_b")
+            .distinct()
+        )
     return (
         _rescored(pre, embeddings)
         .filter(F.col("cosine") >= threshold)

@@ -690,11 +690,25 @@ def test_simhash_hamming_prefilter_math_and_recall_at_threshold(spark):
             )
         )
     emb = spark.createDataFrame(rows)
+    # hamming_prefilter=True: pin the filter ON (60 vectors sit far
+    # below the size gate that arms it automatically)
     got = {
         (r.id_a, r.id_b): r.cosine
         for r in simhash_neardup_pairs(
-            emb, threshold=0.9, band_rows=16, num_bands=64
+            emb, threshold=0.9, band_rows=16, num_bands=64,
+            hamming_prefilter=True,
         ).collect()
     }
     assert (0, 1) in got and got[(0, 1)] == pytest.approx(0.92, abs=1e-6)
     assert (0, 2) not in got  # below threshold: rejected by exact filter
+
+    # regime equivalence: the size-gated small-corpus path (filter
+    # skipped) must return the identical pair set and cosines
+    plain = {
+        (r.id_a, r.id_b): r.cosine
+        for r in simhash_neardup_pairs(
+            emb, threshold=0.9, band_rows=16, num_bands=64,
+            hamming_prefilter=False,
+        ).collect()
+    }
+    assert plain == got

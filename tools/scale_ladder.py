@@ -520,13 +520,17 @@ PER_QUERY_2D_NOTE = {
         "per-pair false-drop ~1e-12 vs banding's own 3.6e-3 miss), "
         "run BEFORE the pair distinct so the dedup exchange moves "
         "survivors only, with the word table broadcast under a size "
-        "cap. Committed before/after at the rung (this file's "
-        "two_decades entry): t100x 63.7 -> 16.9 s, exponent 0.954 -> "
-        "0.407; the n^2 term still exists (random collisions are "
-        "generated and filtered) but now costs ~ns of codegen per "
-        "pair instead of an embedding join + interpreted dot; past "
-        "the broadcast cap the production knob remains raising r. "
-        "per-10x bound 8.0 (see PER_QUERY_BOUND_PER_10X note)."
+        "cap and the whole filter SIZE-GATED (on past 16384 vectors — "
+        "measured break-even at the 10x rung's 20k: 2.79 s filtered "
+        "vs 2.87 unfiltered; below it the filter's fixed cost is pure "
+        "overhead, t1x 0.79 -> 2.59 s when forced on). Committed "
+        "before/after at the 100x rung (this file's two_decades "
+        "entry): t100x 63.7 -> 17.6 s, exponent 0.954 -> 0.593; the "
+        "n^2 term still exists (random collisions are generated and "
+        "filtered) but now costs ~ns of codegen per pair instead of "
+        "an embedding join + interpreted dot; past the broadcast cap "
+        "the production knob remains raising r. per-10x bound 8.0 "
+        "(see PER_QUERY_BOUND_PER_10X note)."
     ),
 }
 
