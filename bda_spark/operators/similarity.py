@@ -1165,6 +1165,137 @@ def simhash_topk(
     return _topk_rescore(cands, queries, embeddings, k)
 
 
+# Per-task cell-size ceiling for the within-cell GEMM candidate scan:
+# an m-member cell's similarity block is scanned in ~128 MB row-blocks,
+# so memory is bounded, but a single task still owns the whole cell —
+# past this size the cell routes to the join-based all-pairs path
+# (reachable only when the caller DISARMS the hot-cell cap with a huge
+# max_cell_size, i.e. the small-scale exact-oracle regimes; armed
+# configs never build a GEMM cell bigger than the cap).
+_GEMM_CELL_CAP = 8192
+# Prefilter slack: numpy's blocked/FMA dot and the JVM's sequential
+# zip_with fold disagree by ~1e-15 relative on a 64-dim unit dot; the
+# margin is 6 orders wider, so the scan cannot drop a pair the exact
+# rescore would keep, while still rejecting ~everything below the
+# threshold.
+_GEMM_MARGIN = 1e-9
+
+
+def _cell_candidates_gemm(
+    cells: DataFrame,
+    embeddings: DataFrame,
+    threshold: float,
+    max_cell_size: int,
+) -> DataFrame:
+    """(id_a, id_b) near-dup CANDIDATES from single-assignment cells,
+    with the within-cell all-pairs work done as one LOCAL matmul per
+    cell instead of a 2x64-double self-join — the r13 profiling fix
+    for SemDeDup's dominant cost. At the 100x ladder rung the old
+    shape materialized 12.5M within-cell pair ROWS (the expected
+    cell-size^2/2 volume; yield 0.37%) through a join, a distinct,
+    and a per-pair interpreted zip_with dot: 36.6 of 41.9 s. Here each
+    ≤cap cell's members are gathered once (one shuffle on the cell
+    key), a single applyInPandas task normalizes the cell's vectors
+    and scans Xn @ Xn.T in ~128 MB row-blocks, and only pairs scoring
+    >= threshold - _GEMM_MARGIN leave the task — the quadratic term
+    still exists but costs a BLAS flop per pair, not a shuffled row,
+    and the surviving ~true pairs alone pay the exact rescore
+    (``_rescored``) so emitted cosines stay bit-identical to the
+    join path and the DuckDB oracle.
+
+    Cell routing (single assignment: each doc_id sits in exactly ONE
+    cell, so the three branches are disjoint and pair rows are unique
+    without a distinct):
+      - size <= min(max_cell_size, _GEMM_CELL_CAP): GEMM scan (the
+        common case — the k ~ n/125 policy holds expected cells at
+        ~125);
+      - size > max_cell_size (hot): rank-gap chain edges, exactly the
+        recall-capped shape ``_banded_candidates`` uses (shared
+        ``_rank_gap_chain_pairs``);
+      - in between (only reachable with the cap disarmed past
+        _GEMM_CELL_CAP, i.e. the exact-oracle regimes at small
+        scale): the original all-pairs equi-join."""
+    import pandas as pd
+
+    from .dedup import _rank_gap_chain_pairs
+
+    cap = int(max_cell_size)
+    gemm_cap = min(cap, _GEMM_CELL_CAP)
+    sizes = cells.groupBy("band_key").agg(F.count("*").alias("_bsz"))
+    small = sizes.filter(F.col("_bsz") <= gemm_cap).select("band_key")
+    emb64 = embeddings.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("_e"),
+    )
+    members = cells.join(F.broadcast(small), "band_key", "left_semi").join(
+        emb64, "doc_id"
+    )
+    thr = float(threshold) - _GEMM_MARGIN
+
+    def _scan(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "id_a": np.array([], dtype=np.int64),
+                "id_b": np.array([], dtype=np.int64),
+            }
+        )
+        m = len(pdf)
+        if m < 2:
+            return empty
+        pdf = pdf.sort_values("doc_id", kind="stable")
+        ids = pdf["doc_id"].to_numpy()
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_e"]])
+        nrm = np.linalg.norm(X, axis=1)
+        # zero-norm rows normalize to the zero vector: every score 0,
+        # matching the engine-wide cosine-0 convention (the exact
+        # rescore then decides them against the real threshold)
+        Xn = np.where(
+            nrm[:, None] > 0.0, X / np.maximum(nrm, 1e-300)[:, None], 0.0
+        )
+        out_a, out_b = [], []
+        blk = max(1, (1 << 24) // m)  # ~128 MB of f64 per S block
+        for s in range(0, m, blk):
+            S = Xn[s : s + blk] @ Xn.T
+            ii, jj = np.nonzero(S >= thr)
+            keep = (ii + s) < jj  # upper triangle: id_a < id_b
+            out_a.append(ids[ii[keep] + s])
+            out_b.append(ids[jj[keep]])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+            }
+        )
+
+    out = members.groupBy("band_key").applyInPandas(
+        _scan, "id_a long, id_b long"
+    )
+    mid = sizes.filter(
+        (F.col("_bsz") > gemm_cap) & (F.col("_bsz") <= cap)
+    ).select("band_key")
+    mid_members = cells.join(F.broadcast(mid), "band_key", "left_semi")
+    all_pairs = (
+        mid_members.alias("x")
+        .join(
+            mid_members.alias("y"),
+            (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+        )
+    )
+    hot = sizes.filter(F.col("_bsz") > cap).select("band_key")
+    hot_members = cells.join(F.broadcast(hot), "band_key", "left_semi")
+    chain = _rank_gap_chain_pairs(hot_members, cap).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    return out.unionByName(all_pairs).unionByName(chain)
+
+
 def semantic_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -1199,18 +1330,20 @@ def semantic_neardup_pairs(
     Plan shape (the 100 TB design): centroids train driver-side on a
     bounded sample (``ivf_index``), ride into the plan as a literal;
     assignment is one Arrow-batched matmul map pass (no shuffle); the
-    within-cell self-join shuffles once on the cell id; hot cells
-    (k > ``max_cell_size``) degrade to rank-gap chain edges exactly
-    like MinHash's hot band-buckets (``dedup._banded_candidates`` — one
-    shared implementation, O(k * cap) bounded comparisons, candidate
-    graph stays connected so downstream components still merge), and
-    every emitted pair is exact-cosine verified, so the cap can only
-    lose recall on hot-but-heterogeneous cells, never admit a false
-    positive. At scale, grow ``n_centroids`` with the corpus so the
-    expected cell stays constant-sized: total pair work is then linear
-    in n."""
-    from .dedup import _banded_candidates
-
+    within-cell all-pairs work is one LOCAL matmul per cell
+    (``_cell_candidates_gemm`` — members gather with one shuffle on
+    the cell key, a blocked Xn @ Xn.T scan emits only pairs above
+    threshold-minus-margin, and the survivors alone pay the exact
+    rescore, so the expected-cell-size^2 candidate volume never
+    materializes as rows); hot cells (k > ``max_cell_size``) degrade
+    to rank-gap chain edges exactly like MinHash's hot band-buckets
+    (shared ``dedup._rank_gap_chain_pairs`` — O(k * cap) bounded
+    comparisons, candidate graph stays connected so downstream
+    components still merge), and every emitted pair is exact-cosine
+    verified, so the cap can only lose recall on hot-but-heterogeneous
+    cells, never admit a false positive. At scale, grow
+    ``n_centroids`` with the corpus so the expected cell stays
+    constant-sized: total pair work is then linear in n."""
     if cells is None:
         if centroids is None and int(n_centroids) > _LITERAL_K_CAP:
             # scale path (VERDICT r11 task 2): k grows with the corpus
@@ -1243,16 +1376,17 @@ def semantic_neardup_pairs(
                 )
             # one materialization (same discipline as the MinHash
             # signature frame and the SimHash key arrays):
-            # _banded_candidates references the cells frame from 4 plan
-            # branches (hot detection, anti/semi routing, both
-            # self-join sides) — uncheckpointed, the corpus scan +
-            # Arrow assignment would re-run per branch. Two longs/row.
+            # _cell_candidates_gemm references the cells frame from
+            # 5 plan branches (size detection, small/mid/hot semi
+            # routing, the chain expansion) — uncheckpointed, the
+            # corpus scan + Arrow assignment would re-run per branch.
+            # Two longs/row.
             cells = embeddings.select(
                 F.col("vec_id").alias("doc_id"),
                 nearest_centroid_col(centroids).alias("band_key"),
             ).localCheckpoint(eager=True)
-    cands = _banded_candidates(cells, max_cell_size).select(
-        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    cands = _cell_candidates_gemm(
+        cells, embeddings, float(threshold), max_cell_size
     )
     return _rescored(cands, embeddings).filter(
         F.col("cosine") >= float(threshold)
@@ -1701,9 +1835,90 @@ def semantic_fuzzy_join(
         # discipline as semantic_neardup_pairs' cells frame
         return cells.localCheckpoint(eager=True)
 
-    cands = _cells(left, "left_id").join(
-        _cells(right, "right_id"), "_cell"
-    ).select("left_id", "right_id")
+    cl, cr = _cells(left, "left_id"), _cells(right, "right_id")
+    # r13: within-cell CROSS pairs via one local GEMM per cell (the
+    # cross-side analog of _cell_candidates_gemm, same margin/blocking
+    # discipline): for cells where BOTH sides fit the per-task cap,
+    # a cogroup task scans Xl_n @ Xr_n.T and emits only pairs scoring
+    # >= threshold - margin, so the |L_cell| x |R_cell| candidate
+    # volume never materializes as rows; only the survivors pay the
+    # exact-cosine join below (emitted values bit-identical to the
+    # pure-join plan and the DuckDB oracle). Cells where either side
+    # exceeds _GEMM_CELL_CAP (reachable only with the cap disarmed —
+    # the small-scale exact-oracle regimes) keep the original
+    # cell-equi-join shape.
+    import pandas as pd
+
+    sl = cl.groupBy("_cell").agg(F.count("*").alias("_nl"))
+    sr = cr.groupBy("_cell").agg(F.count("*").alias("_nr"))
+    both = sl.join(sr, "_cell")  # cells missing a side emit nothing
+    small = both.filter(
+        (F.col("_nl") <= _GEMM_CELL_CAP) & (F.col("_nr") <= _GEMM_CELL_CAP)
+    ).select("_cell")
+    big = both.filter(
+        (F.col("_nl") > _GEMM_CELL_CAP) | (F.col("_nr") > _GEMM_CELL_CAP)
+    ).select("_cell")
+    e64 = lambda df, idc: df.select(  # noqa: E731
+        F.col("vec_id").alias(idc),
+        F.col("embedding").cast("array<double>").alias("_e"),
+    )
+    ml = cl.join(F.broadcast(small), "_cell", "left_semi").join(
+        e64(left, "left_id"), "left_id"
+    )
+    mr = cr.join(F.broadcast(small), "_cell", "left_semi").join(
+        e64(right, "right_id"), "right_id"
+    )
+    thr = float(threshold) - _GEMM_MARGIN
+
+    def _scan(key, lp: "pd.DataFrame", rp: "pd.DataFrame"):
+        empty = pd.DataFrame(
+            {
+                "left_id": np.array([], dtype=np.int64),
+                "right_id": np.array([], dtype=np.int64),
+            }
+        )
+        if not len(lp) or not len(rp):
+            return empty
+        lids = lp["left_id"].to_numpy()
+        rids = rp["right_id"].to_numpy()
+
+        def _norm(pdf):
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_e"]]
+            )
+            n = np.linalg.norm(X, axis=1)
+            return np.where(
+                n[:, None] > 0.0, X / np.maximum(n, 1e-300)[:, None], 0.0
+            )
+
+        Xl, Xr = _norm(lp), _norm(rp)
+        out_l, out_r = [], []
+        blk = max(1, (1 << 24) // len(rids))
+        for s in range(0, len(lids), blk):
+            S = Xl[s : s + blk] @ Xr.T
+            ii, jj = np.nonzero(S >= thr)
+            out_l.append(lids[ii + s])
+            out_r.append(rids[jj])
+        if not out_l:
+            return empty
+        return pd.DataFrame(
+            {
+                "left_id": np.concatenate(out_l),
+                "right_id": np.concatenate(out_r),
+            }
+        )
+
+    gemm = (
+        ml.groupBy("_cell")
+        .cogroup(mr.groupBy("_cell"))
+        .applyInPandas(_scan, "left_id long, right_id long")
+    )
+    fallback = (
+        cl.join(F.broadcast(big), "_cell", "left_semi")
+        .join(cr.join(F.broadcast(big), "_cell", "left_semi"), "_cell")
+        .select("left_id", "right_id")
+    )
+    cands = gemm.unionByName(fallback)
     v = F.col("embedding").cast("array<double>")
     a = left.select(
         F.col("vec_id").alias("left_id"), v.alias("va"),

@@ -857,3 +857,71 @@ def test_distributed_quantizer_dedupes_duplicate_top_centroids(spark):
         cells_by_variant.setdefault(r.vec_id % 3, set()).add(r.centroid_id)
     for variant, cells in cells_by_variant.items():
         assert len(cells) == 1, (variant, cells)
+
+
+def test_gemm_cell_scan_matches_join_path_across_all_branches(
+    spark, monkeypatch
+):
+    """r13 within-cell GEMM prefilter (`_cell_candidates_gemm`): the
+    pair set AND cosines must be bit-identical to the old
+    _banded_candidates + _rescored join path across all three cell
+    routes — GEMM (size <= gemm cap), mid (> gemm cap but <= the
+    disarmed max_cell_size: the all-pairs join branch; forced here by
+    shrinking _GEMM_CELL_CAP), and hot (> max_cell_size: rank-gap
+    chain edges)."""
+    from bda_spark.operators import similarity as sim
+    from bda_spark.operators.dedup import _banded_candidates
+    from bda_spark.operators.similarity import _rescored
+
+    rng = np.random.default_rng(31)
+    rows = []
+    # cell A: 6 members around one direction (small -> GEMM branch)
+    a = rng.normal(size=DIM)
+    for i in range(6):
+        rows.append((i, a + rng.normal(scale=1e-3, size=DIM)))
+    # cell B: 9 members around another (mid branch once cap shrinks)
+    b = rng.normal(size=DIM)
+    for i in range(9):
+        rows.append((100 + i, b + rng.normal(scale=1e-3, size=DIM)))
+    # cell C: 30 members around a third (hot: > max_cell_size=12)
+    c = rng.normal(size=DIM)
+    for i in range(30):
+        rows.append((200 + i, c + rng.normal(scale=1e-3, size=DIM)))
+    # a zero vector joins cell A's bucket only via assignment noise;
+    # either way both paths treat it identically (cosine-0 convention)
+    rows.append((999, np.zeros(DIM)))
+    emb = _embeddings(spark, rows)
+
+    def run_both(max_cell_size):
+        pairs = semantic_neardup_pairs(
+            emb, threshold=0.9, n_centroids=3, seed=11,
+            max_cell_size=max_cell_size,
+        )
+        # reference: the pre-r13 join shape over the SAME cells
+        from bda_spark.operators.similarity import (
+            ivf_index, nearest_centroid_col,
+        )
+
+        _, cents = ivf_index(emb, n_centroids=3, seed=11)
+        cells = emb.select(
+            F.col("vec_id").alias("doc_id"),
+            nearest_centroid_col(cents).alias("band_key"),
+        )
+        ref_c = _banded_candidates(cells, max_cell_size).select(
+            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+        )
+        ref = _rescored(ref_c, emb).filter(F.col("cosine") >= 0.9)
+        assert pairs.exceptAll(ref).count() == 0
+        assert ref.exceptAll(pairs).count() == 0
+        return pairs.count()
+
+    # all cells small: GEMM branch only, 6C2 + 9C2 + 30C2 pairs found
+    n_all = run_both(max_cell_size=64)
+    assert n_all == 15 + 36 + 435
+    # cell C hot (chain edges), A/B still GEMM
+    n_hot = run_both(max_cell_size=12)
+    assert n_hot < n_all  # chain edges are a strict subset
+    # shrink the GEMM cap so cell B (9 members) takes the mid
+    # all-pairs-join branch while A stays GEMM and C stays hot
+    monkeypatch.setattr(sim, "_GEMM_CELL_CAP", 8)
+    assert run_both(max_cell_size=12) == n_hot

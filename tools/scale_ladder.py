@@ -448,9 +448,14 @@ PER_QUERY_2D_NOTE = {
         "n/125 so the expected cell stays constant-sized; hot-cell "
         "cap 256 armed; the registry query's n_centroids=1 regime is "
         "the quadratic oracle anchor): union-trained cells, per-side "
-        "assignment, cell equi-join candidates, exact-cosine verify. "
-        "The fixture's orthogonal per-copy transform keeps cross-copy "
-        "cosines near-orthogonal so true pairs grow linearly."
+        "assignment, then (r13) within-cell CROSS pairs via one "
+        "cogroup GEMM per cell — the cross-side analog of "
+        "_cell_candidates_gemm; only pairs above threshold-minus-"
+        "margin leave the task and pay the exact-cosine verify "
+        "(t100x 11.3 -> 10.2 s, exponent 0.470 -> 0.379 vs the "
+        "cell-equi-join candidate shape it replaced). The fixture's "
+        "orthogonal per-copy transform keeps cross-copy cosines "
+        "near-orthogonal so true pairs grow linearly."
     ),
     "semantic_dedup": (
         "k~n/125 keeps cell size constant (pair work linear). Past "
@@ -462,7 +467,18 @@ PER_QUERY_2D_NOTE = {
         "assignment is a cogroup join — no k-proportional driver "
         "array, broadcast, or plan literal anywhere, so the former "
         "O(n^1.5) driver-fit ceiling is gone. Exactly n fate rows "
-        "at every rung."
+        "at every rung. r13 profiling at the 100x rung: 36.6 of "
+        "41.9 s was the within-cell all-pairs JOIN — 12.5M candidate "
+        "pair rows (expected cell^2/2) shuffled, distinct-ed, and "
+        "zip_with-dotted for a 0.37% yield. Fix: "
+        "_cell_candidates_gemm — each <=cap cell's members gather "
+        "once and ONE applyInPandas task scans the cell's normalized "
+        "Xn @ Xn.T in ~128 MB blocks, emitting only pairs above "
+        "threshold-minus-1e-9; survivors alone pay the exact rescore "
+        "(emitted cosines bit-identical to the join path — pinned by "
+        "an exceptAll-both-ways pytest across all three cell routes). "
+        "Committed before/after (this entry): t100x 41.9 -> 11.3 s, "
+        "exponent 0.589 -> 0.406."
     ),
     "doc_duplicate_passages": (
         "r12 profiling at the 100x rung: gram GENERATION is the "
