@@ -1666,17 +1666,96 @@ def semantic_match_new(
     corpus = spark.read.parquet(f"{base}/cells").filter(
         F.col("centroid_id").isin(touched)
     )
+    # r13: the probe-vs-cell verify runs through the same cogroup GEMM
+    # prefilter as semantic_fuzzy_join — the |batch| x cell_size
+    # candidate volume per probed cell is scanned as one local
+    # Xq @ Xc^T per cell and only pairs above threshold-minus-margin
+    # leave the task; the survivors alone pay the exact-cosine join
+    # (emitted values bit-identical to the pure-join plan). Cells
+    # bigger than the per-task cap keep the original equi-join shape.
+    # A corpus vector lives in exactly one cell, so multi-probe still
+    # never duplicates a pair.
+    import pandas as pd
+
     v = F.col("embedding").cast("array<double>")
-    q = probes.join(
+    q64 = probes.join(
         new_embeddings.select(
-            F.col("vec_id").alias("query_id"),
-            v.alias("va"),
-            l2_norm_col(v).alias("_na"),
+            F.col("vec_id").alias("query_id"), v.alias("_e")
         ),
         "query_id",
+    ).select("centroid_id", "query_id", "_e")
+    c64 = corpus.select(
+        "centroid_id", F.col("vec_id").alias("corpus_id"), v.alias("_e")
     )
-    c = corpus.select(
-        "centroid_id",
+    csz = c64.groupBy("centroid_id").agg(F.count("*").alias("_n"))
+    small = csz.filter(F.col("_n") <= _GEMM_CELL_CAP).select("centroid_id")
+    big = csz.filter(F.col("_n") > _GEMM_CELL_CAP).select("centroid_id")
+    thr = float(threshold) - _GEMM_MARGIN
+
+    def _scan(key, qp: "pd.DataFrame", cp: "pd.DataFrame"):
+        empty = pd.DataFrame(
+            {
+                "new_id": np.array([], dtype=np.int64),
+                "corpus_id": np.array([], dtype=np.int64),
+            }
+        )
+        if not len(qp) or not len(cp):
+            return empty
+        qids = qp["query_id"].to_numpy()
+        cids = cp["corpus_id"].to_numpy()
+
+        def _norm(pdf):
+            X = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["_e"]]
+            )
+            n = np.linalg.norm(X, axis=1)
+            return np.where(
+                n[:, None] > 0.0, X / np.maximum(n, 1e-300)[:, None], 0.0
+            )
+
+        Xq, Xc = _norm(qp), _norm(cp)
+        out_q, out_c = [], []
+        blk = max(1, (1 << 24) // len(cids))
+        for s in range(0, len(qids), blk):
+            S = Xq[s : s + blk] @ Xc.T
+            ii, jj = np.nonzero(S >= thr)
+            out_q.append(qids[ii + s])
+            out_c.append(cids[jj])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "new_id": np.concatenate(out_q),
+                "corpus_id": np.concatenate(out_c),
+            }
+        )
+
+    gemm = (
+        q64.join(F.broadcast(small), "centroid_id", "left_semi")
+        .groupBy("centroid_id")
+        .cogroup(
+            c64.join(F.broadcast(small), "centroid_id", "left_semi")
+            .groupBy("centroid_id")
+        )
+        .applyInPandas(_scan, "new_id long, corpus_id long")
+    )
+    fallback = (
+        q64.join(F.broadcast(big), "centroid_id", "left_semi")
+        .select("centroid_id", F.col("query_id").alias("new_id"))
+        .join(
+            c64.join(F.broadcast(big), "centroid_id", "left_semi")
+            .select("centroid_id", "corpus_id"),
+            "centroid_id",
+        )
+        .select("new_id", "corpus_id")
+    )
+    cands = gemm.unionByName(fallback)
+    a = new_embeddings.select(
+        F.col("vec_id").alias("new_id"),
+        v.alias("va"),
+        l2_norm_col(v).alias("_na"),
+    )
+    b = corpus.select(
         F.col("vec_id").alias("corpus_id"),
         v.alias("vb"),
         l2_norm_col(v).alias("_nb"),
@@ -1686,12 +1765,11 @@ def semantic_match_new(
         dot_col(F.col("va"), F.col("vb")) / den
     )
     return (
-        q.join(c, "centroid_id")
+        cands.join(a, "new_id")
+        .join(b, "corpus_id")
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= float(threshold))
-        .select(
-            F.col("query_id").alias("new_id"), "corpus_id", "cosine"
-        )
+        .select("new_id", "corpus_id", "cosine")
     )
 
 
