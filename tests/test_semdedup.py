@@ -925,3 +925,86 @@ def test_gemm_cell_scan_matches_join_path_across_all_branches(
     # all-pairs-join branch while A stays GEMM and C stays hot
     monkeypatch.setattr(sim, "_GEMM_CELL_CAP", 8)
     assert run_both(max_cell_size=12) == n_hot
+
+
+def test_gemm_fallback_branches_match_gemm_path(spark, monkeypatch):
+    """r13 GEMM routing, the >cap fallback branches: shrinking
+    _GEMM_CELL_CAP forces semantic_fuzzy_join and semantic_match_new
+    cells through their original equi-join shapes — output (pairs AND
+    cosines) must be identical to the GEMM path on the same data."""
+    import numpy as np
+
+    from bda_spark.operators import similarity as sim
+    from bda_spark.operators.similarity import (
+        semantic_fuzzy_join,
+        semantic_index_build,
+        semantic_match_new,
+    )
+
+    rng = np.random.default_rng(17)
+    schema = "vec_id long, embedding array<float>"
+    left = [
+        (int(i), [float(x) for x in rng.standard_normal(16)])
+        for i in range(30)
+    ]
+    right = [
+        (int(100 + i), [float(x) for x in rng.standard_normal(16)])
+        for i in range(30)
+    ]
+    right.append((999, [v + 1e-4 for v in left[3][1]]))
+    l_df = spark.createDataFrame(left, schema)
+    r_df = spark.createDataFrame(right, schema)
+
+    def fj():
+        return {
+            (r.left_id, r.right_id): r.cosine
+            for r in semantic_fuzzy_join(
+                l_df, r_df, threshold=0.3, n_centroids=2,
+                max_cell_size=None,
+            ).collect()
+        }
+
+    gemm = fj()
+    assert (3, 999) in gemm
+    monkeypatch.setattr(sim, "_GEMM_CELL_CAP", 4)  # every cell > cap
+    assert fj() == gemm
+    monkeypatch.undo()
+
+
+def test_match_new_gemm_matches_fallback(spark, tmp_path, monkeypatch):
+    import numpy as np
+
+    from bda_spark.operators import similarity as sim
+    from bda_spark.operators.similarity import (
+        semantic_index_build,
+        semantic_match_new,
+    )
+
+    rng = np.random.default_rng(19)
+    schema = "vec_id long, embedding array<float>"
+    corpus = [
+        (int(i), [float(x) for x in rng.standard_normal(16)])
+        for i in range(50)
+    ]
+    c_df = spark.createDataFrame(corpus, schema)
+    path = str(tmp_path / "semidx")
+    semantic_index_build(c_df, path, n_centroids=4, seed=5)
+    batch = [
+        (int(1000 + i), [float(x) for x in rng.standard_normal(16)])
+        for i in range(10)
+    ]
+    batch.append((1999, [v + 1e-4 for v in corpus[11][1]]))
+    b_df = spark.createDataFrame(batch, schema)
+
+    def match():
+        return {
+            (r.new_id, r.corpus_id): r.cosine
+            for r in semantic_match_new(
+                spark, path, b_df, threshold=0.3, n_probe=2
+            ).collect()
+        }
+
+    gemm = match()
+    assert (1999, 11) in gemm and gemm[(1999, 11)] > 0.999
+    monkeypatch.setattr(sim, "_GEMM_CELL_CAP", 2)  # cells > cap -> join
+    assert match() == gemm
