@@ -506,7 +506,15 @@ PER_QUERY_2D_NOTE = {
         "the repo's largest bench row, measured end-to-end at the "
         "second decade. Its first 100x attempt crashed on the Knuth "
         "sampling hash's int64 overflow (fixed: datamix._kh split "
-        "arithmetic, bit-equal to the old values)."
+        "arithmetic, bit-equal to the old values). r13 stage profile "
+        "at the rung: dedup_corpus carried ~54 of the composed ~42 s "
+        "(lazy overlap), everything else < 8 s; within it the exact "
+        "stage's groupBy+join-back re-shuffled every full-text row. "
+        "Fix: survivors via min_by(struct(...)) over the fingerprint "
+        "group — map-side combine collapses duplicates BEFORE the "
+        "exchange (text shuffle ~ the distinct corpus), removal map "
+        "joins 16-byte id rows only. Committed before/after (this "
+        "entry): t100x 41.7 -> 28.5 s, exponent 0.346 -> 0.318."
     ),
     "docs_dsir_sample": (
         "full-corpus token explode + log-ratio join + global top-n "
