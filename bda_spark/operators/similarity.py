@@ -292,10 +292,13 @@ def simhash_neardup_pairs(
         distinct=False,  # dedup AFTER the prefilter: the distinct's
         # exchange then moves surviving pairs, not every raw collision
     )
-    # sig is localCheckpoint-ed, so this count is a cached-rows read,
-    # not a recompute — it prices both regime decisions exactly.
-    n_vecs = sig.count()
+    # n_vecs prices the regime gate (hamming_prefilter=None) and the
+    # broadcast-cap decision (True); a pinned-False call never needs
+    # it, so it is computed lazily. sig is localCheckpoint-ed, so the
+    # count — when taken — is a cached-rows read, not a recompute.
+    n_vecs = None
     if hamming_prefilter is None:
+        n_vecs = sig.count()
         hamming_prefilter = n_vecs >= _HAMMING_PREFILTER_MIN_VECTORS
     if not hamming_prefilter:
         # small-corpus regime: the rescore volume the prefilter kills
@@ -321,6 +324,8 @@ def simhash_neardup_pairs(
         # fall back to the distributed join, which is the right shape
         # once the corpus is big enough that r itself must grow
         # (module docstring).
+        if n_vecs is None:
+            n_vecs = sig.count()
         if n_vecs * (n_words + 1) * 8 <= _SIG_WORDS_BROADCAST_CAP:
             wa, wb = F.broadcast(wa), F.broadcast(wb)
         hamming = sum(

@@ -932,14 +932,8 @@ def test_gemm_fallback_branches_match_gemm_path(spark, monkeypatch):
     _GEMM_CELL_CAP forces semantic_fuzzy_join and semantic_match_new
     cells through their original equi-join shapes — output (pairs AND
     cosines) must be identical to the GEMM path on the same data."""
-    import numpy as np
-
     from bda_spark.operators import similarity as sim
-    from bda_spark.operators.similarity import (
-        semantic_fuzzy_join,
-        semantic_index_build,
-        semantic_match_new,
-    )
+    from bda_spark.operators.similarity import semantic_fuzzy_join
 
     rng = np.random.default_rng(17)
     schema = "vec_id long, embedding array<float>"
@@ -968,12 +962,9 @@ def test_gemm_fallback_branches_match_gemm_path(spark, monkeypatch):
     assert (3, 999) in gemm
     monkeypatch.setattr(sim, "_GEMM_CELL_CAP", 4)  # every cell > cap
     assert fj() == gemm
-    monkeypatch.undo()
 
 
 def test_match_new_gemm_matches_fallback(spark, tmp_path, monkeypatch):
-    import numpy as np
-
     from bda_spark.operators import similarity as sim
     from bda_spark.operators.similarity import (
         semantic_index_build,

@@ -749,9 +749,30 @@ def main() -> None:
         if only and os.path.exists(out_path):
             with open(out_path) as fh:
                 merged = json.load(fh)
+            # Merged rows must have been measured at the SAME rungs as
+            # the rows they sit beside: a targeted re-run with a
+            # different SCALE_LADDER_FACTOR/FACTOR2 would otherwise
+            # silently mix rows from different rungs under a header
+            # claiming the old factors — refuse instead of corrupting
+            # the committed evidence (a full run, `only` unset, is the
+            # way to change factors).
+            if merged.get("factors") not in (None, r.get("factors")):
+                raise SystemExit(
+                    "SCALE_LADDER_ONLY merge refused: re-run factors "
+                    f"{r.get('factors')} != committed {merged['factors']}"
+                    " — run without SCALE_LADDER_ONLY to change rungs"
+                )
             for section in ("queries",):
                 merged.setdefault(section, {}).update(r.get(section, {}))
+            merged["src"] = r.get("src", merged.get("src"))
             if "two_decades" in r:
+                committed_f2 = merged.get("two_decades", {}).get("factors")
+                if committed_f2 not in (None, r["two_decades"]["factors"]):
+                    raise SystemExit(
+                        "SCALE_LADDER_ONLY merge refused: two_decades "
+                        f"factors {r['two_decades']['factors']} != "
+                        f"committed {committed_f2}"
+                    )
                 merged.setdefault("two_decades", {}).setdefault(
                     "queries", {}
                 ).update(r["two_decades"].get("queries", {}))
