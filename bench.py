@@ -429,16 +429,23 @@ def run_medallion(spark, bronze_dir: str, gold_dir: str) -> None:
         df.write.mode("overwrite").parquet(os.path.join(gold_dir, name))
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = get_spark("bda_spark_bench")
-    spark.sparkContext.setLogLevel("ERROR")
-    qs = get_queries()
+# Drift gate (r13 VERDICT task 1): a run whose three calibration probes
+# disagree by more than this is machine-noise-poisoned — its per-query
+# ratios are not trustworthy (the driver's r13 record carried 22% drift
+# and contradicted a clean 6.5%-drift run on two queries). Instead of
+# only FLAGGING the drift, the bench now rejects the attempt and
+# re-measures, up to the attempt cap; if every attempt drifts, the
+# least-drifted one is emitted (with the full per-attempt drift list in
+# the record, so a reader can see the gate never passed).
+DRIFT_GATE_PCT = 10.0
+DRIFT_GATE_MAX_ATTEMPTS = 3
 
-    # Warmup: JVM + codegen + parquet footer caches.
-    qs["grand_totals"](spark, sf_dir).collect()
 
+def measure_attempt(spark, sf_dir: str, qs) -> tuple[dict, dict]:
+    """One complete measured pass — calibration bracket, two interleaved
+    query passes, medallion, streaming — returning (timings,
+    calibration block). Pulled out of main() so the drift gate can
+    re-run the whole thing."""
     cal_pre = calibration_sec(spark)
 
     timings: dict[str, float] = {}
@@ -536,6 +543,42 @@ def main() -> None:
     drift_pct = round(
         100.0 * (max(cal_pre, cal_mid, cal_post) - cal) / cal, 1
     )
+    return timings, {
+        "pre": round(cal_pre, 3),
+        "mid": round(cal_mid, 3),
+        "post": round(cal_post, 3),
+        "sec": round(cal, 3),
+        "drift_pct": drift_pct,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bda_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = get_queries()
+
+    # Warmup: JVM + codegen + parquet footer caches.
+    qs["grand_totals"](spark, sf_dir).collect()
+
+    # Drift-gated measurement: retry whole attempts whose calibration
+    # bracket exceeds DRIFT_GATE_PCT; accept the first clean one, else
+    # the least-drifted of the cap.
+    attempts: list[tuple[dict, dict]] = []
+    for _ in range(DRIFT_GATE_MAX_ATTEMPTS):
+        attempts.append(measure_attempt(spark, sf_dir, qs))
+        if attempts[-1][1]["drift_pct"] <= DRIFT_GATE_PCT:
+            break
+    timings, cal_block = min(attempts, key=lambda a: a[1]["drift_pct"])
+    cal = cal_block["sec"]
+    cal_block = {
+        **cal_block,
+        "drift_gate_pct": DRIFT_GATE_PCT,
+        "attempts": len(attempts),
+        "attempt_drifts": [a[1]["drift_pct"] for a in attempts],
+        "gate_passed": cal_block["drift_pct"] <= DRIFT_GATE_PCT,
+    }
 
     out = {
         "metric": "headline_queries_total",
@@ -543,13 +586,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "calibration": {
-            "pre": round(cal_pre, 3),
-            "mid": round(cal_mid, 3),
-            "post": round(cal_post, 3),
-            "sec": round(cal, 3),
-            "drift_pct": drift_pct,
-        },
+        "calibration": cal_block,
         # machine-speed-free per-query numbers (unit: calibrations)
         "normalized": {k: round(v / cal, 3) for k, v in timings.items()},
     }
@@ -660,10 +697,12 @@ def main() -> None:
                 key=lambda kv: -kv[1],
             )[:4]
         )
-        cal = compact["calibration"]
+        cal_c = compact["calibration"]
         compact["calibration"] = {
-            "sec": cal["sec"],
-            "drift_pct": cal["drift_pct"],
+            "sec": cal_c["sec"],
+            "drift_pct": cal_c["drift_pct"],
+            "attempts": cal_c["attempts"],
+            "gate_passed": cal_c["gate_passed"],
         }
         line = json.dumps(compact, separators=_sep)
     if len(line) > _budget:
