@@ -377,6 +377,26 @@ def xsum(c, scale: int = 6) -> Column:
 
         round(sum(CAST(round((expr) * 1000000) AS BIGINT))
               / 1000000.0, 6)
+
+    Cost attribution (r14, measured): the decimal sum's bench-scale
+    overhead is NOT per-row decimal math at scale-relevant
+    parallelism — it is the >18-digit aggregation BUFFER. Spark backs
+    a decimal agg buffer by a compact long only up to precision 18;
+    any wider (the sum's 38 here, and equally the 28 a DECIMAL(18,0)
+    input would promote to — so narrowing the input cast reclaims
+    NOTHING, measured 1.47 vs 1.59 s) goes through per-row
+    variable-length BigDecimal buffer updates. At sf0.1 the lineitem
+    scan is 3 partitions, so that per-row cost lands on 3 cores
+    (fresh-plan pricing_summary: double 0.58 s / BIGINT 0.87 /
+    DECIMAL(38,0) 1.59); repartitioned to 32 it is within ~10% of the
+    double plan (1.11 vs 1.00 s) — the 100 TB cost is ~10% of one
+    stage, not the bench's 2.6x. A two-phase exact alternative
+    (per-(group, partition) try_sum BIGINT — loud NULL on overflow,
+    guarded so a NULL partial cannot be dropped silently — then a
+    decimal sum over the tiny subtotals) measures 1.03 s and is
+    bit-equal, but restructures every call site's aggregation shape
+    and re-orders the neighboring order-dependent avg() sums, so the
+    single-expression decimal stays.
     """
     m = float(10 ** scale)
     return F.round(
