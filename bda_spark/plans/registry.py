@@ -170,6 +170,24 @@ DRIVER_ROW_CAP = 50
 #     span output is corpus-structure-dependent and the operator was
 #     re-profiled this round; bloom r12-green, contamination family
 #     keeps doc_contamination_spans in-window)
+#
+# ROUND-14 REFRESH (VERDICT r13 task 5 — same policy: rotate the
+# scale-sensitive pool's OLDEST driver rows back through the gate;
+# every swapped-in name is in tests/test_oracle_sf01.py's pool, every
+# ceding row was r13 driver-green and keeps its oracle in the tail):
+#   events_pivot_daily     -> events_5s_resample (last driver row r02
+#     — the oldest in the pool; time-bucket boundaries move with the
+#     data. Reshape family keeps docs_unpivot_stats in-window)
+#   events_argmax_daily    -> orders_rank_topk (last row r11; rank
+#     tie-breaks need colliding rows. max_by family keeps
+#     events_mode_daily in-window)
+#   lineitem_quantity_quantiles -> events_trailing_7d (last row r11;
+#     rolling-window frames are row-count-dependent. Quantile family
+#     keeps events_quantile_sketch_rollup in-window)
+#   orders_rollup_totals   -> orders_cube_customers (last row r12;
+#     CUBE's count-distinct cells are cardinality-dependent. Grouping
+#     family keeps orders_grouping_sets_margins in-window; the xsum
+#     ulp class stays covered by pricing_summary + regional_order_stats)
 DRIVER_WINDOW = [
     "doc_contamination_spans",
     "docs_stratified_sample",
@@ -186,10 +204,10 @@ DRIVER_WINDOW = [
     "media_image_features",
     "media_video_frame_sample",
     "orders_grouping_sets_margins",
-    "orders_rollup_totals",
-    "events_pivot_daily",
+    "orders_cube_customers",
+    "events_5s_resample",
     "docs_unpivot_stats",
-    "events_argmax_daily",
+    "orders_rank_topk",
     "events_quantile_sketch_rollup",
     "customer_balance_ntiles",
     "pricing_summary",
@@ -207,7 +225,7 @@ DRIVER_WINDOW = [
     "doc_quality_scores",
     "events_mode_daily",
     "doc_tfidf_terms",
-    "lineitem_quantity_quantiles",
+    "events_trailing_7d",
     "doc_duplicate_passages",
     "doc_repetition_scores",
     "doc_pii_scan",
@@ -241,7 +259,6 @@ DEFERRED_TAIL = [
     "events_json_extract",     # JSON path twin of features_json_roundtrip
     "cosine_topk",             # cosine_topk_bucketed's oracle IS this brute force
     "ngram_jaccard_pairs",     # exact all-pairs Jaccard IS minhash_neardup_pairs' oracle
-    "events_5s_resample",      # time-bucket agg twin of events_windowed_10min
     "dedup_by_key",            # key-dedup semantics proven by exact_dedup_keyset
     "report_rmse_naive",       # KPI twin of events_daily_kpis/report_corr_matrix
     "top_customers",           # join+topk ⊂ regional_order_stats + orders_rank_topk
@@ -271,16 +288,18 @@ DEFERRED_TAIL = [
     "doc_decontaminate",        # r01-r11 driver-green; family keeps spans + bloom in-window
     "semantic_dedup_keepers",   # r11 driver-green; pairs (exact regime) takes the row
     "docs_pack_sequences",      # r09-r11 driver-green; chunking twin takes the row
-    "orders_rank_topk",         # window-fn family row -> customer_balance_ntiles
     "keyword_counts",           # r01-r11 driver-green; Misra-Gries exact twin takes the row
     "exact_dedup_keyset",       # r01-r11 driver-green; canonical fingerprints take the row
-    "events_trailing_7d",       # r09-r11 driver-green; PQ/ADC ANN takes the row
     # Ceded their driver rows in the ROUND-13 REFRESH (see DRIVER_WINDOW):
-    "orders_cube_customers",    # r01-r12 driver-green; grouping family keeps grouping_sets_margins + rollup in-window
     "events_variant_extract",   # r12 driver-green; VARIANT decode stays oracle-verified
     "docs_listagg_sources",     # r12 driver-green; listagg stays oracle-verified
     "doc_canonical_fingerprints", # r12 driver-green; key-dedup family anchored by minhash/neardup rows
     "doc_decontaminate_bloom",  # r12 driver-green; contamination family keeps doc_contamination_spans in-window
+    # Ceded their driver rows in the ROUND-14 REFRESH (see DRIVER_WINDOW):
+    "events_pivot_daily",       # r13 driver-green; reshape family keeps docs_unpivot_stats in-window
+    "events_argmax_daily",      # r13 driver-green; max_by family keeps events_mode_daily in-window
+    "lineitem_quantity_quantiles", # r13 driver-green; quantile family keeps events_quantile_sketch_rollup in-window
+    "orders_rollup_totals",     # r13 driver-green; grouping family keeps grouping_sets_margins in-window, xsum ulp class held by pricing_summary
 ]
 
 

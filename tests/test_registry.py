@@ -66,12 +66,15 @@ MUST_BE_IN_WINDOW = [
     "keyword_counts_sketch",
     "pq_adc_topk",
     # round-13 window refresh: the scale-sensitive promotions (VERDICT
-    # r12 task 6) — every one is in test_oracle_sf01.py's pool
-    "orders_rollup_totals",
-    "events_pivot_daily",
-    "events_argmax_daily",
-    "lineitem_quantity_quantiles",
+    # r12 task 6); pivot/argmax/quantiles/rollup ceded their rows green
+    # in the r14 rotation — families stay anchored per DRIVER_WINDOW
     "doc_duplicate_passages",
+    # round-14 window refresh: the scale-sensitive pool's oldest
+    # driver rows rotate back through the gate (VERDICT r13 task 5)
+    "events_5s_resample",
+    "orders_rank_topk",
+    "events_trailing_7d",
+    "orders_cube_customers",
 ]
 
 
@@ -95,10 +98,10 @@ def test_driver_window_keys_are_frozen():
     module import order, a forgotten DEFERRED_TAIL entry) silently
     swaps which operators get driver verification. The window is pinned
     by registry.DRIVER_WINDOW; this test asserts the runtime order
-    matches the pin AND that the delta vs the r12-recorded window is
-    EXACTLY the five deliberate round-13 swaps (VERDICT r12 task 6:
-    the scale-sensitivity rotation) — any other drift is an
-    accident."""
+    matches the pin AND that the delta vs the r13-recorded window is
+    EXACTLY the four deliberate round-14 swaps (VERDICT r13 task 5:
+    the scale-sensitivity rotation, oldest driver rows first) — any
+    other drift is an accident."""
     import json
     import os
 
@@ -106,23 +109,21 @@ def test_driver_window_keys_are_frozen():
 
     got = list(get_queries())[:DRIVER_ROW_CAP]
     assert got == DRIVER_WINDOW
-    r12 = os.path.join(
-        os.path.dirname(os.path.dirname(__file__)), "CORRECTNESS_r12.json"
+    r13 = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "CORRECTNESS_r13.json"
     )
-    old = set(json.load(open(r12)))
+    old = set(json.load(open(r13)))
     assert old - set(got) == {
-        "orders_cube_customers",
-        "events_variant_extract",
-        "docs_listagg_sources",
-        "doc_canonical_fingerprints",
-        "doc_decontaminate_bloom",
-    }
-    assert set(got) - old == {
-        "orders_rollup_totals",
         "events_pivot_daily",
         "events_argmax_daily",
         "lineitem_quantity_quantiles",
-        "doc_duplicate_passages",
+        "orders_rollup_totals",
+    }
+    assert set(got) - old == {
+        "events_5s_resample",
+        "orders_rank_topk",
+        "events_trailing_7d",
+        "orders_cube_customers",
     }
 
 
