@@ -882,12 +882,17 @@ def positional_grams(
     shuffle; the 2^-64 hash-collision rate is the same accepted policy
     as the MinHash banding above.
 
-    The gram hashes the TOKEN-ARRAY SLICE directly — xxhash64 takes
-    array input, so re-materializing each gram as a concat_ws string
-    (n token copies per position) was pure overhead: dropping it
-    measured 28% off gram generation at the ladder's 100x rung
-    (4.74 s vs 6.55 s for 23.6M grams), the stage r12 profiling showed
-    to be the operator's single largest cost. Hash values are
+    The gram hashes the n tokens as n DIRECT xxhash64 arguments
+    (element_at lookups — O(1) each on the token array) rather than
+    hashing an array slice: the slice allocated an n-element array per
+    position, and dropping that allocation measured 2.75x off gram
+    generation at the ladder's 100x rung (1.84 s vs 5.06 s for 23.6M
+    grams, r14 profiling — the stage both r12 and r14 profiles showed
+    to be the operator's single largest cost; the r13 slice-hash form
+    had already taken 28% off the original concat_ws string). Multi-
+    argument xxhash64 folds each token's bytes with the running hash
+    as seed, so there is no concatenation boundary ambiguity, and no
+    argument is ever NULL (positions stop at sz-n). Hash values are
     internal-only (both consumers hash both of their sides through
     this one function; the oracles recompute spans from gram STRINGS),
     so the function change is invisible to output."""
@@ -896,7 +901,12 @@ def positional_grams(
     sz = F.size("t")
     grams = F.transform(
         F.sequence(F.lit(0), sz - n),
-        lambda i: F.xxhash64(F.slice(F.col("t"), i + 1, n)),
+        lambda i: F.xxhash64(
+            *[
+                F.element_at(F.col("t"), (i + j + 1).cast("int"))
+                for j in range(n)
+            ]
+        ),
     )
     return base.filter(sz >= n).select(
         "doc_id", F.posexplode(grams).alias("pos", "gh")
