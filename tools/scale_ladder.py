@@ -481,17 +481,22 @@ PER_QUERY_2D_NOTE = {
         "exponent 0.589 -> 0.406."
     ),
     "doc_duplicate_passages": (
-        "r12 profiling at the 100x rung: gram GENERATION is the "
-        "largest stage (8.7 of 21 s), not the posting shuffle — "
-        "the r11-suspected singleton-gram count prefilter was "
-        "built, MEASURED (t100x 14.9 -> 24.6 s: 95% of grams are "
-        "distinct, so counting shuffles nearly as many rows as it "
-        "saves while paying the gram pipeline twice), and "
-        "reverted. Shipped instead: xxhash64 over the token-array "
-        "slice (no concat_ws string per gram), 28% off gram "
-        "generation. The decade-2 ratio is amortization of fixed "
-        "overhead, not superlinearity: t100x/t10x < 10 means "
-        "sub-linear growth across the decade."
+        "r14 profiling at the 100x rung (cumulative-stage counts): "
+        "gram generation 11.1 s / +posting shuffle 6.8 s / pair "
+        "expansion + window merge ~0 — the linear gram pipeline "
+        "still dominates. Shipped r14: multi-argument xxhash64 over "
+        "element_at token lookups (no per-position array-slice "
+        "allocation), 2.75x off gram generation (1.84 vs 5.06 s "
+        "warm for 23.6M grams); committed before/after on this "
+        "entry: t100x 14.4 -> 7.1 s, exponent 0.508 -> 0.381. "
+        "History: the r11-suspected singleton-gram count prefilter "
+        "was built, MEASURED (t100x 14.9 -> 24.6 s: 95% of grams "
+        "are distinct, so counting shuffles nearly as many rows as "
+        "it saves while paying the gram pipeline twice), and "
+        "reverted; r13 shipped xxhash64 over the token-array slice "
+        "(28% off vs the concat_ws string). The residual decade-2 "
+        "ratio is the linear gram pipeline plus amortizing fixed "
+        "overhead, not superlinearity."
     ),
     "neardup_clusters": (
         "crosses the hybrid-CC threshold between rungs: 1x/10x edge "
@@ -609,6 +614,107 @@ def measure_two_decades(
             )
         row["exponent_cap"] = TWO_DECADE_EXPONENT_CAP
         out["queries"][name] = row
+    return out
+
+
+# --- third decade: one spot rung at 1000x (VERDICT r13 #4) -----------
+#
+# The 100 TB story rests on exponents fit over two decades; one 1000x
+# point on the two LARGEST-ABSOLUTE-TIME operators catches any cost
+# term that only dominates past 100x (memory pressure, partition-count
+# cliffs, AQE coalesce limits). Spot rung, not a full ladder: the
+# fixture alone is ~1.1 GB of text and each timed run is minutes.
+
+THREE_DECADE_QUERIES = ("corpus_build_pipeline", "minhash_neardup_pairs")
+
+
+def synthesize_documents_outer(
+    spark, src_rung: str, out_dir: str, outer: int, id_stride: int
+) -> None:
+    """Build an ``outer``x documents rung FROM AN EXISTING RUNG by the
+    same letters-only token bijection with a DISTINCT suffix family
+    ("qz<j>" vs the inner builder's "zq<k>"): within an outer copy the
+    inner rung's shingle structure is preserved exactly (uniform
+    injective token map), across outer copies token sets are disjoint
+    (suffixes differ), so pair/cluster output stays exactly linear in
+    the total factor — the same anti-cheat property the inner fixture
+    pins in tests/test_scale_ladder.py. Two-level construction keeps
+    the build plan at ``outer`` union branches instead of the ~1000
+    branches a flat build would hand Catalyst. Only documents are
+    materialized (every THREE_DECADE_QUERIES reads documents alone);
+    other tables symlink to the source rung."""
+    from bda_spark.sources.batch import load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name in os.listdir(src_rung):
+        if not name.endswith(".parquet") or name.startswith("documents"):
+            continue
+        dst = os.path.join(out_dir, name)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(src_rung, name), dst)
+
+    docs = load_table(spark, src_rung, "documents")
+    copies = []
+    for j in range(outer):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(j * id_stride))
+        if j:
+            c = c.withColumn(
+                "text",
+                F.regexp_replace("text", r"([\p{L}\p{N}]+)", f"$1qz{j}"),
+            ).withColumn("n_chars", F.length("text").cast("long"))
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+
+def measure_three_decades(
+    spark,
+    rung_hi_dir: str,
+    base_dir: str,
+    work_dir: str,
+    committed_two_decades: dict,
+    mid_factor: int = 100,
+    hi_factor: int = 1000,
+    only=None,
+) -> dict:
+    """Time THREE_DECADE_QUERIES at ``mid_factor`` (fresh, SAME session
+    — reusing a previous session's t100x would fold cross-session
+    machine drift into the decade-3 ratio) and at ``hi_factor``;
+    report exponent_decade3 = log10(t_hi/t_mid)/log10(hi/mid) beside
+    the committed two-decade fit and the +0.1 acceptance bar."""
+    import math
+
+    top = os.path.join(work_dir, f"rung{hi_factor}x")
+    synthesize_documents_outer(
+        spark, rung_hi_dir, top, hi_factor // mid_factor,
+        ID_STRIDE * mid_factor,
+    )
+    queries = ladder_queries(base_dir)
+    out: dict = {"factors": [mid_factor, hi_factor], "queries": {}}
+    for name in THREE_DECADE_QUERIES:
+        if only and name not in only:
+            continue
+        fn = queries[name]
+        t_mid = round(_time_query(spark, fn, rung_hi_dir), 3)
+        t_hi = round(_time_query(spark, fn, top), 3)
+        row: dict = {f"t{mid_factor}x": t_mid, f"t{hi_factor}x": t_hi}
+        if t_mid > 0:
+            row["exponent_decade3"] = round(
+                math.log10(t_hi / t_mid)
+                / math.log10(hi_factor / mid_factor),
+                3,
+            )
+        prior = (committed_two_decades.get("queries", {}).get(name) or {})
+        if prior.get("exponent") is not None:
+            row["two_decade_exponent"] = prior["exponent"]
+            row["bar"] = round(prior["exponent"] + 0.1, 3)
+            row["within_bar"] = row.get("exponent_decade3", 99) <= row["bar"]
+        out["queries"][name] = row
+    shutil.rmtree(top, ignore_errors=True)
     return out
 
 
@@ -779,6 +885,22 @@ def main() -> None:
                 merged["two_decades"]["factors"] = r["two_decades"][
                     "factors"
                 ]
+            if "three_decades" in r:
+                committed_f3 = merged.get("three_decades", {}).get(
+                    "factors"
+                )
+                if committed_f3 not in (None, r["three_decades"]["factors"]):
+                    raise SystemExit(
+                        "SCALE_LADDER_ONLY merge refused: three_decades "
+                        f"factors {r['three_decades']['factors']} != "
+                        f"committed {committed_f3}"
+                    )
+                merged.setdefault("three_decades", {}).setdefault(
+                    "queries", {}
+                ).update(r["three_decades"].get("queries", {}))
+                merged["three_decades"]["factors"] = r["three_decades"][
+                    "factors"
+                ]
             r = merged
         with open(out_path, "w") as fh:
             json.dump(r, fh, indent=1)
@@ -795,6 +917,23 @@ def main() -> None:
             }
             report["two_decades"] = measure_two_decades(
                 spark, rungs, rungs[1], work, src, hi_factor=factor2,
+                only=only,
+            )
+            _flush(report)
+        # Third decade (VERDICT r13 #4): SCALE_LADDER_FACTOR3=1000 adds
+        # one spot rung for THREE_DECADE_QUERIES. t{factor2}x is
+        # re-measured fresh in this same session so the decade-3 ratio
+        # never mixes two sessions' machine speeds.
+        factor3 = int(os.environ.get("SCALE_LADDER_FACTOR3", "0"))
+        if factor3 > factor2:
+            report["three_decades"] = measure_three_decades(
+                spark,
+                os.path.join(work, f"rung{factor2}x"),
+                os.path.join(work, "rung1x"),
+                work,
+                report.get("two_decades") or {},
+                mid_factor=factor2,
+                hi_factor=factor3,
                 only=only,
             )
             _flush(report)
