@@ -680,12 +680,16 @@ def measure_three_decades(
     mid_factor: int = 100,
     hi_factor: int = 1000,
     only=None,
+    flush=None,
 ) -> dict:
     """Time THREE_DECADE_QUERIES at ``mid_factor`` (fresh, SAME session
     — reusing a previous session's t100x would fold cross-session
     machine drift into the decade-3 ratio) and at ``hi_factor``;
     report exponent_decade3 = log10(t_hi/t_mid)/log10(hi/mid) beside
-    the committed two-decade fit and the +0.1 acceptance bar."""
+    the committed two-decade fit and the +0.1 acceptance bar. ``flush``
+    (if given) is called with the partial section after EVERY finished
+    row — the 1000x rung is the most OOM-prone job in the repo and a
+    crash on query N must not lose query N-1's evidence."""
     import math
 
     top = os.path.join(work_dir, f"rung{hi_factor}x")
@@ -714,6 +718,8 @@ def measure_three_decades(
             row["bar"] = round(prior["exponent"] + 0.1, 3)
             row["within_bar"] = row.get("exponent_decade3", 99) <= row["bar"]
         out["queries"][name] = row
+        if flush is not None:
+            flush(out)
     shutil.rmtree(top, ignore_errors=True)
     return out
 
@@ -833,7 +839,11 @@ def main() -> None:
     # the 10x rung carries 10x-sized LSH band frames through broadcast
     # hot-key probes; the 1g driver default is bench-sized, not
     # ladder-sized
-    spark = get_spark("scale_ladder", extra_confs={"spark.driver.memory": "8g"})
+    # SCALE_LADDER_DRIVER_MEM: the 1000x spot rung (FACTOR3) OOMs an
+    # 8g heap (5M-doc corpus_build signature frames + shuffle); the
+    # sandbox has 128 GiB, so the third-decade runs use 32g.
+    mem = os.environ.get("SCALE_LADDER_DRIVER_MEM", "8g")
+    spark = get_spark("scale_ladder", extra_confs={"spark.driver.memory": mem})
     spark.sparkContext.setLogLevel("ERROR")
     factor2 = int(os.environ.get("SCALE_LADDER_FACTOR2", "100"))
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -926,6 +936,10 @@ def main() -> None:
         # never mixes two sessions' machine speeds.
         factor3 = int(os.environ.get("SCALE_LADDER_FACTOR3", "0"))
         if factor3 > factor2:
+            def _flush3(section: dict) -> None:
+                report["three_decades"] = section
+                _flush(report)
+
             report["three_decades"] = measure_three_decades(
                 spark,
                 os.path.join(work, f"rung{factor2}x"),
@@ -935,6 +949,7 @@ def main() -> None:
                 mid_factor=factor2,
                 hi_factor=factor3,
                 only=only,
+                flush=_flush3,
             )
             _flush(report)
     finally:
