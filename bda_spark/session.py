@@ -22,7 +22,19 @@ _DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Static shuffle parallelism; AQE coalesces below this when small.
+    # Streaming state stores size from THIS number (AQE never applies
+    # to them), so it stays workload-small; batch shuffles instead
+    # start from initialPartitionNum below.
     "spark.sql.shuffle.partitions": "32",
+    # Batch shuffles START wide and let AQE coalesce DOWN to the
+    # advisory size. AQE can only merge partitions, never split them,
+    # so a static 32 silently becomes a per-partition volume cliff as
+    # data grows — the r14 1000x ladder rung measured it directly:
+    # minhash_neardup_pairs t1000x 346 -> 172 s with 512 initial
+    # partitions, while every sf0.1 bench query is unchanged (AQE
+    # coalesces the small shuffles right back). A cluster submitter
+    # raises this with executor count; 512 = 16 per core at local[32].
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "512",
     # Arrow for any pandas interchange (Pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Broadcast threshold: dims like region/nation/supplier always broadcast.
