@@ -26,15 +26,22 @@ _DEFAULT_CONFS: dict[str, str] = {
     # to them), so it stays workload-small; batch shuffles instead
     # start from initialPartitionNum below.
     "spark.sql.shuffle.partitions": "32",
-    # Batch shuffles START wide and let AQE coalesce DOWN to the
-    # advisory size. AQE can only merge partitions, never split them,
-    # so a static 32 silently becomes a per-partition volume cliff as
-    # data grows — the r14 1000x ladder rung measured it directly:
-    # minhash_neardup_pairs t1000x 346 -> 172 s with 512 initial
-    # partitions, while every sf0.1 bench query is unchanged (AQE
-    # coalesces the small shuffles right back). A cluster submitter
-    # raises this with executor count; 512 = 16 per core at local[32].
-    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "512",
+    # spark.sql.adaptive.coalescePartitions.initialPartitionNum is
+    # deliberately NOT set here. It is the right scale-out lever on a
+    # real cluster (AQE can only MERGE shuffle partitions, never split
+    # them, so the static 32 eventually becomes a per-partition volume
+    # cliff; the submitter should set initialPartitionNum ~2-4x total
+    # cores with executor memory sized to match) — but it was built,
+    # measured, and REVERTED as a session default in r14:
+    # (1) neutral where it was supposed to win — minhash_neardup_pairs
+    #     t1000x 106 vs 105 s at the 1000x ladder rung (the apparent
+    #     2x win in the first isolated A/B was cold-vs-warm JVM, not
+    #     the conf); the rung's costs are linear-per-copy without it;
+    # (2) actively harmful in small-heap sessions — past the
+    #     200-partition bypass-merge threshold every shuffle write
+    #     switches to UnsafeShuffleWriter, whose task memory demand
+    #     OOMed the 1g-heap test harness (ShuffleExternalSorter heap
+    #     OOM in test_scale_ladder's 10x re-fit).
     # Arrow for any pandas interchange (Pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Broadcast threshold: dims like region/nation/supplier always broadcast.
