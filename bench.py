@@ -441,6 +441,15 @@ DRIFT_GATE_PCT = 10.0
 DRIFT_GATE_MAX_ATTEMPTS = 3
 
 
+def pick_attempt(attempts: list[tuple[dict, dict]]) -> tuple[dict, dict]:
+    """Gate decision, separated for unit testing: the accepted attempt
+    is the LEAST-DRIFTED one (the loop in main() already stops at the
+    first attempt under the gate, so when one passed it is also the
+    last; when none passed this picks the most trustworthy of the
+    noisy ones — ties resolve to the earliest, min() is stable)."""
+    return min(attempts, key=lambda a: a[1]["drift_pct"])
+
+
 def measure_attempt(spark, sf_dir: str, qs) -> tuple[dict, dict]:
     """One complete measured pass — calibration bracket, two interleaved
     query passes, medallion, streaming — returning (timings,
@@ -570,7 +579,7 @@ def main() -> None:
         attempts.append(measure_attempt(spark, sf_dir, qs))
         if attempts[-1][1]["drift_pct"] <= DRIFT_GATE_PCT:
             break
-    timings, cal_block = min(attempts, key=lambda a: a[1]["drift_pct"])
+    timings, cal_block = pick_attempt(attempts)
     cal = cal_block["sec"]
     cal_block = {
         **cal_block,

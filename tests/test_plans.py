@@ -452,3 +452,27 @@ def test_corpus_build_plan_has_no_cartesian_or_python_rows(spark):
         plan = _formatted_plan(spark, df)
         assert "CartesianProduct" not in plan, plan
         assert "BatchEvalPython" not in plan, plan
+
+
+def test_bench_drift_gate_pick_attempt():
+    """r14 drift gate (VERDICT r13 #1): the accepted bench attempt is
+    the least-drifted one — the first clean attempt when one passes
+    (the measurement loop stops there), the most trustworthy noisy one
+    when none do, earliest on ties (min() stability)."""
+    import bench
+
+    def a(drift, tag):
+        return ({"q": tag}, {"drift_pct": drift, "sec": 1.0})
+
+    # one attempt, clean: trivially accepted
+    t, c = bench.pick_attempt([a(2.2, 1)])
+    assert t["q"] == 1
+    # gate never passed: least-drifted of the three wins
+    t, c = bench.pick_attempt([a(15.4, 1), a(13.5, 2), a(20.3, 3)])
+    assert t["q"] == 2 and c["drift_pct"] == 13.5
+    # retries until a clean one: the clean LAST attempt is also min
+    t, c = bench.pick_attempt([a(22.0, 1), a(4.0, 2)])
+    assert t["q"] == 2
+    # tie resolves to the earliest attempt
+    t, c = bench.pick_attempt([a(12.0, 1), a(12.0, 2)])
+    assert t["q"] == 1
