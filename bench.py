@@ -573,10 +573,42 @@ def main() -> None:
 
     # Drift-gated measurement: retry whole attempts whose calibration
     # bracket exceeds DRIFT_GATE_PCT; accept the first clean one, else
-    # the least-drifted of the cap.
+    # the least-drifted of the cap. Each finished attempt flushes a
+    # provisional BENCH_LOCAL record immediately — a retrying run can
+    # take 3x the usual wall clock, and a caller that times it out
+    # mid-retry must still find the best-so-far evidence on disk (the
+    # final write below overwrites it with the full record).
+    import glob as _glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    driver_rounds = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    cur = (max(driver_rounds) + 1) if driver_rounds else 1
+    local_path = os.path.join(here, f"BENCH_LOCAL_r{cur}.json")
+
     attempts: list[tuple[dict, dict]] = []
     for _ in range(DRIFT_GATE_MAX_ATTEMPTS):
         attempts.append(measure_attempt(spark, sf_dir, qs))
+        best_t, best_c = pick_attempt(attempts)
+        with open(local_path, "w") as f:
+            json.dump(
+                {
+                    "metric": "headline_queries_total",
+                    "value": round(sum(best_t.values()), 3),
+                    "unit": "sec",
+                    "queries": best_t,
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "calibration": best_c,
+                    "partial": "attempt flush; final record overwrites",
+                },
+                f,
+                indent=1,
+            )
+            f.write("\n")
         if attempts[-1][1]["drift_pct"] <= DRIFT_GATE_PCT:
             break
     timings, cal_block = pick_attempt(attempts)
@@ -601,18 +633,9 @@ def main() -> None:
     }
     # The current round = newest driver BENCH_r{N} + 1 (the driver
     # writes BENCH_r{N}.json at the END of round N, so any run during
-    # round N sees N-1 as the newest driver file). Computed BEFORE the
-    # comparison so vs_prev can exclude same-round records.
-    import glob as _glob
-    import re as _re
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    driver_rounds = [
-        int(m.group(1))
-        for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
-        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
-    ]
-    cur = (max(driver_rounds) + 1) if driver_rounds else 1
+    # round N sees N-1 as the newest driver file; `cur`, `here`, and
+    # `local_path` were computed before the attempt loop above so the
+    # per-attempt flushes target the same file).
 
     def _compare(prev: dict) -> tuple[float | None, dict]:
         prev_cal = (prev.get("calibration") or {}).get("sec")
@@ -661,7 +684,6 @@ def main() -> None:
             "normalized": bool(same_cal),
             "ratios": same_ratios,
         }
-    local_path = os.path.join(here, f"BENCH_LOCAL_r{cur}.json")
     with open(local_path, "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
