@@ -589,6 +589,22 @@ def main() -> None:
     ]
     cur = (max(driver_rounds) + 1) if driver_rounds else 1
     local_path = os.path.join(here, f"BENCH_LOCAL_r{cur}.json")
+    # Snapshot the on-disk records BEFORE the first provisional flush:
+    # the flush overwrites BENCH_LOCAL_r{cur}.json, and reading the
+    # records afterwards would make vs_same_round compare this run to
+    # its own provisional output (all-1.0 ratios) instead of to a
+    # genuine earlier same-round run.
+    pre_records = bench_records()
+
+    def _base_record(t: dict, c: dict) -> dict:
+        return {
+            "metric": "headline_queries_total",
+            "value": round(sum(t.values()), 3),
+            "unit": "sec",
+            "queries": t,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "calibration": c,
+        }
 
     attempts: list[tuple[dict, dict]] = []
     for _ in range(DRIFT_GATE_MAX_ATTEMPTS):
@@ -597,12 +613,7 @@ def main() -> None:
         with open(local_path, "w") as f:
             json.dump(
                 {
-                    "metric": "headline_queries_total",
-                    "value": round(sum(best_t.values()), 3),
-                    "unit": "sec",
-                    "queries": best_t,
-                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                    "calibration": best_c,
+                    **_base_record(best_t, best_c),
                     "partial": "attempt flush; final record overwrites",
                 },
                 f,
@@ -622,12 +633,7 @@ def main() -> None:
     }
 
     out = {
-        "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "calibration": cal_block,
+        **_base_record(timings, cal_block),
         # machine-speed-free per-query numbers (unit: calibrations)
         "normalized": {k: round(v / cal, 3) for k, v in timings.items()},
     }
@@ -659,7 +665,7 @@ def main() -> None:
     # file so the provenance is in the record, not in prose.
     records = {
         n: rec
-        for n, rec in bench_records().items()
+        for n, rec in pre_records.items()
         if rec[0].get("sf") == out["sf"]
     }
     prev_rounds = [n for n in records if n < cur]

@@ -82,38 +82,59 @@ PER_QUERY_BOUND_PER_10X = {"simhash_neardup_strict": 8.0}
 LADDER_TABLES = ("documents", "embeddings")
 
 
-def synthesize_rung(spark, src_dir: str, out_dir: str, factor: int) -> None:
-    """Materialize one rung: `factor` structure-preserving copies of
-    documents + embeddings, symlinks for every other table."""
-    from bda_spark.sources.batch import load_table
-
+def _symlink_tables(src_dir: str, out_dir: str, skip: frozenset) -> None:
+    """Symlink every src parquet table into the rung EXCEPT the ones
+    the rung materializes itself — shared by the inner (1x..100x) and
+    outer (1000x) rung builders so the layouts stay in sync."""
     os.makedirs(out_dir, exist_ok=True)
     for name in os.listdir(src_dir):
         if not name.endswith(".parquet"):
             continue
-        if name.split(".")[0] in LADDER_TABLES:
+        if name.split(".")[0] in skip:
             continue
         dst = os.path.join(out_dir, name)
         if not os.path.exists(dst):
             os.symlink(os.path.join(src_dir, name), dst)
 
+
+def _write_doc_copies(
+    spark, src_dir: str, out_dir: str, factor: int,
+    id_stride: int, suffix: str,
+) -> None:
+    """`factor` token-bijection copies of src documents (copy k
+    suffixes every alnum run with `suffix`+k — letters-first so the
+    marker survives canonicalization, module doc) — the ONE
+    implementation both rung builders share, so the hard-won fixture
+    lessons can never drift between them."""
+    from bda_spark.sources.batch import load_table
+
     docs = load_table(spark, src_dir, "documents")
     copies = []
     for k in range(factor):
-        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * ID_STRIDE))
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * id_stride))
         if k:
-            # token bijection: shingle-overlap structure preserved
-            # within the copy, disjoint across copies, and stable
-            # under canonicalization (module doc)
             c = c.withColumn(
                 "text",
-                F.regexp_replace("text", r"([\p{L}\p{N}]+)", f"$1zq{k}"),
+                F.regexp_replace("text", r"([\p{L}\p{N}]+)", f"$1{suffix}{k}"),
             ).withColumn("n_chars", F.length("text").cast("long"))
         copies.append(c)
     out = copies[0]
     for c in copies[1:]:
         out = out.unionByName(c)
-    out.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    out.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+
+def synthesize_rung(spark, src_dir: str, out_dir: str, factor: int) -> None:
+    """Materialize one rung: `factor` structure-preserving copies of
+    documents + embeddings, symlinks for every other table."""
+    from bda_spark.sources.batch import load_table
+
+    _symlink_tables(src_dir, out_dir, frozenset(LADDER_TABLES))
+    # token bijection: shingle-overlap structure preserved within the
+    # copy, disjoint across copies, stable under canonicalization
+    _write_doc_copies(spark, src_dir, out_dir, factor, ID_STRIDE, "zq")
 
     emb = load_table(spark, src_dir, "embeddings")
     copies = []
@@ -643,32 +664,8 @@ def synthesize_documents_outer(
     branches a flat build would hand Catalyst. Only documents are
     materialized (every THREE_DECADE_QUERIES reads documents alone);
     other tables symlink to the source rung."""
-    from bda_spark.sources.batch import load_table
-
-    os.makedirs(out_dir, exist_ok=True)
-    for name in os.listdir(src_rung):
-        if not name.endswith(".parquet") or name.startswith("documents"):
-            continue
-        dst = os.path.join(out_dir, name)
-        if not os.path.exists(dst):
-            os.symlink(os.path.join(src_rung, name), dst)
-
-    docs = load_table(spark, src_rung, "documents")
-    copies = []
-    for j in range(outer):
-        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(j * id_stride))
-        if j:
-            c = c.withColumn(
-                "text",
-                F.regexp_replace("text", r"([\p{L}\p{N}]+)", f"$1qz{j}"),
-            ).withColumn("n_chars", F.length("text").cast("long"))
-        copies.append(c)
-    out = copies[0]
-    for c in copies[1:]:
-        out = out.unionByName(c)
-    out.write.mode("overwrite").parquet(
-        os.path.join(out_dir, "documents.parquet")
-    )
+    _symlink_tables(src_rung, out_dir, frozenset(("documents",)))
+    _write_doc_copies(spark, src_rung, out_dir, outer, id_stride, "qz")
 
 
 def measure_three_decades(
@@ -692,16 +689,28 @@ def measure_three_decades(
     crash on query N must not lose query N-1's evidence."""
     import math
 
+    if hi_factor % mid_factor != 0:
+        # the outer rung is built as hi/mid copies of the mid rung; a
+        # non-multiple would label t{hi}x with data that only grew
+        # floor(hi/mid)*mid — refuse rather than commit wrong evidence
+        # (same loudness policy as the merge-refusal guards in main)
+        raise SystemExit(
+            f"three_decades refused: SCALE_LADDER_FACTOR3={hi_factor} "
+            f"is not a multiple of FACTOR2={mid_factor}"
+        )
+    todo = [
+        n for n in THREE_DECADE_QUERIES if not only or n in only
+    ]
+    out: dict = {"factors": [mid_factor, hi_factor], "queries": {}}
+    if not todo:
+        return out  # targeted re-run excludes both: skip the rung build
     top = os.path.join(work_dir, f"rung{hi_factor}x")
     synthesize_documents_outer(
         spark, rung_hi_dir, top, hi_factor // mid_factor,
         ID_STRIDE * mid_factor,
     )
     queries = ladder_queries(base_dir)
-    out: dict = {"factors": [mid_factor, hi_factor], "queries": {}}
-    for name in THREE_DECADE_QUERIES:
-        if only and name not in only:
-            continue
+    for name in todo:
         fn = queries[name]
         t_mid = round(_time_query(spark, fn, rung_hi_dir), 3)
         t_hi = round(_time_query(spark, fn, top), 3)
@@ -958,7 +967,9 @@ def main() -> None:
         # re-measured fresh in this same session so the decade-3 ratio
         # never mixes two sessions' machine speeds.
         factor3 = int(os.environ.get("SCALE_LADDER_FACTOR3", "0"))
-        if factor3 > factor2:
+        # factor2 > factor is required too: the mid rung dir only
+        # exists when the two-decade block above built it
+        if factor3 > factor2 > factor:
             def _flush3(section: dict) -> None:
                 report["three_decades"] = section
                 _flush(report)
