@@ -188,6 +188,29 @@ DRIVER_ROW_CAP = 50
 #     CUBE's count-distinct cells are cardinality-dependent. Grouping
 #     family keeps orders_grouping_sets_margins in-window; the xsum
 #     ulp class stays covered by pricing_summary + regional_order_stats)
+#
+# ROUND-15 REFRESH (VERDICT r14 task 5 — union coverage is complete,
+# so rotation now maintains freshness: the pool rows whose last driver
+# vintage is OLDEST go back through the gate; every ceding row was
+# r14 driver-green and keeps its oracle in the pytest tail):
+#   customer_order_coalesce -> null_count_vector (last driver row r03
+#     — tied-oldest vintage in the registry; null-count cells are
+#     row-count-dependent. Join family keeps regional_order_stats,
+#     orders_without_lineitems, events_interval_join_firstday and
+#     events_asof_join in-window)
+#   conditional_repair     -> exact_dedup_keyset (last row r11; which
+#     row survives a key-dedup group is tie-break/order-dependent.
+#     when/otherwise repair semantics stay oracle-verified in the
+#     tail and the cleaning family keeps events_expectations_metrics)
+#   csv_tick_ingest        -> simhash_neardup_pairs (last row r03.
+#     VERDICT r14 asked for a non-vacuous simhash re-check in place
+#     of simhash_neardup_strict's r11 0-row: strict's 0 rows at
+#     sf0.01 is the TRUE answer (no 0.9-cosine pairs exist in that
+#     data; DuckDB agrees every pytest run), so the weak-threshold
+#     twin — same signature/band/rescore path, 14 rows at sf0.01 —
+#     is the row that actually exercises values through the driver
+#     hash. Ingest family keeps generated_ticks_profile +
+#     scraped_articles in-window)
 DRIVER_WINDOW = [
     "doc_contamination_spans",
     "docs_stratified_sample",
@@ -215,10 +238,10 @@ DRIVER_WINDOW = [
     "regional_order_stats",
     "orders_without_lineitems",
     "events_interval_join_firstday",
-    "customer_order_coalesce",
-    "conditional_repair",
+    "null_count_vector",
+    "exact_dedup_keyset",
     "orders_recent_window",
-    "csv_tick_ingest",
+    "simhash_neardup_pairs",
     "report_corr_matrix",
     "doc_langid",
     "keyword_counts_sketch",
@@ -247,7 +270,6 @@ DEFERRED_TAIL = [
     "events_dropna_labels",     # P10 dropna; null-predicate twin of conditional_repair
     "embedding_norms_by_label", # simple agg; array math proven by cosine/ivf rows
     "grand_totals",            # multi-agg covered by pricing_summary
-    "null_count_vector",       # covered by profile_stats_orders + pytest
     "distinct_segments",       # distinct covered by count_distinct_custkeys
     "docs_by_lang_source",     # group-count twin of doc_langid/keyword_counts
     "doc_fingerprints",        # md5 twin of doc_rolling_fingerprints
@@ -255,11 +277,10 @@ DEFERRED_TAIL = [
     "token_stats",             # token counting covered by regex_token_stats
     "events_recent_range",     # date-window twin of orders_recent_window
     "embedding_neardup_pairs", # exact baseline; LSH rows carry exact oracles
-    "simhash_neardup_pairs",   # weak-threshold twin of simhash_neardup_strict
     "events_json_extract",     # JSON path twin of features_json_roundtrip
     "cosine_topk",             # cosine_topk_bucketed's oracle IS this brute force
     "ngram_jaccard_pairs",     # exact all-pairs Jaccard IS minhash_neardup_pairs' oracle
-    "dedup_by_key",            # key-dedup semantics proven by exact_dedup_keyset
+    "dedup_by_key",            # key-dedup semantics proven by exact_dedup_keyset (in-window r15)
     "report_rmse_naive",       # KPI twin of events_daily_kpis/report_corr_matrix
     "top_customers",           # join+topk ⊂ regional_order_stats + orders_rank_topk
     "profile_stats_orders",    # describe-profile twin of generated_ticks_profile
@@ -300,6 +321,10 @@ DEFERRED_TAIL = [
     "events_argmax_daily",      # r13 driver-green; max_by family keeps events_mode_daily in-window
     "lineitem_quantity_quantiles", # r13 driver-green; quantile family keeps events_quantile_sketch_rollup in-window
     "orders_rollup_totals",     # r13 driver-green; grouping family keeps grouping_sets_margins in-window, xsum ulp class held by pricing_summary
+    # Ceded their driver rows in the ROUND-15 REFRESH (see DRIVER_WINDOW):
+    "customer_order_coalesce",  # r14 driver-green; join family anchored by regional/anti/interval/asof rows
+    "conditional_repair",       # r14 driver-green; cleaning family keeps events_expectations_metrics in-window
+    "csv_tick_ingest",          # r14 driver-green; ingest family keeps generated_ticks_profile + scraped_articles
 ]
 
 

@@ -51,7 +51,6 @@ MUST_BE_IN_WINDOW = [
     "docs_fuzzy_join",
     "embeddings_fuzzy_join",
     "events_expectations_metrics",
-    "csv_tick_ingest",
     # round-12 window refresh: the 11 promotions that close the
     # verification debt — every SQL-expressible registered query has
     # now held a driver row in some CORRECTNESS_r01..r12 window
@@ -75,6 +74,11 @@ MUST_BE_IN_WINDOW = [
     "orders_rank_topk",
     "events_trailing_7d",
     "orders_cube_customers",
+    # round-15 window refresh: the registry's oldest driver vintages
+    # (r03/r03/r11) rotate back through the gate (VERDICT r14 task 5)
+    "null_count_vector",
+    "exact_dedup_keyset",
+    "simhash_neardup_pairs",
 ]
 
 
@@ -98,9 +102,9 @@ def test_driver_window_keys_are_frozen():
     module import order, a forgotten DEFERRED_TAIL entry) silently
     swaps which operators get driver verification. The window is pinned
     by registry.DRIVER_WINDOW; this test asserts the runtime order
-    matches the pin AND that the delta vs the r13-recorded window is
-    EXACTLY the four deliberate round-14 swaps (VERDICT r13 task 5:
-    the scale-sensitivity rotation, oldest driver rows first) — any
+    matches the pin AND that the delta vs the r14-recorded window is
+    EXACTLY the three deliberate round-15 swaps (VERDICT r14 task 5:
+    the freshness rotation, oldest driver vintages first) — any
     other drift is an accident."""
     import json
     import os
@@ -109,21 +113,19 @@ def test_driver_window_keys_are_frozen():
 
     got = list(get_queries())[:DRIVER_ROW_CAP]
     assert got == DRIVER_WINDOW
-    r13 = os.path.join(
-        os.path.dirname(os.path.dirname(__file__)), "CORRECTNESS_r13.json"
+    r14 = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "CORRECTNESS_r14.json"
     )
-    old = set(json.load(open(r13)))
+    old = set(json.load(open(r14)))
     assert old - set(got) == {
-        "events_pivot_daily",
-        "events_argmax_daily",
-        "lineitem_quantity_quantiles",
-        "orders_rollup_totals",
+        "customer_order_coalesce",
+        "conditional_repair",
+        "csv_tick_ingest",
     }
     assert set(got) - old == {
-        "events_5s_resample",
-        "orders_rank_topk",
-        "events_trailing_7d",
-        "orders_cube_customers",
+        "null_count_vector",
+        "exact_dedup_keyset",
+        "simhash_neardup_pairs",
     }
 
 
