@@ -21,13 +21,8 @@ SELF-CALIBRATING (r10): min-of-2 de-noises within a session but cannot
 detect the machine itself being slower than last round's machine (the
 r9 bench drifted a uniform ~1.4x on queries whose code had ZERO diffs,
 and nothing in the output could prove it was environment, not code). So
-the bench now:
-  - times a FIXED-COST, data-independent calibration job (pinned
-    range->hash->groupBy aggregate) first, after the headline loop,
-    and last; "drift_pct" >> 10% across the three means the machine
-    shifted mid-run and the round's numbers deserve suspicion (the
-    mid probe exists because a concurrent job that starts AND ends
-    inside the run is invisible to a pre/post-only bracket);
+the bench times a FIXED-COST, data-independent calibration job (pinned
+range->hash->groupBy aggregate) and:
   - emits "normalized" per-query seconds (raw / calibration) — the
     unit is "calibrations", a machine-speed-free number comparable
     across rounds;
@@ -35,6 +30,29 @@ the bench now:
     repo, emits "vs_prev" drift-normalized ratios per query:
     (t/cal) / (t_prev/cal_prev) — ~1.0 means the PLAN is unchanged
     regardless of what the machine did between rounds.
+
+DRIFT-PROOF BY CONSTRUCTION (r15, VERDICT r14 #1): the r14 gate
+bracketed each attempt with pre/mid/post calibrations and REJECTED
+attempts whose bracket spread exceeded 10% — but a session that drifts
+for its whole duration (the driver's r14 record: 68.6/31.9/13.7%
+across the 3-attempt cap) exhausts retries and publishes with
+gate_passed false, leaving adjudication to whichever session happened
+to be quiet. The bench now runs a SINGLE-SHOT calibration probe beside
+every PROBE_EVERY-th timed sample (steady-state: the opening full
+calibration's warm-up already brought the probe job to C2) and
+corrects each sample by its NEAREST probes — sample_corrected = raw *
+(best_probe / min(bracketing probes)), with a dead-band leaving
+quiet-region samples untouched — so a query's number is normalized by
+the machine speed measured seconds around it, not by a whole-run
+average. The gate criterion follows the construction: each
+query has two probe-corrected samples (one per interleaved pass), and
+if correction worked they agree regardless of how the machine drifted
+between passes — "residual_median_pct" (median over queries of the
+pair disagreement) <= RESIDUAL_GATE_PCT is the r15 gate, with the old
+whole-run drift_pct kept as context (and as an alternative pass
+condition for the quiet-session case where probes were barely
+needed). A drifting session now yields trustworthy per-query numbers
+whose error is bounded by probe spacing, and the gate can PASS there.
 """
 
 from __future__ import annotations
@@ -229,43 +247,152 @@ def events_approx_distinct(spark, sf_dir):
     )
 
 
+def _cal_job(spark) -> None:
+    """The pinned fixed-cost, data-independent calibration job body —
+    a range -> hash -> groupBy aggregate that exercises codegen,
+    shuffle, and the driver collect path, with ZERO dependence on
+    sf_dir. Shared by the full calibration (warm-up + min-of-5) and
+    the single-shot interleaved probes so both measure the same
+    thing. 250M rows: compute-dominated (a 50M probe is ~half fixed
+    job-scheduling overhead, whose run-to-run noise is ±20%)."""
+    (
+        spark.range(0, 250_000_000, 1, 32)
+        .select(F.pmod(F.hash("id"), F.lit(997)).alias("k"), "id")
+        .groupBy("k")
+        .agg(F.sum("id").alias("s"), F.avg("id").alias("a"))
+        .orderBy("k")
+        .collect()
+    )
+
+
 def calibration_sec(spark) -> float:
-    """One fixed-cost, data-independent probe of this machine+session's
-    current speed: a pinned range -> hash -> groupBy aggregate that
-    exercises codegen, shuffle, and the driver collect path, with ZERO
-    dependence on sf_dir. min-of-2, same de-noising policy as the
-    queries. The absolute number is meaningless; the RATIO between two
-    measurements of it (start vs end of a run, round N vs round N-1)
-    isolates machine drift from plan changes."""
-
-    def _run():
-        # 250M rows: compute-dominated (a 50M probe is ~half fixed
-        # job-scheduling overhead, whose run-to-run noise is ±20%)
-        (
-            spark.range(0, 250_000_000, 1, 32)
-            .select(F.pmod(F.hash("id"), F.lit(997)).alias("k"), "id")
-            .groupBy("k")
-            .agg(F.sum("id").alias("s"), F.avg("id").alias("a"))
-            .orderBy("k")
-            .collect()
-        )
-
-    # Warm-6 + min-of-5 at BOTH measurement points: the probe's JIT
-    # steady state needs several executions on a fresh JVM (C2 tiered
-    # compilation lands late), and a pre-C2 "pre" against a post-C2
-    # "post" would read as 30-50% machine drift that never happened.
-    # Symmetric policy so pre and post measure the same thing.
+    """One fixed-cost probe of this machine+session's current speed.
+    min-of-5 after warm-6: the probe's JIT steady state needs several
+    executions on a fresh JVM (C2 tiered compilation lands late), and
+    a pre-C2 "pre" against a post-C2 "post" would read as 30-50%
+    machine drift that never happened. Symmetric policy at both ends
+    of an attempt so pre and post measure the same thing — and the
+    warm-up doubles as JIT preparation for the single-shot interleaved
+    probes (_ProbeTrack). The absolute number is meaningless; the
+    RATIO between two measurements of it (probe i vs probe j, round N
+    vs round N-1) isolates machine drift from plan changes."""
     for _ in range(6):
-        _run()
+        _cal_job(spark)
     best = float("inf")
     for _ in range(5):
         t0 = time.time()
-        _run()
+        _cal_job(spark)
         best = min(best, time.time() - t0)
     return best
 
 
-def bench_records() -> dict[int, tuple[dict, str]]:
+PROBE_EVERY = 6  # timed samples between interleaved calibration probes
+
+
+# A sample is corrected only when its bracket reads PAST this factor
+# of the probe population's quiet baseline. Calibrated empirically
+# (three sf0.01 validation runs on a QUIET machine): interleaved
+# probes are NOT pure machine-speed readings — each inherits the
+# GC/cleanup debt of the queries beside it, so the series spreads
+# +25..55% above its own quiet baseline purely from neighbor
+# contamination (probes beside the heavy dedup/pack tail read 0.94-
+# 1.06 s against a 0.68 s baseline with nothing else on the box). A
+# tight dead-band therefore "corrects" exactly the query families
+# that cause their own neighborhood's slowness — discounting them
+# 25-30% and making cross-round ratios read a spurious speedup
+# against pre-r15 records that embedded the same debt. 1.5 sits above
+# everything neighbor contamination produced in validation while
+# still catching the class the gate exists for: the r14 driver
+# session's sustained 68% whole-run drift. Below the band, moderate
+# contention is handled where it always was — min over two
+# interleaved passes — and FLAGGED by the residual/drift gates rather
+# than silently rewritten.
+PROBE_DEADBAND = 1.5
+
+
+class _ProbeTrack:
+    """Interleaved machine-speed probes (r15, module doc): a min-of-2
+    calibration probe lands beside every PROBE_EVERY-th timed sample,
+    and each sample outside the dead-band is corrected by the MIN of
+    its two bracketing probes — the local machine speed measured
+    seconds around the sample, not a whole-run average.
+
+    min-of-2 per probe and min-of-bracket per sample, NOT single shots
+    and means: the first validation run showed single probes on a
+    QUIET machine spiking 1.8-2.2x (GC debt inherited from the
+    adjacent query — the exact 20-50% single-run variance the bench's
+    min-of-N policy exists for), and a mean-of-brackets correction
+    injected that spike into every adjacent sample. A one-sided spike
+    hits one probe run, not both, and not both brackets — the min
+    rejects it; SUSTAINED contention slows every run of both brackets
+    — the min still sees it. Correction error is bounded by how much
+    sustained machine speed can shift within one probe spacing, and
+    the per-query residual between the two interleaved passes measures
+    exactly that bound post hoc."""
+
+    def __init__(self, spark, every: int = PROBE_EVERY) -> None:
+        self.spark = spark
+        self.every = every
+        self.probes: list[float] = []
+        # (name, raw seconds, index of the probe preceding the sample)
+        self.samples: list[tuple[str, float, int]] = []
+        self._since = every  # force a probe before the first sample
+
+    def probe(self) -> None:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _cal_job(self.spark)
+            best = min(best, time.time() - t0)
+        self.probes.append(best)
+        self._since = 0
+
+    def sample(self, name: str, run) -> None:
+        if self._since >= self.every:
+            self.probe()
+        t0 = time.time()
+        run()
+        dt = time.time() - t0
+        self.samples.append((name, dt, len(self.probes) - 1))
+        self._since += 1
+
+    def baseline(self) -> float:
+        """The probe population's quiet speed: median of the lowest
+        quartile (>=3 probes). NOT the raw min — a single anomalously
+        FAST probe (observed: 0.613 s in a 0.77-1.04 s series, likely
+        a turbo/idle-boost window) would otherwise drag the dead-band
+        below the series' normal range and make corrections misfire on
+        quiet samples; the trimmed statistic rejects single outliers
+        in BOTH directions while still tracking a genuinely faster
+        machine (a real speed-up moves the whole lower quartile)."""
+        import statistics
+
+        lo = sorted(self.probes)[: max(3, len(self.probes) // 4)]
+        return statistics.median(lo)
+
+    def corrected(self, base: float) -> dict[str, list[float]]:
+        """name -> probe-corrected samples (seconds at the probe
+        population's quiet speed, ``base`` = self.baseline()). In a
+        quiet session every bracket sits inside the dead-band and
+        corrected == raw."""
+        out: dict[str, list[float]] = {}
+        for name, raw, li in self.samples:
+            ri = min(li + 1, len(self.probes) - 1)
+            local = min(self.probes[li], self.probes[ri])
+            corr = raw
+            if base > 0 and local > PROBE_DEADBAND * base:
+                corr = raw * (base / local)
+            out.setdefault(name, []).append(corr)
+        return out
+
+    def raw(self) -> dict[str, list[float]]:
+        out: dict[str, list[float]] = {}
+        for name, r, _ in self.samples:
+            out.setdefault(name, []).append(r)
+        return out
+
+
+def bench_records(root: str | None = None) -> dict[int, tuple[dict, str]]:
     """round -> (parsed record, source FILENAME) for every usable bench
     record beside this script. Scans BOTH the driver-written
     BENCH_r{N}.json (which may be a truncated 2 kB stdout tail — the
@@ -282,11 +409,23 @@ def bench_records() -> dict[int, tuple[dict, str]]:
     import glob as _glob
     import re as _re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = root or os.path.dirname(os.path.abspath(__file__))
+
+    def _rank(parsed: dict):
+        # prefer: any calibration row, then a passed gate, then the
+        # least-noisy record (residual when present, else drift) —
+        # so a clean committed record is never shadowed by a noisy
+        # same-round re-run that dodged to a _runK filename
+        cal = parsed.get("calibration") or {}
+        rm = cal.get("residual_median_pct")
+        noise = rm if rm is not None else cal.get("drift_pct")
+        noise = noise if noise is not None else float("inf")
+        return (bool(cal), bool(cal.get("gate_passed")), -noise)
+
     by_round: dict[int, tuple[dict, str]] = {}
     for pat in ("BENCH_r*.json", "BENCH_LOCAL_r*.json"):
         for p in _glob.glob(os.path.join(here, pat)):
-            m = _re.search(r"BENCH(?:_LOCAL)?_r(\d+)\.json$", p)
+            m = _re.search(r"BENCH(?:_LOCAL)?_r(\d+)(?:_run\d+)?\.json$", p)
             if not m:
                 continue
             n = int(m.group(1))
@@ -298,12 +437,34 @@ def bench_records() -> dict[int, tuple[dict, str]]:
             parsed = d.get("parsed", d)
             if not (isinstance(parsed, dict) and "queries" in parsed):
                 continue
+            if "partial" in parsed:
+                continue  # provisional attempt flush, not evidence
             cur = by_round.get(n)
-            if cur is None or (
-                parsed.get("calibration") and not cur[0].get("calibration")
-            ):
+            if cur is None or _rank(parsed) > _rank(cur[0]):
                 by_round[n] = (parsed, os.path.basename(p))
     return by_round
+
+
+def final_local_path(here: str, cur: int) -> str:
+    """Where this run's FINAL record lands (VERDICT r14 #6): the
+    canonical BENCH_LOCAL_r{cur}.json when it is free (absent, corrupt,
+    or a stale pre-r15 provisional), else the first free
+    BENCH_LOCAL_r{cur}_run{K}.json — a complete record from another
+    session (e.g. the builder's clean committed one) is never
+    overwritten by a later same-round re-run (e.g. the driver's noisy
+    one); bench_records ranks the coexisting records by gate/noise."""
+    canonical = os.path.join(here, f"BENCH_LOCAL_r{cur}.json")
+    try:
+        with open(canonical) as f:
+            existing = json.load(f)
+    except (OSError, ValueError):
+        return canonical  # absent or corrupt: claim the name
+    if "partial" in existing.get("parsed", existing):
+        return canonical  # stale provisional from pre-r15 code
+    k = 2
+    while os.path.exists(os.path.join(here, f"BENCH_LOCAL_r{cur}_run{k}.json")):
+        k += 1
+    return os.path.join(here, f"BENCH_LOCAL_r{cur}_run{k}.json")
 
 
 BENCH_TICKERS = ["BP", "COP", "SHEL", "XOM"]
@@ -429,41 +590,66 @@ def run_medallion(spark, bronze_dir: str, gold_dir: str) -> None:
         df.write.mode("overwrite").parquet(os.path.join(gold_dir, name))
 
 
-# Drift gate (r13 VERDICT task 1): a run whose three calibration probes
-# disagree by more than this is machine-noise-poisoned — its per-query
-# ratios are not trustworthy (the driver's r13 record carried 22% drift
-# and contradicted a clean 6.5%-drift run on two queries). Instead of
-# only FLAGGING the drift, the bench now rejects the attempt and
-# re-measures, up to the attempt cap; if every attempt drifts, the
-# least-drifted one is emitted (with the full per-attempt drift list in
-# the record, so a reader can see the gate never passed).
+# Attempt gate. r13 introduced the whole-run drift criterion (three
+# bracket calibrations within DRIFT_GATE_PCT); r15 adds the
+# construction that makes a DRIFTING session publishable: per-query
+# probe correction, gated on the median disagreement between each
+# query's two corrected samples (module doc). An attempt passes on
+# EITHER criterion — a quiet session trivially satisfies the first,
+# a drifting-but-well-probed session satisfies the second; only a
+# session too erratic for probe spacing to capture (residual high AND
+# spread high) is rejected and re-measured, up to the attempt cap,
+# with the least-noisy attempt emitted and the full per-attempt lists
+# in the record.
 DRIFT_GATE_PCT = 10.0
+# Bound on the median disagreement between a query's two
+# probe-corrected samples. Calibrated against the inherent min-of-2
+# pair jitter of a QUIET session (the dead-band keeps quiet samples
+# raw, so the residual floor IS that jitter): sub-second queries pair-
+# disagree 5-15% from scheduling/GC alone, so 12% at the median says
+# "corrected samples agree as well as a quiet session's raw ones".
+RESIDUAL_GATE_PCT = 12.0
 DRIFT_GATE_MAX_ATTEMPTS = 3
 
 
+def attempt_gate_ok(cal_block: dict) -> bool:
+    """True when this attempt's numbers are trustworthy: whole-run
+    machine spread under the drift gate (quiet session), OR per-query
+    probe-corrected sample pairs agreeing at the median (drifting
+    session, correction verified post hoc)."""
+    if cal_block["drift_pct"] <= DRIFT_GATE_PCT:
+        return True
+    rm = cal_block.get("residual_median_pct")
+    return rm is not None and rm <= RESIDUAL_GATE_PCT
+
+
 def pick_attempt(attempts: list[tuple[dict, dict]]) -> tuple[dict, dict]:
-    """Gate decision, separated for unit testing: the accepted attempt
-    is the LEAST-DRIFTED one (the loop in main() already stops at the
-    first attempt under the gate, so when one passed it is also the
-    last; when none passed this picks the most trustworthy of the
-    noisy ones — ties resolve to the earliest, min() is stable)."""
-    return min(attempts, key=lambda a: a[1]["drift_pct"])
+    """Gate decision, separated for unit testing: gate-passing
+    attempts beat failing ones; within a class the attempt with the
+    lowest residual wins (falling back to drift_pct for records
+    without a residual row), drift breaking residual ties; remaining
+    ties resolve to the earliest attempt (min() is stable). The loop
+    in main() stops at the first passing attempt, so when one passed
+    it is also the last."""
+
+    def key(a: tuple[dict, dict]):
+        c = a[1]
+        rm = c.get("residual_median_pct")
+        noise = rm if rm is not None else c["drift_pct"]
+        return (not attempt_gate_ok(c), noise, c["drift_pct"])
+
+    return min(attempts, key=key)
 
 
 def measure_attempt(spark, sf_dir: str, qs) -> tuple[dict, dict]:
-    """One complete measured pass — calibration bracket, two interleaved
-    query passes, medallion, streaming — returning (timings,
-    calibration block). Pulled out of main() so the drift gate can
-    re-run the whole thing."""
+    """One complete measured pass — opening/closing full calibrations,
+    two interleaved query passes with single-shot probes beside every
+    PROBE_EVERY-th sample, medallion, streaming — returning (timings,
+    calibration block). timings are PROBE-CORRECTED min-of-2 seconds
+    (raw mins travel in the block for context). Pulled out of main()
+    so the gate can re-run the whole thing."""
     cal_pre = calibration_sec(spark)
-
-    timings: dict[str, float] = {}
-
-    def run_once(name: str, run) -> None:
-        t0 = time.time()
-        run()
-        dt = time.time() - t0
-        timings[name] = round(min(timings.get(name, float("inf")), dt), 3)
+    tr = _ProbeTrack(spark)
 
     # Bench-only scale twin: sub-bucketed sequence packing (no single
     # mega-source serializes one partition's window sort).
@@ -506,19 +692,15 @@ def measure_attempt(spark, sf_dir: str, qs) -> tuple[dict, dict]:
     # runs both sit inside it (observed: two same-code runs where a
     # CONTIGUOUS block of headline queries read 2-3x slower, different
     # block each run). Interleaving separates a query's two samples by
-    # the full suite length, so one bad window can only poison one.
+    # the full suite length, so one bad window can only poison one —
+    # and since r15 each sample is also corrected by the probes
+    # landing every PROBE_EVERY entries around it, so even the
+    # poisoned sample is normalized by the slowness measured beside
+    # it (the pair residual then verifies the correction worked).
     for name, run in entries:
-        run_once(name, run)
-
-    # Mid-run calibration point: pre/post probes bracket the run but
-    # cannot see contention that starts AND ends inside it (a
-    # concurrent job stealing cores for five minutes in the middle
-    # reads as clean pre/post drift while every query number lies).
-    # One sample between the passes closes that window.
-    cal_mid = calibration_sec(spark)
-
+        tr.sample(name, run)
     for name, run in entries:
-        run_once(name, run)
+        tr.sample(name, run)
 
     # Medallion end-to-end (bronze fixture prep is untimed setup).
     # Same min-of-2 policy as the queries: each run re-executes the full
@@ -526,38 +708,72 @@ def measure_attempt(spark, sf_dir: str, qs) -> tuple[dict, dict]:
     work = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_tmp")
     shutil.rmtree(work, ignore_errors=True)
     prepare_bronze(spark, sf_dir, work)
-    best = float("inf")
+    tr.probe()  # tight bracket: the sections below are heavier per sample
     for i in range(2):
-        t0 = time.time()
-        run_medallion(spark, work, os.path.join(work, f"gold{i}"))
-        best = min(best, time.time() - t0)
-    timings["medallion_pipeline"] = round(best, 3)
+        tr.sample(
+            "medallion_pipeline",
+            lambda i=i: run_medallion(spark, work, os.path.join(work, f"gold{i}")),
+        )
 
     # Streaming train/predict/backfill replay (tick prep untimed; each
     # run replays from a FRESH checkpoint+sink dir, so both runs do the
     # complete train/predict/backfill work).
     prepare_ticks(spark, sf_dir, work)
-    best = float("inf")
-    for _ in range(2):
+    n_preds: list[int] = []
+
+    def _stream_once() -> None:
         shutil.rmtree(os.path.join(work, "pipe"), ignore_errors=True)
-        t0 = time.time()
-        n_preds = run_streaming(spark, work)
-        best = min(best, time.time() - t0)
-    timings["streaming_pipeline"] = round(best, 3)
-    assert n_preds > 0, "streaming bench produced no predictions"
+        n_preds.append(run_streaming(spark, work))
+
+    tr.probe()
+    for _ in range(2):
+        tr.sample("streaming_pipeline", _stream_once)
+    assert n_preds and n_preds[-1] > 0, "streaming bench produced no predictions"
     shutil.rmtree(work, ignore_errors=True)
 
+    tr.probe()  # trailing bracket so the last samples have a right probe
     cal_post = calibration_sec(spark)
-    cal = min(cal_pre, cal_mid, cal_post)
+
+    # TWO calibration populations, deliberately kept apart: the
+    # isolated pre/post blocks (warm-6 + min-of-5, nothing else
+    # running) measure the machine's clean speed — their spread is the
+    # quiet-session drift criterion and their min is "sec", the
+    # cross-round normalization base (same definition as pre-r15
+    # records). The interleaved probes inherit the workload's GC/
+    # cleanup debt and sit systematically ~10-25% above the isolated
+    # blocks even on a quiet box (measured), so they are compared only
+    # against THEIR OWN population's best — for the dead-banded sample
+    # correction and the probe_spread context number. Mixing the
+    # populations made quiet sessions read as 20-120% "drift" in the
+    # first validation runs.
+    cal = min(cal_pre, cal_post)
     drift_pct = round(
-        100.0 * (max(cal_pre, cal_mid, cal_post) - cal) / cal, 1
+        100.0 * abs(cal_post - cal_pre) / min(cal_pre, cal_post), 1
+    )
+    probe_base = tr.baseline()
+    spread_pct = round(100.0 * (max(tr.probes) - probe_base) / probe_base, 1)
+    corr = tr.corrected(probe_base)
+    raw = tr.raw()
+    timings = {n: round(min(v), 3) for n, v in corr.items()}
+    residuals = sorted(
+        100.0 * (max(v) - min(v)) / min(v)
+        for v in corr.values()
+        if len(v) >= 2 and min(v) > 0
+    )
+    residual_median = (
+        round(residuals[len(residuals) // 2], 1) if residuals else None
     )
     return timings, {
         "pre": round(cal_pre, 3),
-        "mid": round(cal_mid, 3),
         "post": round(cal_post, 3),
         "sec": round(cal, 3),
         "drift_pct": drift_pct,
+        "probe_base": round(probe_base, 3),
+        "probe_spread_pct": spread_pct,
+        "probes": [round(p, 3) for p in tr.probes],
+        "probe_spacing": tr.every,
+        "residual_median_pct": residual_median,
+        "queries_raw": {n: round(min(v), 3) for n, v in raw.items()},
     }
 
 
@@ -588,12 +804,16 @@ def main() -> None:
         if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
     ]
     cur = (max(driver_rounds) + 1) if driver_rounds else 1
-    local_path = os.path.join(here, f"BENCH_LOCAL_r{cur}.json")
-    # Snapshot the on-disk records BEFORE the first provisional flush:
-    # the flush overwrites BENCH_LOCAL_r{cur}.json, and reading the
-    # records afterwards would make vs_same_round compare this run to
-    # its own provisional output (all-1.0 ratios) instead of to a
-    # genuine earlier same-round run.
+    # Artifact separation (VERDICT r14 #6 + ADVICE): provisional
+    # attempt flushes go to a SIDECAR (.partial.json — a crash or
+    # timeout mid-gate must still leave best-so-far evidence on disk,
+    # without replacing a complete earlier record), and the final
+    # record never overwrites a COMPLETE same-round file from another
+    # session — it dodges to BENCH_LOCAL_r{N}_run{K}.json so a noisy
+    # driver re-run and a clean committed record can coexist
+    # (bench_records prefers the gate-passing, least-noisy one).
+    partial_path = os.path.join(here, f"BENCH_LOCAL_r{cur}.partial.json")
+
     pre_records = bench_records()
 
     def _base_record(t: dict, c: dict) -> dict:
@@ -610,26 +830,31 @@ def main() -> None:
     for _ in range(DRIFT_GATE_MAX_ATTEMPTS):
         attempts.append(measure_attempt(spark, sf_dir, qs))
         best_t, best_c = pick_attempt(attempts)
-        with open(local_path, "w") as f:
+        with open(partial_path, "w") as f:
             json.dump(
                 {
                     **_base_record(best_t, best_c),
-                    "partial": "attempt flush; final record overwrites",
+                    "partial": "attempt flush; final record supersedes",
                 },
                 f,
                 indent=1,
             )
             f.write("\n")
-        if attempts[-1][1]["drift_pct"] <= DRIFT_GATE_PCT:
+        if attempt_gate_ok(attempts[-1][1]):
             break
     timings, cal_block = pick_attempt(attempts)
     cal = cal_block["sec"]
+    queries_raw = cal_block.pop("queries_raw", None)
     cal_block = {
         **cal_block,
         "drift_gate_pct": DRIFT_GATE_PCT,
+        "residual_gate_pct": RESIDUAL_GATE_PCT,
         "attempts": len(attempts),
         "attempt_drifts": [a[1]["drift_pct"] for a in attempts],
-        "gate_passed": cal_block["drift_pct"] <= DRIFT_GATE_PCT,
+        "attempt_residuals": [
+            a[1].get("residual_median_pct") for a in attempts
+        ],
+        "gate_passed": attempt_gate_ok(cal_block),
     }
 
     out = {
@@ -637,11 +862,14 @@ def main() -> None:
         # machine-speed-free per-query numbers (unit: calibrations)
         "normalized": {k: round(v / cal, 3) for k, v in timings.items()},
     }
+    if queries_raw:
+        # uncorrected min-of-2 seconds, for readers who want to see
+        # how much the probe correction moved each number
+        out["queries_raw"] = queries_raw
+    local_path = final_local_path(here, cur)
     # The current round = newest driver BENCH_r{N} + 1 (the driver
     # writes BENCH_r{N}.json at the END of round N, so any run during
-    # round N sees N-1 as the newest driver file; `cur`, `here`, and
-    # `local_path` were computed before the attempt loop above so the
-    # per-attempt flushes target the same file).
+    # round N sees N-1 as the newest driver file).
 
     def _compare(prev: dict) -> tuple[float | None, dict]:
         prev_cal = (prev.get("calibration") or {}).get("sec")
@@ -693,6 +921,10 @@ def main() -> None:
     with open(local_path, "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
+    try:
+        os.remove(partial_path)  # superseded by the final record
+    except OSError:
+        pass
 
     # Stdout: ONE compact JSON line sized to survive the 2 kB tail
     # capture intact — keep the essentials (value, calibration, the
@@ -738,6 +970,7 @@ def main() -> None:
         compact["calibration"] = {
             "sec": cal_c["sec"],
             "drift_pct": cal_c["drift_pct"],
+            "residual_median_pct": cal_c.get("residual_median_pct"),
             "attempts": cal_c["attempts"],
             "gate_passed": cal_c["gate_passed"],
         }

@@ -476,3 +476,152 @@ def test_bench_drift_gate_pick_attempt():
     # tie resolves to the earliest attempt
     t, c = bench.pick_attempt([a(12.0, 1), a(12.0, 2)])
     assert t["q"] == 1
+
+
+def test_bench_residual_gate_r15():
+    """r15 (VERDICT r14 #1): a drifting session whose per-query
+    probe-corrected sample pairs AGREE is trustworthy — the gate
+    passes on the residual criterion even when whole-run drift
+    exceeds the old bracket gate, and pick_attempt prefers the
+    gate-passing attempt over a lower-drift failing one."""
+    import bench
+
+    def a(tag, drift, rm):
+        c = {"drift_pct": drift, "sec": 1.0}
+        if rm is not None:
+            c["residual_median_pct"] = rm
+        return ({"q": tag}, c)
+
+    # the r14 driver-session shape: huge whole-run drift, but probes
+    # corrected it — residual small => gate passes
+    assert bench.attempt_gate_ok(
+        {"drift_pct": 68.6, "residual_median_pct": 4.0}
+    )
+    # erratic beyond probe spacing: both criteria fail
+    assert not bench.attempt_gate_ok(
+        {"drift_pct": 68.6, "residual_median_pct": 25.0}
+    )
+    # quiet session passes on drift alone (residual may be absent in
+    # pre-r15 records read back for comparison)
+    assert bench.attempt_gate_ok({"drift_pct": 3.1})
+    # gate-passing high-drift attempt beats gate-failing low-drift one
+    t, c = bench.pick_attempt([a(1, 20.0, 15.0), a(2, 50.0, 5.0)])
+    assert t["q"] == 2
+    # among passing attempts the lower residual wins
+    t, c = bench.pick_attempt([a(1, 40.0, 8.0), a(2, 45.0, 3.0)])
+    assert t["q"] == 2
+
+
+def test_bench_probe_correction_math():
+    """_ProbeTrack.corrected: a sample measured while the machine ran
+    SUSTAINED 2x slow (both bracketing probes 2x the session's best)
+    is corrected to ~its quiet-session value; a one-sided probe spike
+    (GC debt hitting one probe, not both) does NOT distort the
+    neighbors (min-of-bracket); quiet samples inside the dead-band
+    stay exactly raw."""
+    import bench
+
+    tr = bench._ProbeTrack.__new__(bench._ProbeTrack)
+    tr.probes = [1.0, 1.0, 2.0, 2.0, 1.4]
+    tr.samples = [
+        ("fast", 5.0, 0),    # bracket 1.0/1.0 -> quiet, raw
+        ("spiked", 6.0, 1),  # bracket 1.0/2.0 -> min 1.0: spike rejected
+        ("slow", 10.0, 2),   # bracket 2.0/2.0 -> sustained: corrected
+        ("dead", 7.0, 3),    # bracket 2.0/1.4 -> min inside dead-band
+    ]
+    corr = tr.corrected(1.0)
+    assert corr["fast"] == [5.0]
+    assert corr["spiked"] == [6.0]
+    assert corr["slow"] == [5.0]   # 10.0 * (1.0 / 2.0)
+    assert corr["dead"] == [7.0]   # 1.4 inside the 1.5 dead-band: raw
+    raw = tr.raw()
+    assert raw["slow"] == [10.0]
+    # trailing sample: right bracket clamps to the last probe
+    tr.samples = [("edge", 8.0, 4)]
+    assert tr.corrected(1.0)["edge"] == [8.0]  # 1.4 in dead-band
+    tr.probes = [1.0, 1.0, 2.0, 2.0, 2.0]
+    assert tr.corrected(1.0)["edge"] == [4.0]  # sustained at the tail
+
+
+def test_bench_probe_baseline_rejects_outliers_both_ways():
+    """baseline() is the median of the lowest probe quartile: one
+    anomalously FAST probe (a turbo window — observed 0.613 s in a
+    0.77-1.04 s series) must not drag the correction dead-band below
+    the series' normal range, and slow spikes must not lift it."""
+    import bench
+
+    tr = bench._ProbeTrack.__new__(bench._ProbeTrack)
+    tr.probes = [0.613, 2.083] + [0.78, 0.80, 0.82, 0.84, 0.86, 0.88,
+                                  0.90, 0.92, 0.94, 0.96]
+    b = tr.baseline()
+    assert 0.78 <= b <= 0.82, b  # the quiet cluster, not 0.613
+    # a genuinely faster machine moves the whole lower quartile
+    tr.probes = [0.4, 0.41, 0.42, 0.43, 0.80, 0.82, 0.84, 0.86]
+    assert tr.baseline() <= 0.42
+
+
+def test_bench_final_path_never_overwrites_complete_record(tmp_path):
+    """VERDICT r14 #6: a complete same-round record is never
+    overwritten — later runs dodge to _run{K}; provisional/corrupt
+    files do not block the canonical name."""
+    import json
+
+    import bench
+
+    here = str(tmp_path)
+    canon = tmp_path / "BENCH_LOCAL_r9.json"
+    # absent -> canonical
+    assert bench.final_local_path(here, 9) == str(canon)
+    # stale pre-r15 provisional -> canonical (reclaimed)
+    canon.write_text(json.dumps({"queries": {}, "partial": "x"}))
+    assert bench.final_local_path(here, 9) == str(canon)
+    # complete record -> dodge to _run2, then _run3
+    canon.write_text(json.dumps({"queries": {"q": 1.0}}))
+    p2 = bench.final_local_path(here, 9)
+    assert p2.endswith("BENCH_LOCAL_r9_run2.json")
+    (tmp_path / "BENCH_LOCAL_r9_run2.json").write_text("{}")
+    assert bench.final_local_path(here, 9).endswith("_run3.json")
+
+
+def test_bench_records_prefers_clean_same_round_record(tmp_path):
+    """bench_records must surface the gate-passing, least-noisy record
+    when a round has several (builder's clean committed one vs a noisy
+    driver re-run under _runK), and skip .partial sidecars entirely."""
+    import json
+
+    import bench
+
+    def rec(gate, drift, rm, q=1.0):
+        return {
+            "queries": {"q": q},
+            "sf": 0.1,
+            "calibration": {
+                "sec": 1.0,
+                "drift_pct": drift,
+                "residual_median_pct": rm,
+                "gate_passed": gate,
+            },
+        }
+
+    (tmp_path / "BENCH_LOCAL_r7.json").write_text(
+        json.dumps(rec(True, 2.2, 1.5, q=1.0))
+    )
+    (tmp_path / "BENCH_LOCAL_r7_run2.json").write_text(
+        json.dumps(rec(False, 68.6, 30.0, q=9.9))
+    )
+    (tmp_path / "BENCH_LOCAL_r8.partial.json").write_text(
+        json.dumps({"queries": {"q": 1}, "partial": "x"})
+    )
+    got = bench.bench_records(str(tmp_path))
+    assert got[7][0]["queries"]["q"] == 1.0
+    assert got[7][1] == "BENCH_LOCAL_r7.json"
+    assert 8 not in got
+    # reversed roles: the clean record sits under _runK and still wins
+    (tmp_path / "BENCH_LOCAL_r7.json").write_text(
+        json.dumps(rec(False, 50.0, 28.0, q=9.9))
+    )
+    (tmp_path / "BENCH_LOCAL_r7_run2.json").write_text(
+        json.dumps(rec(True, 40.0, 3.0, q=1.0))
+    )
+    got = bench.bench_records(str(tmp_path))
+    assert got[7][1] == "BENCH_LOCAL_r7_run2.json"

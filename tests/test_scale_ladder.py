@@ -151,6 +151,185 @@ def test_embedding_rotation_preserves_copy_geometry(spark, tmp_path_factory):
     assert p1 and p1 == p2
 
 
+def test_decade3_row_passes_on_marginal_criterion():
+    """VERDICT r14 #3: the decade-3 row must self-describe as pass/fail
+    on the marginal-cost criterion (d3 s/copy <= 1.25 x d2 s/copy),
+    with the exponent kept as context — an exponent ~1.0 with a
+    decreasing marginal IS linear and must PASS (the r14 rungs read as
+    failures under the old two_decade_exponent+0.1 bar for exactly
+    this shape)."""
+    from scale_ladder import MARGINAL_BAR_TOLERANCE, decade3_row
+
+    # the committed r14 minhash shape: exponent ~1.0, marginal DOWN
+    prior = {"exponent": 0.353, "t10x": 5.004, "t100x": 17.833}
+    row = decade3_row(10.547, 106.257, prior, 100, 1000)
+    assert row["exponent_decade3"] == 1.003
+    assert row["within_marginal_bar"] is True
+    assert row["marginal_bar"] == round(
+        MARGINAL_BAR_TOLERANCE * row["marginal_sec_per_copy_decade2"], 4
+    )
+    # a genuinely superlinear shape: marginal GROWS past the tolerance
+    sup = decade3_row(10.0, 400.0, prior, 100, 1000)
+    assert sup["within_marginal_bar"] is False
+    # no committed prior decades -> marginals reported, no bar claimed
+    bare = decade3_row(10.0, 100.0, {}, 100, 1000)
+    assert "within_marginal_bar" not in bare
+    assert "marginal_sec_per_copy_decade3" in bare
+
+
+def test_committed_three_decades_rows_self_describe():
+    """The committed evidence file must encode the criterion it trusts
+    (VERDICT r14 #3): every three_decades row carries the marginal
+    fields, the bar is arithmetic on the row's own d2 marginal, and
+    the headline claim (linear scaling) reads as within_marginal_bar
+    true — a reader no longer needs the prose note to avoid misreading
+    the exponents."""
+    import json
+
+    from scale_ladder import MARGINAL_BAR_TOLERANCE
+
+    path = os.path.join(os.path.dirname(__file__), "..", "SCALE_LADDER.json")
+    three = json.load(open(path)).get("three_decades", {})
+    assert three.get("queries"), "committed three_decades section missing"
+    for name, row in three["queries"].items():
+        assert "marginal_sec_per_copy_decade3" in row, name
+        if "marginal_sec_per_copy_decade2" in row:
+            assert row["marginal_bar"] == round(
+                MARGINAL_BAR_TOLERANCE
+                * row["marginal_sec_per_copy_decade2"], 4
+            ), name
+            assert "within_marginal_bar" in row, name
+
+
+def test_three_decade_tables_match_real_input_scans(spark):
+    """r14 ADVICE: the outer 1000x rung materializes only the tables in
+    THREE_DECADE_TABLES and symlinks the rest from the 100x rung — so
+    a wrong entry means a query silently times 100x-sized inputs under
+    a 1000x label. Pin each declared table set to the query's REAL
+    parquet scans (df.inputFiles) so the map cannot rot. (This catch
+    is live: simhash_neardup_strict reads EMBEDDINGS, which the old
+    documents-only outer builder would have left at 100x size.)"""
+    from scale_ladder import (
+        THREE_DECADE_QUERIES,
+        THREE_DECADE_TABLES,
+        ladder_queries,
+    )
+
+    assert set(THREE_DECADE_QUERIES) <= set(THREE_DECADE_TABLES)
+    sf = "/root/testdata/sf0.001"
+    queries = ladder_queries(sf)
+    for name in THREE_DECADE_QUERIES:
+        df = queries[name](spark, sf)
+        # normalize: files may be table.parquet or table.parquet/part-*
+        tables = set()
+        for f in df.inputFiles():
+            if ".parquet" not in f:
+                continue
+            tables.add(f.split(".parquet")[0].rsplit("/", 1)[-1])
+        assert tables == set(THREE_DECADE_TABLES[name]), (name, tables)
+
+
+def test_three_decades_refuses_unmapped_query(monkeypatch):
+    """The loud-failure path itself: a THREE_DECADE_QUERIES entry with
+    no THREE_DECADE_TABLES row must refuse before building anything."""
+    import pytest
+
+    import scale_ladder as sl
+
+    monkeypatch.setattr(
+        sl, "THREE_DECADE_QUERIES", ("corpus_build_pipeline", "mystery_q")
+    )
+    with pytest.raises(SystemExit, match="THREE_DECADE_TABLES"):
+        sl.measure_three_decades(
+            spark=None, rung_hi_dir="/nonexistent", base_dir="/nonexistent",
+            work_dir="/nonexistent", committed_two_decades={},
+        )
+
+
+def test_doc_copy_builder_refuses_suffix_collisions(spark, tmp_path):
+    """r14 ADVICE: copy-disjointness relies on no source token already
+    ending in the suffix family; a natural 'xqz2' in copy 0 collides
+    with outer copy 2's image of 'x'. The builder must refuse loudly
+    at fixture-build time instead of silently corrupting linearity."""
+    import pytest
+
+    from scale_ladder import _write_doc_copies
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "hello xqz2 world", "s", 16)],
+        "doc_id long, text string, source string, n_chars long",
+    ).write.parquet(os.path.join(src, "documents.parquet"))
+    with pytest.raises(SystemExit, match="qz<digits>"):
+        _write_doc_copies(spark, src, str(tmp_path / "o1"), 2, 100, "qz")
+    # the other family is unaffected by this corpus -> builds fine
+    _write_doc_copies(spark, src, str(tmp_path / "o2"), 2, 100, "zq")
+
+
+def test_outer_embedding_transform_preserves_geometry(spark, tmp_path_factory):
+    """The outer (1000x-style) embeddings builder's load-bearing
+    property, mirroring the inner fixture test: an orthogonal map
+    applied uniformly per outer copy preserves EVERY within-copy
+    cosine (pair structure id-shifts exactly), while distinct flip
+    families keep cross-copy pairs at zero — so pair output stays
+    exactly linear in the total factor."""
+    from scale_ladder import ID_STRIDE, synthesize_rung, synthesize_rung_outer
+
+    from bda_spark.operators.similarity import simhash_neardup_pairs
+    from bda_spark.sources.batch import load_table
+    from pyspark.sql import functions as F
+
+    work = str(tmp_path_factory.mktemp("embouter"))
+    synthesize_rung(spark, "/root/testdata/sf0.01", f"{work}/inner", 2)
+    synthesize_rung_outer(
+        spark, f"{work}/inner", f"{work}/outer", 2, ID_STRIDE * 2,
+        frozenset({"documents", "embeddings"}),
+    )
+    e_in = load_table(spark, f"{work}/inner", "embeddings")
+    e_out = load_table(spark, f"{work}/outer", "embeddings")
+    assert e_out.count() == 2 * e_in.count()
+    stride = ID_STRIDE * 2
+    # within-copy geometry preserved EXACTLY: each outer copy's
+    # weak-threshold pair set, id-shifted back, equals the source
+    # rung's (cross-copy pairs excluded — at 0.45 a few ~3.6-sigma
+    # random-cosine outliers among the cross pairs are expected and
+    # harmless; the inner fixture test scopes its claim the same way)
+    p_in = {
+        (r.id_a, r.id_b)
+        for r in simhash_neardup_pairs(e_in, threshold=0.45)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    p_out = {
+        (r.id_a, r.id_b)
+        for r in simhash_neardup_pairs(e_out, threshold=0.45)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    base_copy = {(a, b) for a, b in p_out if a < stride and b < stride}
+    shifted_copy = {
+        (a - stride, b - stride)
+        for a, b in p_out
+        if a >= stride and b >= stride
+    }
+    assert p_in and base_copy == p_in and shifted_copy == p_in
+    # at the STRICT ladder threshold (the regime the 1000x rung times)
+    # cross-outer-copy pairs are zero and output is exactly linear
+    s_in = simhash_neardup_pairs(
+        e_in, threshold=0.9, band_rows=16, num_bands=64
+    ).count()
+    strict_out = simhash_neardup_pairs(
+        e_out, threshold=0.9, band_rows=16, num_bands=64
+    )
+    assert strict_out.count() == 2 * s_in
+    assert (
+        strict_out.filter(
+            (F.col("id_a") < stride) & (F.col("id_b") >= stride)
+        ).count()
+        == 0
+    )
+
+
 def test_two_decade_headliners_exponent_fit_at_10x(spark, tmp_path_factory):
     """VERDICT r10 #5 — the committed SCALE_LADDER.json now carries a
     100x (two-decade) rung for the headline ANN + LSH operators; this

@@ -109,6 +109,27 @@ def _write_doc_copies(
     from bda_spark.sources.batch import load_table
 
     docs = load_table(spark, src_dir, "documents")
+    if factor > 1:
+        # Copy-disjointness relies on NO source token already ending in
+        # this suffix family: a natural token "xqz2" in copy 0 would
+        # collide with copy 2's image of "x", creating cross-copy
+        # shingle overlap that breaks the exactly-linear-output claim.
+        # One regex scan of the source (cheap next to the build) turns
+        # that silent fixture corruption into a loud refusal (r14
+        # ADVICE). \\b: the suffix is terminal, so only run-final
+        # matches can collide.
+        collided = (
+            docs.filter(F.col("text").rlike(rf"(?i){suffix}\d+\b"))
+            .limit(1)
+            .count()
+        )
+        if collided:
+            raise SystemExit(
+                f"rung fixture refused: source corpus in {src_dir} has "
+                f"tokens ending in the '{suffix}<digits>' suffix family "
+                "— the per-copy token bijection would not be disjoint "
+                "across copies (pick a different suffix)"
+            )
     copies = []
     for k in range(factor):
         c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * id_stride))
@@ -126,32 +147,34 @@ def _write_doc_copies(
     )
 
 
-def synthesize_rung(spark, src_dir: str, out_dir: str, factor: int) -> None:
-    """Materialize one rung: `factor` structure-preserving copies of
-    documents + embeddings, symlinks for every other table."""
+def _write_emb_copies(
+    spark, src_dir: str, out_dir: str, factor: int, id_stride: int,
+    flip_salt: int, shift_step: int = 1, scale_denom: float = 1000.0,
+) -> None:
+    """`factor` orthogonal-transform copies of src embeddings (copy k:
+    cyclic dim-shift by k*shift_step + sign flips keyed by
+    hash(i, k*flip_salt) + a tiny distinctness scale — cosine/L2
+    exactly preserved within a copy, decorrelated across copies; a
+    bare scalar multiple would leave copies PARALLEL and re-create
+    the quadratic replication artifact, module doc). The ONE
+    implementation both rung builders share; the outer builder passes
+    a DISTINCT (flip_salt, shift_step, scale_denom) family so outer
+    copies decorrelate from each other AND from every inner relation
+    (composition of orthogonal maps is orthogonal, so within-outer-
+    copy geometry is still exactly the source rung's)."""
     from bda_spark.sources.batch import load_table
-
-    _symlink_tables(src_dir, out_dir, frozenset(LADDER_TABLES))
-    # token bijection: shingle-overlap structure preserved within the
-    # copy, disjoint across copies, stable under canonicalization
-    _write_doc_copies(spark, src_dir, out_dir, factor, ID_STRIDE, "zq")
 
     emb = load_table(spark, src_dir, "embeddings")
     copies = []
     for k in range(factor):
-        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * ID_STRIDE))
+        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * id_stride))
         if k:
-            # per-copy orthogonal transform: cyclic dim-shift by k +
-            # deterministic sign flips (module doc — cosine/L2 exactly
-            # preserved within a copy, decorrelated across copies; a
-            # bare scalar multiple would leave copies PARALLEL and
-            # re-create the quadratic replication artifact)
-            scale = 1.0 + k / 1000.0
+            scale = 1.0 + k / scale_denom
+            sh = (k * shift_step) % 64
             dim = F.size("embedding")
             shifted = F.concat(
-                F.slice(F.col("embedding"), F.lit(k % 64 + 1),
-                        dim - F.lit(k % 64)),
-                F.slice(F.col("embedding"), F.lit(1), F.lit(k % 64)),
+                F.slice(F.col("embedding"), F.lit(sh + 1), dim - F.lit(sh)),
+                F.slice(F.col("embedding"), F.lit(1), F.lit(sh)),
             )
             c = c.withColumn(
                 "embedding",
@@ -159,7 +182,7 @@ def synthesize_rung(spark, src_dir: str, out_dir: str, factor: int) -> None:
                     shifted,
                     lambda x, i: (
                         x
-                        * (F.pmod(F.hash(i, F.lit(k * 2654435761)),
+                        * (F.pmod(F.hash(i, F.lit(k * flip_salt)),
                                   F.lit(2)) * 2 - 1)
                         * F.lit(scale)
                     ).cast("float"),
@@ -171,6 +194,21 @@ def synthesize_rung(spark, src_dir: str, out_dir: str, factor: int) -> None:
         out = out.unionByName(c)
     out.write.mode("overwrite").parquet(
         os.path.join(out_dir, "embeddings.parquet")
+    )
+
+
+def synthesize_rung(spark, src_dir: str, out_dir: str, factor: int) -> None:
+    """Materialize one rung: `factor` structure-preserving copies of
+    documents + embeddings, symlinks for every other table."""
+    _symlink_tables(src_dir, out_dir, frozenset(LADDER_TABLES))
+    # token bijection: shingle-overlap structure preserved within the
+    # copy, disjoint across copies, stable under canonicalization
+    _write_doc_copies(spark, src_dir, out_dir, factor, ID_STRIDE, "zq")
+    # per-copy orthogonal transform (module doc): the inner family's
+    # constants are pinned — the committed evidence was built with them
+    _write_emb_copies(
+        spark, src_dir, out_dir, factor, ID_STRIDE,
+        flip_salt=2654435761, shift_step=1, scale_denom=1000.0,
     )
 
 
@@ -446,6 +484,11 @@ TWO_DECADE_QUERIES = (
     "embeddings_fuzzy_join",
 )
 TWO_DECADE_EXPONENT_CAP = 1.15  # near-linear + noise; quadratic reads ~2
+# Decade-3 acceptance (r15): marginal s/copy at decade 3 must stay
+# within this factor of decade 2's — flat-to-decreasing marginals ARE
+# linear scaling; the tolerance absorbs phase noise between the two
+# decades' measurement windows.
+MARGINAL_BAR_TOLERANCE = 1.25
 
 # Per-query second-decade bound overrides where the documented cost
 # model is NOT plain-linear (none currently: semantic_dedup carried a
@@ -641,31 +684,154 @@ def measure_two_decades(
 # --- third decade: one spot rung at 1000x (VERDICT r13 #4) -----------
 #
 # The 100 TB story rests on exponents fit over two decades; one 1000x
-# point on the two LARGEST-ABSOLUTE-TIME operators catches any cost
-# term that only dominates past 100x (memory pressure, partition-count
-# cliffs, AQE coalesce limits). Spot rung, not a full ladder: the
-# fixture alone is ~1.1 GB of text and each timed run is minutes.
+# point on the LARGEST-ABSOLUTE-TIME operators (r14) plus the two
+# STEEPEST remaining two-decade curves (r15: simhash 0.593, dsir
+# 0.598 — both with documented regime switches that only bite at
+# scale) catches any cost term that only dominates past 100x (memory
+# pressure, partition-count cliffs, AQE coalesce limits, LSH collision
+# constants). Spot rung, not a full ladder: the fixture alone is
+# ~1.1 GB of text and each timed run is minutes.
 
-THREE_DECADE_QUERIES = ("corpus_build_pipeline", "minhash_neardup_pairs")
+THREE_DECADE_QUERIES = (
+    "corpus_build_pipeline",
+    "minhash_neardup_pairs",
+    "simhash_neardup_strict",
+    "docs_dsir_sample",
+)
+
+# The outer rung materializes ONLY the tables the three-decade set
+# actually reads (the rest symlink to the 100x rung): a query whose
+# input tables are missing from this map would silently time
+# 100x-sized inputs under a 1000x label — refuse loudly instead (r14
+# ADVICE). tests/test_scale_ladder.py pins each entry against the
+# query's real df.inputFiles() so the map cannot rot.
+THREE_DECADE_TABLES = {
+    "corpus_build_pipeline": frozenset({"documents"}),
+    "minhash_neardup_pairs": frozenset({"documents"}),
+    "simhash_neardup_strict": frozenset({"embeddings"}),
+    "docs_dsir_sample": frozenset({"documents"}),
+}
+
+# Knob variants (r15): measured beside the registry shape at the SAME
+# rungs, same session — evidence that an operator's DOCUMENTED
+# production knob actually buys what its docstring claims at the scale
+# where the default's cost term bites. simhash_neardup_strict pins
+# r=16/b=64 (its 100 TB note: the ~b*2^-r*n^2/2 random-collision term
+# is negligible "until n grows orders of magnitude; the production
+# knob is r itself") — the 1000x rung (2M vectors, ~1.9e9 expected
+# collisions at r=16) is exactly where that knob must be turned, so
+# the ladder times r=20/b=116 and r=24/b=215 beside it (b re-priced to
+# hold detection ~0.995 at cosine 0.9: b = ln(200)/p^r, p = 1 -
+# acos(0.9)/pi ~ 0.857 — the same rule that prices the r=16/b=64
+# default).
+def _simhash_knob(band_rows: int, num_bands: int):
+    def run(spark, sf_dir):
+        from bda_spark.operators.similarity import simhash_neardup_pairs
+        from bda_spark.sources.batch import load_table
+
+        e = load_table(spark, sf_dir, "embeddings")
+        return simhash_neardup_pairs(
+            e, threshold=0.9, band_rows=band_rows, num_bands=num_bands
+        )
+
+    return run
 
 
-def synthesize_documents_outer(
-    spark, src_rung: str, out_dir: str, outer: int, id_stride: int
+THREE_DECADE_KNOBS = {
+    "simhash_neardup_strict": {
+        "r20_b116": _simhash_knob(20, 116),
+        "r24_b215": _simhash_knob(24, 215),
+    },
+}
+
+
+def synthesize_rung_outer(
+    spark, src_rung: str, out_dir: str, outer: int, id_stride: int,
+    tables: frozenset,
 ) -> None:
-    """Build an ``outer``x documents rung FROM AN EXISTING RUNG by the
-    same letters-only token bijection with a DISTINCT suffix family
-    ("qz<j>" vs the inner builder's "zq<k>"): within an outer copy the
-    inner rung's shingle structure is preserved exactly (uniform
-    injective token map), across outer copies token sets are disjoint
-    (suffixes differ), so pair/cluster output stays exactly linear in
-    the total factor — the same anti-cheat property the inner fixture
-    pins in tests/test_scale_ladder.py. Two-level construction keeps
-    the build plan at ``outer`` union branches instead of the ~1000
-    branches a flat build would hand Catalyst. Only documents are
-    materialized (every THREE_DECADE_QUERIES reads documents alone);
-    other tables symlink to the source rung."""
-    _symlink_tables(src_rung, out_dir, frozenset(("documents",)))
-    _write_doc_copies(spark, src_rung, out_dir, outer, id_stride, "qz")
+    """Build an ``outer``x rung FROM AN EXISTING RUNG, materializing
+    exactly ``tables`` (the union of THREE_DECADE_TABLES for the
+    queries being measured) and symlinking the rest.
+
+    documents: the same letters-only token bijection with a DISTINCT
+    suffix family ("qz<j>" vs the inner builder's "zq<k>"): within an
+    outer copy the inner rung's shingle structure is preserved exactly
+    (uniform injective token map), across outer copies token sets are
+    disjoint (suffixes differ), so pair/cluster output stays exactly
+    linear in the total factor — the same anti-cheat property the
+    inner fixture pins in tests/test_scale_ladder.py.
+
+    embeddings: the same per-copy orthogonal transform with a DISTINCT
+    (flip_salt, shift_step, scale_denom) family: an orthogonal map
+    applied uniformly to the whole source rung preserves EVERY
+    within-outer-copy cosine (including the inner copies' structure),
+    while distinct sign-flip keys decorrelate outer copies from each
+    other and from every inner-copy relation — pair output stays
+    exactly linear in the total factor.
+
+    Two-level construction keeps the build plan at ``outer`` union
+    branches instead of the ~1000 branches a flat build would hand
+    Catalyst."""
+    unknown = tables - frozenset(LADDER_TABLES)
+    if unknown:
+        raise SystemExit(
+            f"three_decades refused: no outer-rung builder for {sorted(unknown)}"
+        )
+    _symlink_tables(src_rung, out_dir, tables)
+    if "documents" in tables:
+        _write_doc_copies(spark, src_rung, out_dir, outer, id_stride, "qz")
+    if "embeddings" in tables:
+        _write_emb_copies(
+            spark, src_rung, out_dir, outer, id_stride,
+            flip_salt=2246822507, shift_step=17, scale_denom=500.0,
+        )
+
+
+def decade3_row(
+    t_mid: float, t_hi: float, prior: dict,
+    mid_factor: int, hi_factor: int,
+) -> dict:
+    """The decade-3 evidence row, as pure math (unit-tested).
+
+    Pass/fail lives on the MARGINAL criterion since r15 (VERDICT r14
+    #3): the old two_decade_exponent+0.1 bar read as a failed check on
+    rungs whose marginals were flat-to-DECREASING, because the fixed
+    per-job overhead that flattered decades 1-2 washes out by decade 3
+    and the exponent converges to the true asymptotic slope — ~1.0 IS
+    linear. A linear operator shows flat-to-decreasing s/copy; a
+    superlinear one shows growth. Bar: decade-3 marginal <=
+    MARGINAL_BAR_TOLERANCE x decade-2 marginal; the exponent fields
+    stay as context (and the absolute near-linear cap still applies
+    via within_cap)."""
+    import math
+
+    row: dict = {f"t{mid_factor}x": t_mid, f"t{hi_factor}x": t_hi}
+    if t_mid > 0:
+        row["exponent_decade3"] = round(
+            math.log10(t_hi / t_mid) / math.log10(hi_factor / mid_factor),
+            3,
+        )
+    if prior.get("exponent") is not None:
+        row["two_decade_exponent"] = prior["exponent"]
+    row["marginal_sec_per_copy_decade3"] = round(
+        (t_hi - t_mid) / (hi_factor - mid_factor), 4
+    )
+    t10 = prior.get("t10x")
+    t100 = prior.get(f"t{mid_factor}x")
+    if t10 is not None and t100 is not None:
+        # bar derives from the ROUNDED d2 field so the row is
+        # self-consistent for any reader recomputing it
+        m2 = round((t100 - t10) / (mid_factor - 10), 4)
+        row["marginal_sec_per_copy_decade2"] = m2
+        row["marginal_bar"] = round(MARGINAL_BAR_TOLERANCE * m2, 4)
+        row["within_marginal_bar"] = (
+            row["marginal_sec_per_copy_decade3"] <= row["marginal_bar"]
+        )
+    row["exponent_cap"] = TWO_DECADE_EXPONENT_CAP
+    row["within_cap"] = (
+        row.get("exponent_decade3", 99) <= TWO_DECADE_EXPONENT_CAP
+    )
+    return row
 
 
 def measure_three_decades(
@@ -687,8 +853,6 @@ def measure_three_decades(
     (if given) is called with the partial section after EVERY finished
     row — the 1000x rung is the most OOM-prone job in the repo and a
     crash on query N must not lose query N-1's evidence."""
-    import math
-
     if hi_factor % mid_factor != 0:
         # the outer rung is built as hi/mid copies of the mid rung; a
         # non-multiple would label t{hi}x with data that only grew
@@ -703,52 +867,46 @@ def measure_three_decades(
     ]
     out: dict = {"factors": [mid_factor, hi_factor], "queries": {}}
     if not todo:
-        return out  # targeted re-run excludes both: skip the rung build
+        return out  # targeted re-run excludes all: skip the rung build
+    unmapped = [n for n in todo if n not in THREE_DECADE_TABLES]
+    if unmapped:
+        # a query with no table entry would silently read 100x-sized
+        # symlinked inputs under a 1000x label — refuse loudly (r14
+        # ADVICE; simhash_neardup_strict reads EMBEDDINGS, exactly the
+        # trap the old documents-only builder would have sprung)
+        raise SystemExit(
+            f"three_decades refused: {unmapped} missing from "
+            "THREE_DECADE_TABLES — declare the tables the query reads "
+            "so the outer rung materializes them"
+        )
     top = os.path.join(work_dir, f"rung{hi_factor}x")
-    synthesize_documents_outer(
+    need = frozenset().union(*(THREE_DECADE_TABLES[n] for n in todo))
+    synthesize_rung_outer(
         spark, rung_hi_dir, top, hi_factor // mid_factor,
-        ID_STRIDE * mid_factor,
+        ID_STRIDE * mid_factor, need,
     )
     queries = ladder_queries(base_dir)
     for name in todo:
         fn = queries[name]
         t_mid = round(_time_query(spark, fn, rung_hi_dir), 3)
         t_hi = round(_time_query(spark, fn, top), 3)
-        row: dict = {f"t{mid_factor}x": t_mid, f"t{hi_factor}x": t_hi}
-        if t_mid > 0:
-            row["exponent_decade3"] = round(
-                math.log10(t_hi / t_mid)
-                / math.log10(hi_factor / mid_factor),
-                3,
-            )
         prior = (committed_two_decades.get("queries", {}).get(name) or {})
-        if prior.get("exponent") is not None:
-            row["two_decade_exponent"] = prior["exponent"]
-            row["bar"] = round(prior["exponent"] + 0.1, 3)
-            row["within_bar"] = row.get("exponent_decade3", 99) <= row["bar"]
-        # Marginal cost per 1x-copy, decade over decade — the honest
-        # linearity check once the power-law fit stops being one. The
-        # two-decade exponents are flattered by the fixed per-job
-        # overhead (the module doc has always said the fit is
-        # one-sided); by the third decade that constant has washed
-        # out and exponent_decade3 converges to the TRUE asymptotic
-        # slope, so compare marginals: a linear operator shows
-        # flat-to-decreasing s/copy, a superlinear one shows growth.
-        # The binding acceptance bar at this decade is therefore the
-        # near-linear exponent cap, not two_decade_exponent + 0.1.
-        row["marginal_sec_per_copy_decade3"] = round(
-            (t_hi - t_mid) / (hi_factor - mid_factor), 4
-        )
-        t10 = prior.get("t10x")
-        t100 = prior.get(f"t{mid_factor}x")
-        if t10 is not None and t100 is not None:
-            row["marginal_sec_per_copy_decade2"] = round(
-                (t100 - t10) / (mid_factor - 10), 4
-            )
-        row["exponent_cap"] = TWO_DECADE_EXPONENT_CAP
-        row["within_cap"] = (
-            row.get("exponent_decade3", 99) <= TWO_DECADE_EXPONENT_CAP
-        )
+        row = decade3_row(t_mid, t_hi, prior, mid_factor, hi_factor)
+        # Documented-production-knob A/B at the same rungs, same
+        # session: when the default's scale-regime cost term bites at
+        # this decade (within_marginal_bar false), these rows are the
+        # committed evidence that the operator's own knob restores the
+        # marginal — measured, not asserted.
+        for knob_name, knob_fn in THREE_DECADE_KNOBS.get(name, {}).items():
+            k_mid = round(_time_query(spark, knob_fn, rung_hi_dir), 3)
+            k_hi = round(_time_query(spark, knob_fn, top), 3)
+            row.setdefault("knobs", {})[knob_name] = {
+                f"t{mid_factor}x": k_mid,
+                f"t{hi_factor}x": k_hi,
+                "marginal_sec_per_copy_decade3": round(
+                    (k_hi - k_mid) / (hi_factor - mid_factor), 4
+                ),
+            }
         out["queries"][name] = row
         if flush is not None:
             flush(out)
@@ -894,6 +1052,32 @@ def main() -> None:
         # flush after EVERY section: a crash in a later section (the
         # 100x rung is the most OOM-prone job in the repo) must not
         # throw away the finished sections' evidence
+        if (
+            not only
+            and "three_decades" not in r
+            and os.path.exists(out_path)
+        ):
+            # A routine full re-run (FACTOR3 defaulting to 0) must not
+            # silently drop the committed three_decades section — the
+            # most expensive evidence in the file (minutes-long 1000x
+            # runs on a 32g heap). Carry it forward with a staleness
+            # marker; a deliberate drop sets SCALE_LADDER_DROP3=1 (r14
+            # ADVICE).
+            try:
+                with open(out_path) as fh:
+                    committed3 = json.load(fh).get("three_decades")
+            except (OSError, ValueError):
+                committed3 = None
+            if committed3 and os.environ.get("SCALE_LADDER_DROP3") != "1":
+                r["three_decades"] = {
+                    **committed3,
+                    "stale": (
+                        "carried forward from an earlier run "
+                        "(SCALE_LADDER_FACTOR3 unset on this run; its "
+                        "timings belong to that run's session/rungs). "
+                        "Set SCALE_LADDER_DROP3=1 to drop instead."
+                    ),
+                }
         if only and os.path.exists(out_path):
             with open(out_path) as fh:
                 merged = json.load(fh)
@@ -943,6 +1127,8 @@ def main() -> None:
                 merged["three_decades"]["factors"] = r["three_decades"][
                     "factors"
                 ]
+                # fresh decade-3 rows supersede a carried-forward copy
+                merged["three_decades"].pop("stale", None)
             r = merged
         with open(out_path, "w") as fh:
             json.dump(r, fh, indent=1)
