@@ -58,7 +58,7 @@ SCALE_SENSITIVE = [
     # here at the scale that exposed them.
     "pricing_summary",
     "regional_order_stats",
-    "orders_rollup_totals",
+    # (orders_rollup_totals already listed in the OLAP set above)
 ]
 
 
