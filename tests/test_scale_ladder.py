@@ -177,6 +177,47 @@ def test_decade3_row_passes_on_marginal_criterion():
     assert "marginal_sec_per_copy_decade3" in bare
 
 
+def test_infeasible_row_shape():
+    """r15: when a registry shape cannot run at the hi rung on one box
+    (simhash r=16 at 2M vectors: ~1.9e9 band collisions -> >60 GB
+    pair-shuffle spill, measured ENOSPC), the row records the largest
+    feasible rung and the reason instead of fake or missing numbers."""
+    from scale_ladder import infeasible_row
+
+    row = infeasible_row(
+        32.4, "registry shape infeasible: ...", {"exponent": 0.517}, 100, 1000
+    )
+    assert row["t100x"] == 32.4
+    assert row["largest_feasible_factor"] == 100
+    assert row["infeasible_at_1000x"].startswith("registry shape")
+    assert row["two_decade_exponent"] == 0.517
+    assert "within_marginal_bar" not in row
+    assert "t1000x" not in row
+
+
+def test_simhash_preflight_refuses_on_small_disk(monkeypatch, spark):
+    """The preflight turns the measured r15 ENOSPC crash class into an
+    instant refusal: expected-collision arithmetic (the operator's own
+    pricing formula) against free local disk. Small disk -> reason
+    string; huge disk -> None (measurement proceeds)."""
+    import collections
+
+    import scale_ladder as sl
+
+    usage = collections.namedtuple("usage", "total used free")
+    monkeypatch.setattr(
+        sl.shutil, "disk_usage", lambda _: usage(1, 0, 50_000_000_000)
+    )
+    # sf0.001 embeddings (~tens of vectors) scaled by outer=10: far
+    # below any wall -> feasible even on the small fake disk
+    assert (
+        sl._simhash_preflight(spark, "/root/testdata/sf0.001", 10) is None
+    )
+    # outer=100000 pushes expected collisions past the 50 GB fake disk
+    reason = sl._simhash_preflight(spark, "/root/testdata/sf0.001", 2_000_000)
+    assert reason is not None and "GB" in reason
+
+
 def test_committed_three_decades_rows_self_describe():
     """The committed evidence file must encode the criterion it trusts
     (VERDICT r14 #3): every three_decades row carries the marginal
@@ -192,6 +233,19 @@ def test_committed_three_decades_rows_self_describe():
     three = json.load(open(path)).get("three_decades", {})
     assert three.get("queries"), "committed three_decades section missing"
     for name, row in three["queries"].items():
+        infeasible = [k for k in row if k.startswith("infeasible_at_")]
+        if infeasible:
+            # r15: a registry shape whose quadratic term cannot fit on
+            # one box records the sandbox limit honestly — and must
+            # then carry at least one MEASURED decade-3 knob row (the
+            # operator's documented production lever for the regime)
+            assert "largest_feasible_factor" in row, name
+            assert row[infeasible[0]], name
+            knobs = row.get("knobs", {})
+            assert any(
+                "marginal_sec_per_copy_decade3" in k for k in knobs.values()
+            ), (name, "infeasible row without measured knob evidence")
+            continue
         assert "marginal_sec_per_copy_decade3" in row, name
         if "marginal_sec_per_copy_decade2" in row:
             assert row["marginal_bar"] == round(

@@ -361,7 +361,13 @@ def _time_query(spark, fn, sf_dir: str) -> float:
         t0 = time.time()
         try:
             fn(spark, sf_dir).count()
-        except Exception:
+        except Exception as e:
+            # deterministic resource exhaustion, not an infra hiccup:
+            # re-running an out-of-disk shuffle just fills the disk
+            # again for another ~9 minutes (observed on the r15 1000x
+            # simhash registry shape) — fail fast instead
+            if "No space left on device" in str(e):
+                raise
             attempts += 1
             if attempts > 1:
                 raise
@@ -745,6 +751,67 @@ THREE_DECADE_KNOBS = {
 }
 
 
+def _simhash_preflight(spark, rung_mid_dir: str, outer: int) -> str | None:
+    """Refuse the simhash REGISTRY shape (r=16, b=64) at rungs where its
+    one quadratic term cannot fit on a single box, BEFORE spending ~20
+    minutes filling the disk (measured r15: at 2M vectors the expected
+    ~b*2^-r*n^2/2 = 1.9e9 random band collisions wrote >60 GB of
+    pair-shuffle spill and died on ENOSPC — twice, because the old
+    bounded retry re-ran it). The estimate uses the same collision
+    formula the operator's own docstring prices its defaults with
+    (operators/similarity.py) and the ~35 B/pair spill cost the r15
+    crash bounded empirically. On a cluster this spill shards across
+    executors' local disks — the single-box refusal is a sandbox limit,
+    not an operator limit; the knob rows (raise r) are the committed
+    evidence for this regime."""
+    from bda_spark.sources.batch import load_table
+
+    n = load_table(spark, rung_mid_dir, "embeddings").count() * outer
+    pairs = 64 * 2.0**-16 * n * n / 2
+    est_bytes = pairs * 35
+    free = shutil.disk_usage(
+        spark.conf.get("spark.local.dir", "/tmp")
+    ).free
+    if est_bytes > 0.5 * free:
+        return (
+            f"registry shape (r=16, b=64) infeasible at {n} vectors on "
+            f"one box: ~{pairs:.2e} expected random band collisions -> "
+            f"~{est_bytes / 1e9:.0f} GB pair-shuffle spill vs "
+            f"{free / 1e9:.0f} GB free local disk (r15 measured the "
+            "crash: >60 GB written, ENOSPC). A cluster shards this "
+            "spill across executors; the single-box production knob is "
+            "raising r — see the knob rows beside this one."
+        )
+    return None
+
+
+# preflights return a refusal reason (-> infeasible row, knobs still
+# measured) or None; only queries whose registry shape has a KNOWN
+# single-box resource wall at the outer rung need an entry — anything
+# unpredicted is still caught per-query at measurement time.
+THREE_DECADE_PREFLIGHT = {
+    "simhash_neardup_strict": _simhash_preflight,
+}
+
+
+def infeasible_row(
+    t_mid: float, reason: str, prior: dict, mid_factor: int, hi_factor: int
+) -> dict:
+    """The decade-3 row when the registry shape cannot run at the hi
+    rung in this sandbox: the mid rung stays the largest feasible
+    measurement, the reason carries the arithmetic, and the knob rows
+    (appended by the caller) carry the decade-3 evidence that the
+    operator's documented production lever covers the regime."""
+    row: dict = {
+        f"t{mid_factor}x": t_mid,
+        f"infeasible_at_{hi_factor}x": reason,
+        "largest_feasible_factor": mid_factor,
+    }
+    if prior.get("exponent") is not None:
+        row["two_decade_exponent"] = prior["exponent"]
+    return row
+
+
 def synthesize_rung_outer(
     spark, src_rung: str, out_dir: str, outer: int, id_stride: int,
     tables: frozenset,
@@ -889,17 +956,48 @@ def measure_three_decades(
     for name in todo:
         fn = queries[name]
         t_mid = round(_time_query(spark, fn, rung_hi_dir), 3)
-        t_hi = round(_time_query(spark, fn, top), 3)
         prior = (committed_two_decades.get("queries", {}).get(name) or {})
-        row = decade3_row(t_mid, t_hi, prior, mid_factor, hi_factor)
+        # The registry shape may have a single-box resource wall at the
+        # hi rung (preflight arithmetic, or an unpredicted crash caught
+        # here): record the infeasibility honestly — largest feasible
+        # rung + reason — and keep going; the knob rows below are then
+        # the committed decade-3 evidence for this operator.
+        preflight = THREE_DECADE_PREFLIGHT.get(name)
+        reason = (
+            preflight(spark, rung_hi_dir, hi_factor // mid_factor)
+            if preflight
+            else None
+        )
+        if reason is None:
+            try:
+                t_hi = round(_time_query(spark, fn, top), 3)
+            except Exception as e:  # noqa: BLE001 — recorded, not hidden
+                reason = (
+                    f"measurement failed at {hi_factor}x: "
+                    f"{type(e).__name__}: {str(e)[:300]}"
+                )
+        if reason is not None:
+            row = infeasible_row(t_mid, reason, prior, mid_factor, hi_factor)
+        else:
+            row = decade3_row(t_mid, t_hi, prior, mid_factor, hi_factor)
         # Documented-production-knob A/B at the same rungs, same
         # session: when the default's scale-regime cost term bites at
-        # this decade (within_marginal_bar false), these rows are the
+        # this decade (within_marginal_bar false or the registry shape
+        # is outright infeasible on one box), these rows are the
         # committed evidence that the operator's own knob restores the
         # marginal — measured, not asserted.
         for knob_name, knob_fn in THREE_DECADE_KNOBS.get(name, {}).items():
             k_mid = round(_time_query(spark, knob_fn, rung_hi_dir), 3)
-            k_hi = round(_time_query(spark, knob_fn, top), 3)
+            try:
+                k_hi = round(_time_query(spark, knob_fn, top), 3)
+            except Exception as e:  # noqa: BLE001 — recorded, not hidden
+                row.setdefault("knobs", {})[knob_name] = {
+                    f"t{mid_factor}x": k_mid,
+                    f"failed_at_{hi_factor}x": (
+                        f"{type(e).__name__}: {str(e)[:300]}"
+                    ),
+                }
+                continue
             row.setdefault("knobs", {})[knob_name] = {
                 f"t{mid_factor}x": k_mid,
                 f"t{hi_factor}x": k_hi,
