@@ -274,7 +274,8 @@ def band_keys(
 
 
 def _banded_candidates(
-    bands: DataFrame, max_bucket_size: int, distinct: bool = True
+    bands: DataFrame, max_bucket_size: int, distinct: bool = True,
+    payload: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_a, doc_b) candidate pairs from band-bucket collisions, with
     the hot-bucket cap built into the join predicate: members are
@@ -296,8 +297,26 @@ def _banded_candidates(
     semi-join feeding the chain expansion — so when no bucket is hot
     (the common case) the plan does the same work as the uncapped
     join plus one cheap aggregation, and quadratic expansion is
-    structurally impossible either way."""
+    structurally impossible either way.
+
+    ``payload`` columns of ``bands`` (small per-member values, e.g. the
+    SimHash sampled-signature words) are carried to both sides of every
+    emitted pair as ``<col>_a``/``<col>_b`` — so a caller's cheap pair
+    filter can run INSIDE the bucket-join stage, before the collision
+    stream hits any exchange (the r15 1000x rung measured why that
+    placement matters: joining the same values onto the raw collision
+    stream afterwards sort-spilled ~70 GB and died on ENOSPC)."""
     from pyspark.sql import Window
+
+    def _pair_cols():
+        return [
+            c
+            for name in payload
+            for c in (
+                F.col(f"x.{name}").alias(f"{name}_a"),
+                F.col(f"y.{name}").alias(f"{name}_b"),
+            )
+        ]
 
     hot = (
         bands.groupBy("band_key")
@@ -314,7 +333,9 @@ def _banded_candidates(
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            *_pair_cols(),
         )
     )
     # hot members only: rank-gap chain expansion, O(k * cap) per bucket.
@@ -324,7 +345,7 @@ def _banded_candidates(
     # not just the output: on (band_key) alone a 10^6-member bucket
     # would still buffer and cross-check the whole group.
     hot_members = bands.join(F.broadcast(hot), "band_key", "left_semi")
-    chain_pairs = _rank_gap_chain_pairs(hot_members, max_bucket_size)
+    chain_pairs = _rank_gap_chain_pairs(hot_members, max_bucket_size, payload)
     out = all_pairs.unionByName(chain_pairs)
     # distinct=False lets a caller with a CHEAP map-side pair filter
     # (the SimHash Hamming prefilter) run it BEFORE deduplication, so
@@ -335,7 +356,9 @@ def _banded_candidates(
     return out.distinct() if distinct else out
 
 
-def _rank_gap_chain_pairs(members: DataFrame, gap: int) -> DataFrame:
+def _rank_gap_chain_pairs(
+    members: DataFrame, gap: int, payload: tuple[str, ...] = ()
+) -> DataFrame:
     """(doc_a, doc_b) rank-gap chain edges within each band bucket of
     ``members`` (doc_id, band_key, ...): members rank by doc_id and
     every pair at rank distance <= ``gap`` is emitted — O(k * gap)
@@ -367,7 +390,16 @@ def _rank_gap_chain_pairs(members: DataFrame, gap: int) -> DataFrame:
             & (F.col("y._rk") - F.col("x._rk") <= gap),
         )
         .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            *[
+                c
+                for name in payload
+                for c in (
+                    F.col(f"x.{name}").alias(f"{name}_a"),
+                    F.col(f"y.{name}").alias(f"{name}_b"),
+                )
+            ],
         )
     )
 

@@ -113,6 +113,7 @@ def _self_join_candidates(
     seed: int,
     max_bucket_size: int,
     distinct: bool = True,
+    payload_words: list[int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Self-join near-dup candidate path: (candidates(id_a, id_b),
     sig(doc_id, _keys) checkpointed). A k-member near-identical
@@ -130,9 +131,22 @@ def _self_join_candidates(
         F.col("vec_id").alias("doc_id"),
         udf(F.col("embedding")).alias("_keys"),
     ).localCheckpoint(eager=True)
-    bands = sig.select("doc_id", F.explode("_keys").alias("band_key"))
+    # payload_words ride ON the band rows (16 bytes for the sampled
+    # prefilter's two words) so the caller's pair filter can run inside
+    # the bucket-join stage — see _banded_candidates(payload=...)
+    payload = tuple(f"_s{w}" for w in (payload_words or []))
+    bands = sig.select(
+        "doc_id",
+        F.explode("_keys").alias("band_key"),
+        *[
+            _packed_sig_word(w, band_rows, num_bands).alias(f"_s{w}")
+            for w in (payload_words or [])
+        ],
+    )
     cands = (
-        _banded_candidates(bands, max_bucket_size, distinct=distinct)
+        _banded_candidates(
+            bands, max_bucket_size, distinct=distinct, payload=payload
+        )
         .withColumnRenamed("doc_a", "id_a")
         .withColumnRenamed("doc_b", "id_b")
     )
@@ -150,24 +164,33 @@ def _packed_sig_words(band_rows: int, num_bands: int) -> list["F.Column"]:
     an xor-popcount. Pure codegen arithmetic — no UDF, no arrays on
     the hot path."""
     bpw = max(1, 64 // band_rows)
+    return [
+        _packed_sig_word(w, band_rows, num_bands).alias(f"_w{w}")
+        for w in range((num_bands + bpw - 1) // bpw)
+    ]
+
+
+def _packed_sig_word(
+    word_idx: int, band_rows: int, num_bands: int
+) -> "F.Column":
+    """One packed signature word (see ``_packed_sig_words``): the
+    ``64 // band_rows`` band keys starting at band ``word_idx * bpw``,
+    packed low-to-high. Factored out so the sampled prefilter can
+    derive just the two words it carries through the bucket join."""
+    bpw = max(1, 64 // band_rows)
     mask = (1 << band_rows) - 1
-    cols: list[F.Column] = []
-    w = 0
-    for start in range(0, num_bands, bpw):
-        parts = []
-        for j, i in enumerate(range(start, min(start + bpw, num_bands))):
-            parts.append(
-                F.shiftleft(
-                    F.element_at("_keys", i + 1).bitwiseAND(F.lit(mask)),
-                    j * band_rows,
-                )
-            )
-        expr = parts[0]
-        for p in parts[1:]:
-            expr = expr.bitwiseOR(p)
-        cols.append(expr.alias(f"_w{w}"))
-        w += 1
-    return cols
+    start = word_idx * bpw
+    parts = [
+        F.shiftleft(
+            F.element_at("_keys", i + 1).bitwiseAND(F.lit(mask)),
+            j * band_rows,
+        )
+        for j, i in enumerate(range(start, min(start + bpw, num_bands)))
+    ]
+    expr = parts[0]
+    for p in parts[1:]:
+        expr = expr.bitwiseOR(p)
+    return expr
 
 
 def _hamming_min_match_bits(
@@ -186,13 +209,67 @@ def _hamming_min_match_bits(
     collisions at ~18 sigma. Conditioning on the banding collision
     that MADE the pair a candidate only shifts its matched-bit count
     UP, so the unconditional bound is conservative."""
+    return _min_match_bits(band_rows * num_bands, threshold, z)
+
+
+def _min_match_bits(total_bits: int, threshold: float, z: float = 7.0) -> int:
+    """``_hamming_min_match_bits`` generalized to any bit count — the
+    sampled prefilter prices its bound over the subset of signature
+    bits it actually carries."""
     import math
 
-    total = band_rows * num_bands
     p = 1.0 - math.acos(max(-1.0, min(1.0, float(threshold)))) / math.pi
-    mu = total * p
-    sigma = math.sqrt(total * p * (1.0 - p)) if 0.0 < p < 1.0 else 0.0
+    mu = total_bits * p
+    sigma = math.sqrt(total_bits * p * (1.0 - p)) if 0.0 < p < 1.0 else 0.0
     return max(0, int(math.floor(mu - z * sigma)))
+
+
+def _sampled_prefilter_plan(
+    threshold: float, band_rows: int, num_bands: int
+) -> tuple[list[int], int] | None:
+    """The in-join sampled-bits stage of the Hamming prefilter: which
+    two packed signature words to carry through the bucket self-join,
+    and the max sampled Hamming distance a candidate may show.
+
+    WHY A STAGE BEFORE THE FULL PREFILTER EXISTS (r15, measured): past
+    the words-table broadcast cap the full prefilter joins the raw
+    collision stream against the packed-word table — at the 1000x rung
+    (2M vectors, ~2e8-2e9 random collisions at the default/knob
+    settings) the sort-merge join carried ~37 signature longs per raw
+    collision row and sort-spilled ~70 GB before dying on ENOSPC. Two
+    words (16 bytes) carried ON the band rows instead filter the
+    stream INSIDE the bucket-join stage, before any exchange: at
+    threshold 0.9 the 7-sigma bound over ~120-128 sampled bits sits
+    ~3 sigma above a random pair's mean, killing ~99.7-99.9% of random
+    collisions for ~16 bytes/row of extra shuffle. The full-signature
+    filter (and the exact rescore) still run on the survivors — this
+    stage only ever drops pairs, with the same z=7 per-TRUE-pair
+    false-drop bound (~1e-12) the full filter carries, so the recall
+    discipline is unchanged.
+
+    Returns None when the sampled bound cannot separate true pairs
+    from random ones (low thresholds: the bound lands above the random
+    mean and would keep everything) or when the signature packs into
+    <3 words (the full filter is already narrow) — callers then skip
+    the stage entirely, keeping the pre-r15 plan shape."""
+    import math
+
+    bpw = max(1, 64 // band_rows)
+    n_words = (num_bands + bpw - 1) // bpw
+    if n_words < 3:
+        return None
+    word_idxs = [0, n_words // 2]
+    bands_in = sum(
+        min(bpw, num_bands - w * bpw) for w in word_idxs
+    )
+    bits = bands_in * band_rows
+    max_ham = bits - _min_match_bits(bits, threshold)
+    # arm only when the bound sits >= 2 sigma below a random pair's
+    # mean Hamming (bits/2, sigma = sqrt(bits)/2) — i.e. when the
+    # stage actually kills the bulk of random collisions
+    if max_ham >= bits / 2.0 - math.sqrt(bits):
+        return None
+    return word_idxs, max_ham
 
 
 def _rescored(candidates: DataFrame, embeddings: DataFrame) -> DataFrame:
@@ -286,11 +363,32 @@ def simhash_neardup_pairs(
     it the filter's fixed cost exceeds the rescore it saves);
     True/False pin a regime (tests pin True to exercise the filter on
     small planted fixtures). Output is identical in every regime — the
-    prefilter only ever drops pairs the exact filter rejects."""
+    prefilter only ever drops pairs the exact filter rejects.
+
+    STAGED since r15: when the threshold is high enough for ~2 words
+    of sampled signature bits to separate true pairs from random
+    collisions (``_sampled_prefilter_plan``), those 16 bytes ride the
+    band rows and kill the random collisions INSIDE the bucket-join
+    stage — the raw collision stream never reaches an exchange. The
+    1000x ladder rung measured why: without the stage, the word joins
+    past the broadcast cap sort-merge-joined the raw collision stream
+    (~37 longs per row), sort-spilled ~70 GB and died on ENOSPC; with
+    it, only survivors (~true pairs + a ~0.1-0.3% sigma tail) shuffle.
+    Both stages carry the same z=7 per-true-pair false-drop bound."""
+    # the sampled in-join stage (see _sampled_prefilter_plan) is priced
+    # purely from (threshold, r, b); it is used only when the full
+    # prefilter runs, and its two words ride the band rows so the raw
+    # collision stream is filtered INSIDE the bucket-join stage
+    plan = (
+        _sampled_prefilter_plan(threshold, band_rows, num_bands)
+        if hamming_prefilter is not False
+        else None
+    )
     cands, sig = _self_join_candidates(
         embeddings, dim, band_rows, num_bands, seed, max_bucket_size,
         distinct=False,  # dedup AFTER the prefilter: the distinct's
         # exchange then moves surviving pairs, not every raw collision
+        payload_words=plan[0] if plan else None,
     )
     # n_vecs prices the regime gate (hamming_prefilter=None) and the
     # broadcast-cap decision (True); a pinned-False call never needs
@@ -305,8 +403,26 @@ def simhash_neardup_pairs(
         # is quadratically small here; its fixed cost dominates (see
         # the constant's comment). Identical output either way — the
         # prefilter only ever drops pairs the exact filter rejects.
-        pre = cands.distinct()
+        pre = cands.select("id_a", "id_b").distinct()
     else:
+        if plan:
+            word_idxs, max_ham_sampled = plan
+            sampled_ham = sum(
+                F.bit_count(
+                    F.col(f"_s{w}_a").bitwiseXOR(F.col(f"_s{w}_b"))
+                ).cast("int")
+                for w in word_idxs
+            )
+            # filter + distinct BEFORE the full-word joins: the
+            # survivors (~true pairs + the sampled bound's sigma tail)
+            # are what shuffles, never the raw collision stream — at
+            # the 1000x rung that is the difference between a ~16-byte
+            # wider band shuffle and a ~70 GB ENOSPC sort-spill
+            cands = (
+                cands.filter(sampled_ham <= F.lit(max_ham_sampled))
+                .select("id_a", "id_b")
+                .distinct()
+            )
         words = sig.select(
             "doc_id", *_packed_sig_words(band_rows, num_bands)
         )
@@ -319,11 +435,12 @@ def simhash_neardup_pairs(
             F.col("doc_id").alias("id_b"),
             *[F.col(f"_w{i}").alias(f"_wb{i}") for i in range(n_words)],
         )
-        # Under the cap both word joins are map-side (the raw
-        # collision stream never shuffles for them); past it they
-        # fall back to the distributed join, which is the right shape
-        # once the corpus is big enough that r itself must grow
-        # (module docstring).
+        # Under the cap both word joins are map-side (the candidate
+        # stream never shuffles for them); past it they fall back to
+        # the distributed join — which the sampled stage above has by
+        # then shrunk to survivors only (with AQE free to broadcast
+        # the small side at runtime), the shape that survives the
+        # third decade.
         if n_vecs is None:
             n_vecs = sig.count()
         if n_vecs * (n_words + 1) * 8 <= _SIG_WORDS_BROADCAST_CAP:
@@ -342,8 +459,9 @@ def simhash_neardup_pairs(
             .join(wb, "id_b")
             .filter(hamming <= F.lit(max_ham))
             .select("id_a", "id_b")
-            .distinct()
         )
+        if not plan:
+            pre = pre.distinct()
     return (
         _rescored(pre, embeddings)
         .filter(F.col("cosine") >= threshold)

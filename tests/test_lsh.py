@@ -712,3 +712,77 @@ def test_simhash_hamming_prefilter_math_and_recall_at_threshold(spark):
         ).collect()
     }
     assert plain == got
+
+
+def test_sampled_prefilter_plan_arithmetic():
+    """r15: the sampled in-join stage arms exactly when ~2 words of
+    signature bits separate true pairs from random collisions — high
+    thresholds arm (strict dedup, where the 1000x rung measured the
+    unsampled plan sort-spilling ~70 GB), low thresholds and narrow
+    signatures return None (plan shape unchanged from pre-r15)."""
+    from bda_spark.operators.similarity import (
+        _min_match_bits,
+        _sampled_prefilter_plan,
+    )
+
+    plan = _sampled_prefilter_plan(0.9, 16, 64)
+    assert plan is not None
+    word_idxs, max_ham = plan
+    assert word_idxs == [0, 8] and len(word_idxs) == 2
+    # the bound is the z=7 Binomial bound over exactly the carried bits
+    bits = 2 * 4 * 16  # 2 words x 4 bands/word x 16 bits/band
+    assert max_ham == bits - _min_match_bits(bits, 0.9)
+    # a random pair's expected Hamming is bits/2 = 64 — the armed
+    # bound must sit well below it (that's the whole point)
+    assert max_ham < bits / 2
+    # low threshold: bound lands above the random mean -> disarmed
+    assert _sampled_prefilter_plan(0.45, 6, 96) is None
+    # <3 words: full filter already narrow -> disarmed
+    assert _sampled_prefilter_plan(0.9, 32, 2) is None
+
+
+def test_simhash_staged_prefilter_equals_exact_on_planted_clusters(spark):
+    """r15 staged-prefilter regression: at threshold 0.9 the sampled
+    stage is ARMED (see plan test) and every true pair must still
+    come out — staged result identical to the exact (prefilter-off)
+    regime at both the registry shape and the r20 production-knob
+    shape, on a fixture dense with planted near-identical clusters
+    AND random collision fodder."""
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for _ in range(20):  # 20 clusters x 3 near-identical members
+        base = rng.standard_normal(64)
+        for _ in range(3):
+            v = base + rng.normal(scale=0.02, size=64)
+            rows.append(Row(vec_id=vid, embedding=[float(x) for x in v]))
+            vid += 1
+    for _ in range(200):  # random singletons: collision fodder
+        rows.append(
+            Row(
+                vec_id=vid,
+                embedding=[float(x) for x in rng.standard_normal(64)],
+            )
+        )
+        vid += 1
+    emb = spark.createDataFrame(rows)
+    for band_rows, num_bands in ((16, 64), (20, 116)):
+        staged = {
+            (r.id_a, r.id_b): r.cosine
+            for r in simhash_neardup_pairs(
+                emb, threshold=0.9, band_rows=band_rows,
+                num_bands=num_bands, hamming_prefilter=True,
+            ).collect()
+        }
+        exact = {
+            (r.id_a, r.id_b): r.cosine
+            for r in simhash_neardup_pairs(
+                emb, threshold=0.9, band_rows=band_rows,
+                num_bands=num_bands, hamming_prefilter=False,
+            ).collect()
+        }
+        assert staged == exact
+        # every planted intra-cluster pair the banding surfaced is
+        # present (>= catches all 3 per cluster in the common case;
+        # equality with `exact` above is the real invariant)
+        assert len(staged) >= 20

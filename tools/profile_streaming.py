@@ -1,29 +1,34 @@
-"""Stage attribution for the streaming_pipeline bench row (VERDICT r14
-#4): the 5-6 s replay was the #2 headline bench entry and the only
-unattributed one. This harness replays the SAME job bench.py times
-(prepare_ticks fixture -> fused trainer+backfiller drain -> predictor
-drain -> predictions count) with per-stage instrumentation:
+"""Attribute the `streaming_pipeline` bench row (VERDICT r14 #4).
 
-- the fused foreachBatch is wrapped to split each batch into the
-  stateful-aggregate materialization (repartition+cache+count), the
-  LinearRegression fit, and the label merge;
-- the predictor foreachBatch is wrapped to split model transform+write
-  from the emptiness/model gates;
-- micro-batch scheduling overhead is what remains of each query's wall
-  clock after the instrumented foreachBatch time — commit/offset-log
-  writes, state-store bookkeeping, trigger planning;
-- a RATE x N variant replicates every tick N times (distinct
-  timestamps inside the same windows, so window count and model shape
-  stay fixed while per-batch volume grows Nx) to measure where
-  per-event cost starts to dominate the fixed per-batch overhead —
-  the basis for the max-sustainable-events/s note against the
-  reference's 1-second predictor trigger budget.
+The row replays the full train/predict/backfill app (the reference's
+three-query topology, Deliverable_3/NEW_train_offset_3_10min.py:94-334,
+fused per streaming/pipeline.py) from fresh checkpoints with
+AvailableNow. It is the #2 headline bench row (~5-6 s) and the only one
+whose cost was never broken down. This profiler answers two questions
+with measurements, not guesses:
 
-Writes PROFILE_STREAMING.json beside the repo root; the prose summary
-lands in BENCH_NOTES_r{N}.md.
+1. **Where do the seconds go?** Wall time is split into the foreachBatch
+   handler bodies (further split into LR fit / model publish / label
+   merge / predictions sink / residual frame work) versus everything
+   outside them (micro-batch scheduling, source listing+decode, the
+   stateful window pass, state-store commits, checkpoint I/O) — the
+   split Structured Streaming actually exposes: the handlers are the
+   app's code, the rest is the engine's per-batch machinery.
 
-Usage:  python tools/profile_streaming.py [rate_factors...]
-        (default factors: 1 10)
+2. **What event rate can the predictor sustain inside its 1-second
+   trigger budget?** (The reference runs the predictor at
+   processingTime='1 second'.) The predictor replays the tick corpus
+   duplicated at increasing rates, split into multiple micro-batches
+   via maxFilesPerTrigger; each batch's measured wall time against its
+   row count gives rows/sec of predictor capacity. Sustainable rate =
+   rows per batch / batch seconds at the largest rate where batch time
+   stays under the 1 s budget.
+
+Run AFTER anything timing-sensitive (it shares the machine):
+
+    python tools/profile_streaming.py
+
+Prints one JSON report; paste the stage table into BENCH_NOTES_r{N}.md.
 """
 
 from __future__ import annotations
@@ -34,252 +39,220 @@ import shutil
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
 
-from pyspark.sql import functions as F
+from pyspark.sql import functions as F  # noqa: E402
 
 
-class _Timed:
-    """Accumulates (calls, seconds) per stage label."""
+class _Acc:
+    """Named wall-clock accumulators; wrap(name, fn) times every call."""
 
-    def __init__(self) -> None:
-        self.stages: dict[str, list[float]] = {}
+    def __init__(self):
+        self.sec: dict[str, float] = {}
+        self.calls: dict[str, int] = {}
 
-    def add(self, stage: str, sec: float) -> None:
-        self.stages.setdefault(stage, []).append(sec)
+    def add(self, name: str, dt: float) -> None:
+        self.sec[name] = self.sec.get(name, 0.0) + dt
+        self.calls[name] = self.calls.get(name, 0) + 1
+
+    def wrap(self, name: str, fn):
+        def timed(*a, **k):
+            t0 = time.perf_counter()
+            try:
+                return fn(*a, **k)
+            finally:
+                self.add(name, time.perf_counter() - t0)
+
+        return timed
 
     def report(self) -> dict:
         return {
-            k: {"calls": len(v), "sec": round(sum(v), 3)}
-            for k, v in self.stages.items()
+            n: {"sec": round(s, 3), "calls": self.calls[n]}
+            for n, s in sorted(self.sec.items(), key=lambda kv: -kv[1])
         }
 
 
-def _instrumented_pipeline(spark, ticks, symbol, work, timer: _Timed):
-    """A TickPipeline whose fused and predictor foreachBatch bodies are
-    split into timed stages — same work, same order, same sinks (the
-    overridden methods re-state the originals' steps 1:1; any logic
-    drift would show up as a different predictions count)."""
+def profile_replay(spark, work: str) -> dict:
+    """One instrumented run_streaming replay (same shape as the bench
+    row: fresh checkpoints/sinks, shuffle.partitions=8, AvailableNow
+    fused trainer+backfiller then predictor)."""
     from pyspark.ml.regression import LinearRegression
 
-    from bda_spark.sources.sinks import idempotent_merge_parquet
-    from bda_spark.streaming.batchdir import write_batch_dir
-    from bda_spark.streaming.pipeline import TickPipeline
+    from bda_spark.ml.persistence import ModelStore
+    from bda_spark.streaming import TickPipeline, file_replay_tick_stream
+    from bda_spark.streaming import pipeline as pipemod
 
-    class Profiled(TickPipeline):
-        def _train_and_backfill_batch(self, batch_df, batch_id):
-            t0 = time.time()
-            windowed = batch_df.repartition(1).cache()
-            try:
-                n = windowed.count()
-                timer.add("fused.agg_materialize", time.time() - t0)
-                if n == 0:
-                    return
-                t1 = time.time()
-                assembled = self._assembler_agg.transform(windowed).select(
-                    "features", "label"
-                )
-                model = LinearRegression(
-                    featuresCol="features", labelCol="label",
-                    **self._lr_params,
-                ).fit(assembled)
-                self.store.save(model, "LinearRegression")
-                timer.add("fused.lr_fit_and_publish", time.time() - t1)
-                t2 = time.time()
-                labels = windowed.select(
-                    "symbol",
-                    "window_start",
-                    F.col("label").alias("actual_price"),
-                )
-                idempotent_merge_parquet(
-                    self.spark, labels, self.labels_path,
-                    keys=["symbol", "window_start"],
-                    vacuum_min_age_seconds=self.labels_vacuum_min_age_seconds,
-                    versioned=True,
-                )
-                timer.add("fused.label_merge", time.time() - t2)
-            finally:
-                windowed.unpersist()
+    acc = _Acc()
+    shutil.rmtree(os.path.join(work, "pipe"), ignore_errors=True)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # component-level wraps: the engine modules are restored afterwards
+    orig = {
+        "fit": LinearRegression.fit,
+        "save": ModelStore.save,
+        "merge": pipemod.idempotent_merge_parquet,
+        "sink": pipemod.write_batch_dir,
+    }
+    LinearRegression.fit = acc.wrap("lr_fit", orig["fit"])
+    ModelStore.save = acc.wrap("model_publish", orig["save"])
+    pipemod.idempotent_merge_parquet = acc.wrap("label_merge", orig["merge"])
+    pipemod.write_batch_dir = acc.wrap("predictions_sink", orig["sink"])
+    try:
+        ticks = file_replay_tick_stream(spark, os.path.join(work, "ticks"))
+        pipe = TickPipeline(spark, ticks, "BP", os.path.join(work, "pipe"))
+        pipe._train_and_backfill_batch = acc.wrap(
+            "handler_fused", pipe._train_and_backfill_batch
+        )
+        pipe._predict_batch = acc.wrap("handler_predict", pipe._predict_batch)
+        t0 = time.perf_counter()
+        q = pipe.start_trainer_and_backfiller(available_now=True)
+        q.awaitTermination()
+        t_fused_query = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        q = pipe.start_predictor(available_now=True)
+        q.awaitTermination()
+        t_pred_query = time.perf_counter() - t1
+        t2 = time.perf_counter()
+        n_preds = pipe.predictions().count()
+        t_readback = time.perf_counter() - t2
+    finally:
+        LinearRegression.fit = orig["fit"]
+        ModelStore.save = orig["save"]
+        pipemod.idempotent_merge_parquet = orig["merge"]
+        pipemod.write_batch_dir = orig["sink"]
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
-        def _predict_batch(self, batch_df, batch_id):
-            t0 = time.time()
-            if batch_df.isEmpty():
-                timer.add("pred.empty_gate", time.time() - t0)
-                return
-            model = self.store.current()
-            timer.add("pred.gate_and_model_load", time.time() - t0)
-            if model is None:
-                return
-            t1 = time.time()
-            preds = model.transform(
-                self._assembler_pred.transform(batch_df)
-            ).withColumnRenamed("prediction", "prediction_streaming")
-            historical = (
-                self.historical_store.current()
-                if self.historical_store
-                else None
-            )
-            if historical is not None:
-                preds = historical.transform(preds).withColumnRenamed(
-                    "prediction", "prediction_historical"
-                )
-            else:
-                preds = preds.withColumn(
-                    "prediction_historical", F.lit(None).cast("double")
-                )
-            out = preds.select(
-                "symbol",
-                "timestamp",
-                "event_time",
-                F.to_json(
-                    F.struct(*[F.col(f) for f in self.feature_cols])
-                ).alias("input_data"),
-                F.col("prediction_streaming").alias("prediction"),
-                "prediction_historical",
-                F.to_date("event_time").alias("pred_date"),
-            )
-            write_batch_dir(out, self.predictions_path, batch_id)
-            timer.add("pred.transform_and_write", time.time() - t1)
-
-    return Profiled(spark, ticks, symbol, work)
-
-
-def _query_progress(q) -> dict:
-    """Micro-batch counts + engine-reported durations from the query's
-    recentProgress (the scheduler's own accounting, independent of the
-    foreachBatch wall clocks)."""
-    batches, rows = 0, 0
-    dur: dict[str, float] = {}
-    for p in q.recentProgress:
-        batches += 1
-        rows += p["numInputRows"]
-        for k, v in (p.get("durationMs") or {}).items():
-            dur[k] = dur.get(k, 0.0) + v / 1000.0
+    comp = acc.report()
+    handlers = comp.get("handler_fused", {}).get("sec", 0.0) + comp.get(
+        "handler_predict", {}
+    ).get("sec", 0.0)
+    total = t_fused_query + t_pred_query
     return {
-        "micro_batches": batches,
-        "input_rows": rows,
-        "engine_duration_sec": {k: round(v, 3) for k, v in dur.items()},
+        "total_sec": round(total, 3),
+        "fused_query_sec": round(t_fused_query, 3),
+        "predictor_query_sec": round(t_pred_query, 3),
+        "predictions_readback_sec": round(t_readback, 3),
+        "n_predictions": n_preds,
+        "engine_overhead_sec": round(total - handlers, 3),
+        "engine_overhead_note": (
+            "query wall minus foreachBatch handler bodies: micro-batch "
+            "scheduling, source file listing + JSON decode, the "
+            "watermarked stateful window pass, state-store commits, "
+            "checkpoint/offset-log I/O"
+        ),
+        "components": comp,
     }
 
 
-def profile_once(spark, ticks_dir: str, work: str, timer: _Timed) -> dict:
-    from bda_spark.streaming import file_replay_tick_stream
+def predictor_rate_ladder(spark, work: str, rates=(1, 4, 10),
+                          n_batches: int = 8, budget_sec: float = 1.0) -> dict:
+    """Measured predictor capacity vs the 1-second trigger budget.
 
-    shutil.rmtree(work, ignore_errors=True)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        ticks = file_replay_tick_stream(spark, ticks_dir)
-        pipe = _instrumented_pipeline(spark, ticks, "BP", work, timer)
-        out: dict = {}
-        t0 = time.time()
-        q = pipe.start_trainer_and_backfiller(available_now=True)
-        q.awaitTermination()
-        out["fused_wall_sec"] = round(time.time() - t0, 3)
-        out["fused_progress"] = _query_progress(q)
-        t1 = time.time()
-        q = pipe.start_predictor(available_now=True)
-        q.awaitTermination()
-        out["predictor_wall_sec"] = round(time.time() - t1, 3)
-        out["predictor_progress"] = _query_progress(q)
-        t2 = time.time()
-        out["n_predictions"] = pipe.predictions().count()
-        out["predictions_read_sec"] = round(time.time() - t2, 3)
-        out["total_wall_sec"] = round(time.time() - t0, 3)
-        out["stages"] = timer.report()
-        return out
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    For each rate multiple, the tick corpus is duplicated rate x and
+    split into ``n_batches`` micro-batches (maxFilesPerTrigger); the
+    per-batch handler wall time against its row count is the number the
+    1 s budget constrains. The trainer runs once up front (its model is
+    what the predictor scores with)."""
+    from bda_spark.streaming import TickPipeline, file_replay_tick_stream
+
+    base = spark.read.text(os.path.join(work, "ticks"))
+    n_rows = base.count()
+    out: dict = {"budget_sec": budget_sec, "base_rows": n_rows, "rates": {}}
+    for rate in rates:
+        rdir = os.path.join(work, f"ticks_{rate}x")
+        pdir = os.path.join(work, f"pipe_{rate}x")
+        shutil.rmtree(rdir, ignore_errors=True)
+        shutil.rmtree(pdir, ignore_errors=True)
+        amplified = base
+        for _ in range(rate - 1):
+            amplified = amplified.union(base)
+        # exactly n_batches files -> with maxFilesPerTrigger=1,
+        # exactly n_batches predictor micro-batches of equal size
+        amplified.repartition(n_batches).write.text(rdir)
+
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        batch_secs: list[float] = []
+        try:
+            # train once (whole corpus, one query) ...
+            ticks = file_replay_tick_stream(spark, rdir)
+            pipe = TickPipeline(spark, ticks, "BP", pdir)
+            q = pipe.start_trainer_and_backfiller(available_now=True)
+            q.awaitTermination()
+            # ... then predict in n_batches micro-batches on a FRESH
+            # pipeline (own checkpoint) sharing the trained model store
+            ticks_batched = file_replay_tick_stream(
+                spark, rdir, max_files_per_trigger=1
+            )
+            pipe2 = TickPipeline(
+                spark, ticks_batched, "BP", os.path.join(pdir, "p2")
+            )
+            pipe2.store = pipe.store
+            inner = pipe2._predict_batch
+
+            def timed(df, bid, _inner=inner, _sink=batch_secs):
+                t0 = time.perf_counter()
+                _inner(df, bid)
+                _sink.append(time.perf_counter() - t0)
+
+            pipe2._predict_batch = timed
+            t0 = time.perf_counter()
+            q = pipe2.start_predictor(available_now=True)
+            q.awaitTermination()
+            query_wall = time.perf_counter() - t0
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+        rows_per_batch = n_rows * rate / max(len(batch_secs), 1)
+        # steady-state: drop the first batch (model load + plan compile)
+        steady = batch_secs[1:] or batch_secs
+        med = sorted(steady)[len(steady) // 2]
+        # what the 1 s trigger budget actually pays per batch: handler
+        # body PLUS the engine's per-batch machinery (micro-batch
+        # scheduling, source listing, offset/commit log writes)
+        engine_per_batch = (query_wall - sum(batch_secs)) / max(
+            len(batch_secs), 1
+        )
+        full_batch = med + engine_per_batch
+        out["rates"][f"{rate}x"] = {
+            "rows_total": n_rows * rate,
+            "n_batches": len(batch_secs),
+            "rows_per_batch": int(rows_per_batch),
+            "batch_sec_first": round(batch_secs[0], 3) if batch_secs else None,
+            "batch_sec_median_steady": round(med, 3),
+            "batch_sec_max_steady": round(max(steady), 3),
+            "engine_overhead_per_batch_sec": round(engine_per_batch, 3),
+            "full_batch_sec": round(full_batch, 3),
+            "within_budget": full_batch <= budget_sec,
+            "implied_rows_per_sec": (
+                int(rows_per_batch / full_batch) if full_batch > 0 else None
+            ),
+        }
+    return out
 
 
 def main() -> None:
-    import bench
+    from bench import prepare_ticks
     from bda_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    factors = [int(a) for a in sys.argv[1:]] or [1, 10]
+    work = os.environ.get("PROFILE_STREAM_WORK", "/tmp/profile_streaming")
+    shutil.rmtree(work, ignore_errors=True)
     spark = get_spark("profile_streaming")
     spark.sparkContext.setLogLevel("ERROR")
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    root = os.path.join(here, ".profile_streaming_tmp")
-    shutil.rmtree(root, ignore_errors=True)
-    ticks1 = os.path.join(root, "ticks1x")
-    bench.prepare_ticks(spark, sf_dir, os.path.join(root, "prep"))
-    os.rename(os.path.join(root, "prep", "ticks"), ticks1)
-
-    report: dict = {"sf_dir": sf_dir, "factors": {}}
-    base_rows = spark.read.text(ticks1).count()
-    for factor in factors:
-        ticks_dir = ticks1
-        if factor > 1:
-            # replicate each tick `factor`x with jittered epoch-millis
-            # (+0..factor-1 ms: same windows, distinct rows) — volume
-            # grows factor-x, window/model shape stays fixed
-            ticks_dir = os.path.join(root, f"ticks{factor}x")
-            src = spark.read.text(ticks1)
-            reps = (
-                src.select(
-                    F.explode(
-                        F.sequence(F.lit(0), F.lit(factor - 1))
-                    ).alias("k"),
-                    "value",
-                )
-                .select(
-                    F.to_json(
-                        F.struct(
-                            # bump the millis timestamp by k so rows
-                            # stay distinct without leaving the window
-                            *[
-                                (
-                                    F.get_json_object("value", "$.timestamp")
-                                    .cast("long")
-                                    + F.col("k")
-                                ).alias("timestamp")
-                                if f == "timestamp"
-                                else F.get_json_object("value", f"$.{f}")
-                                .cast(t)
-                                .alias(f)
-                                for f, t in [
-                                    ("symbol", "string"),
-                                    ("timestamp", "long"),
-                                    ("source", "string"),
-                                    ("data_type", "string"),
-                                    ("bid", "double"),
-                                    ("ask", "double"),
-                                    ("price", "double"),
-                                    ("volume", "double"),
-                                    ("spread_raw", "double"),
-                                    ("spread_table", "double"),
-                                    ("volatility", "double"),
-                                    ("market_sentiment", "double"),
-                                    ("trading_activity", "double"),
-                                ]
-                            ]
-                        )
-                    ).alias("value")
-                )
-            )
-            reps.write.mode("overwrite").text(ticks_dir)
-        timer = _Timed()
-        run = profile_once(
-            spark, ticks_dir, os.path.join(root, f"pipe{factor}x"), timer
-        )
-        run["tick_rows"] = base_rows * factor
-        run["predictor_events_per_sec"] = (
-            round(run["tick_rows"] / run["predictor_wall_sec"], 1)
-            if run["predictor_wall_sec"] > 0
-            else None
-        )
-        report["factors"][f"{factor}x"] = run
-        print(json.dumps({f"{factor}x": run}, indent=1))
-
-    out_path = os.path.join(here, "PROFILE_STREAMING.json")
-    with open(out_path, "w") as f:
-        json.dump(report, f, indent=1)
-        f.write("\n")
-    shutil.rmtree(root, ignore_errors=True)
-    print("wrote", out_path)
-    spark.stop()
+    try:
+        prepare_ticks(spark, sf_dir, work)
+        report = {
+            "replay_profile": profile_replay(spark, work),
+            # second replay: separates plan-compile/JIT warmup (first
+            # run) from the steady per-batch cost
+            "replay_profile_warm": profile_replay(spark, work),
+            "predictor_rate_ladder": predictor_rate_ladder(spark, work),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(report, indent=1))
 
 
 if __name__ == "__main__":

@@ -752,23 +752,33 @@ THREE_DECADE_KNOBS = {
 
 
 def _simhash_preflight(spark, rung_mid_dir: str, outer: int) -> str | None:
-    """Refuse the simhash REGISTRY shape (r=16, b=64) at rungs where its
-    one quadratic term cannot fit on a single box, BEFORE spending ~20
-    minutes filling the disk (measured r15: at 2M vectors the expected
-    ~b*2^-r*n^2/2 = 1.9e9 random band collisions wrote >60 GB of
-    pair-shuffle spill and died on ENOSPC — twice, because the old
-    bounded retry re-ran it). The estimate uses the same collision
-    formula the operator's own docstring prices its defaults with
-    (operators/similarity.py) and the ~35 B/pair spill cost the r15
-    crash bounded empirically. On a cluster this spill shards across
-    executors' local disks — the single-box refusal is a sandbox limit,
-    not an operator limit; the knob rows (raise r) are the committed
-    evidence for this regime."""
+    """Refuse the simhash REGISTRY shape (r=16, b=64, threshold 0.9) at
+    rungs where its plan cannot fit on a single box, BEFORE spending
+    ~20 minutes filling the disk (measured r15: at 2M vectors,
+    pre-staged-prefilter, the ~b*2^-r*n^2/2 = 1.9e9 random band
+    collisions wrote >60 GB of pair-shuffle spill and died on ENOSPC —
+    twice, because the old bounded retry re-ran it).
+
+    The estimate models the plan the operator will actually choose
+    (operators/similarity.py): with the sampled in-join prefilter
+    ARMED (high thresholds), raw collisions are filtered inside the
+    bucket-join stage and the disk cost is the band-frame sort
+    (~n*b*50 B per side) plus the ~0.3% sigma-tail of surviving pairs;
+    DISARMED, every raw collision crosses the word joins at the ~35
+    B/pair the r15 crash bounded empirically. A cluster shards either
+    spill across executors' local disks — a refusal here is a sandbox
+    limit, not an operator limit; the knob rows (raise r) are the
+    committed evidence for that regime."""
+    from bda_spark.operators.similarity import _sampled_prefilter_plan
     from bda_spark.sources.batch import load_table
 
+    r, b, threshold = 16, 64, 0.9  # the registry query's shape
     n = load_table(spark, rung_mid_dir, "embeddings").count() * outer
-    pairs = 64 * 2.0**-16 * n * n / 2
-    est_bytes = pairs * 35
+    pairs = b * 2.0**-r * n * n / 2
+    if _sampled_prefilter_plan(threshold, r, b) is not None:
+        est_bytes = 2 * n * b * 50 + pairs * 0.003 * 35
+    else:
+        est_bytes = pairs * 35
     free = shutil.disk_usage(
         spark.conf.get("spark.local.dir", "/tmp")
     ).free
@@ -776,11 +786,12 @@ def _simhash_preflight(spark, rung_mid_dir: str, outer: int) -> str | None:
         return (
             f"registry shape (r=16, b=64) infeasible at {n} vectors on "
             f"one box: ~{pairs:.2e} expected random band collisions -> "
-            f"~{est_bytes / 1e9:.0f} GB pair-shuffle spill vs "
+            f"~{est_bytes / 1e9:.0f} GB estimated spill vs "
             f"{free / 1e9:.0f} GB free local disk (r15 measured the "
-            "crash: >60 GB written, ENOSPC). A cluster shards this "
-            "spill across executors; the single-box production knob is "
-            "raising r — see the knob rows beside this one."
+            "pre-staged-prefilter crash: >60 GB written, ENOSPC). A "
+            "cluster shards this spill across executors; the "
+            "single-box production knob is raising r — see the knob "
+            "rows beside this one."
         )
     return None
 
