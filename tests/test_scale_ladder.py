@@ -253,6 +253,17 @@ def test_committed_three_decades_rows_self_describe():
                 * row["marginal_sec_per_copy_decade2"], 4
             ), name
             assert "within_marginal_bar" in row, name
+            if row["within_marginal_bar"] is False:
+                # r15: measured superlinearity must be ATTRIBUTED in
+                # the evidence itself (which term, why the knob does
+                # or doesn't rescue it, what the engine's alternative
+                # is) — an unexplained false reads as an undiagnosed
+                # regression (simhash: collision count is b*2^-r*n^2/2
+                # by LSH physics; the note routes users to the
+                # learned-cell family past ~1M vectors)
+                assert row.get("note"), (
+                    name, "superlinear row without attribution note"
+                )
 
 
 def test_three_decade_tables_match_real_input_scans(spark):

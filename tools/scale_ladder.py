@@ -746,7 +746,15 @@ def _simhash_knob(band_rows: int, num_bands: int):
 THREE_DECADE_KNOBS = {
     "simhash_neardup_strict": {
         "r20_b116": _simhash_knob(20, 116),
-        "r24_b215": _simhash_knob(24, 215),
+        # r24/b215 measured-and-dropped (r15): its 100x run cost 226 s
+        # against the registry's 18 s — the 215-band/5160-hyperplane
+        # signature matmul plus 108 packed words dominates long before
+        # its collision savings matter, so it is a poor production
+        # recommendation at any rung this ladder can reach (and its
+        # 1000x timing would be ~75 min of ladder budget for a lever
+        # r20 already demonstrates). Raise r past 20 only when the
+        # COMPARISON count (b*2^-r*n^2/2 cheap in-join xors since the
+        # staged prefilter) is itself the measured bottleneck.
     },
 }
 
@@ -802,6 +810,36 @@ def _simhash_preflight(spark, rung_mid_dir: str, outer: int) -> str | None:
 # unpredicted is still caught per-query at measurement time.
 THREE_DECADE_PREFLIGHT = {
     "simhash_neardup_strict": _simhash_preflight,
+}
+
+# Measured-superlinearity attribution: a decade-3 row that FAILS the
+# marginal bar must say why and what the engine's answer is — the
+# committed evidence file is read standalone, and an unexplained
+# within_marginal_bar=false is indistinguishable from an undiagnosed
+# regression. Notes ride the row at measurement time.
+THREE_DECADE_NOTES = {
+    "simhash_neardup_strict": (
+        "Genuine, physics-level superlinearity — not a plan defect. "
+        "Banding produces E = b*2^-r*n^2/2 random collisions; the r15 "
+        "staged prefilter cut the cost per collision to an in-join "
+        "codegen xor (~260 ns measured: 1.95e7 collisions inside "
+        "t100x=17.0 s, 1.95e9 inside t1000x=522.4 s — the term is "
+        "~500 of the 522 s), which is what made this rung MEASURABLE "
+        "at all (pre-fix it ENOSPC'd at ~70 GB of spill), but the "
+        "COUNT stays quadratic at fixed r. The documented knob (raise "
+        "r, b re-priced to hold detection ~0.995 at cosine 0.9) was "
+        "measured beside it and is ~neutral here: r20/b116 cuts "
+        "collisions 9x yet lands at 484 s because 2.3x signature bits "
+        "inflate the matmul and band volume — consistent with LSH "
+        "theory (recall-holding banding costs Theta(n^(1+rho)), rho = "
+        "ln(1/p1)/ln(1/p2) ~ 0.22 at cosine 0.9 vs random; NO banding "
+        "scheme is linear, and fixed-r converges to n^2). Production "
+        "guidance, committed at operators/README.md: simhash is the "
+        "data-oblivious choice up to ~1M vectors; past that use the "
+        "learned-cell family (semantic_dedup: two-decade exponent "
+        "0.406, GEMM within cells, cells grown with n) or raise r "
+        "accepting the n^rho signature tax."
+    ),
 }
 
 
@@ -991,6 +1029,10 @@ def measure_three_decades(
             row = infeasible_row(t_mid, reason, prior, mid_factor, hi_factor)
         else:
             row = decade3_row(t_mid, t_hi, prior, mid_factor, hi_factor)
+        if name in THREE_DECADE_NOTES and not row.get(
+            "within_marginal_bar", True
+        ):
+            row["note"] = THREE_DECADE_NOTES[name]
         # Documented-production-knob A/B at the same rungs, same
         # session: when the default's scale-regime cost term bites at
         # this decade (within_marginal_bar false or the registry shape
@@ -1142,7 +1184,19 @@ def main() -> None:
     # 8g heap (5M-doc corpus_build signature frames + shuffle); the
     # sandbox has 128 GiB, so the third-decade runs use 32g.
     mem = os.environ.get("SCALE_LADDER_DRIVER_MEM", "8g")
-    spark = get_spark("scale_ladder", extra_confs={"spark.driver.memory": mem})
+    spark = get_spark(
+        "scale_ladder",
+        extra_confs={
+            "spark.driver.memory": mem,
+            # Shuffle files are reclaimed by the ContextCleaner only
+            # when the driver GC collects the shuffle references; at
+            # the default 30-min periodicGC a 1000x session accumulates
+            # every rung's multi-GB spill simultaneously (measured r15:
+            # 39 GB of dead blockmgr files alongside a live job -> the
+            # session ENOSPC'd on space its own finished jobs held).
+            "spark.cleaner.periodicGC.interval": "1min",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     factor2 = int(os.environ.get("SCALE_LADDER_FACTOR2", "100"))
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
