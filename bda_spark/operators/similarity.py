@@ -114,6 +114,7 @@ def _self_join_candidates(
     max_bucket_size: int,
     distinct: bool = True,
     payload_words: list[int] | None = None,
+    sig: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Self-join near-dup candidate path: (candidates(id_a, id_b),
     sig(doc_id, _keys) checkpointed). A k-member near-identical
@@ -123,14 +124,15 @@ def _self_join_candidates(
     ARRAY is checkpointed once (one UDF pass, ~num_bands longs per
     vector) so every downstream consumer — the cap's extra band
     explodes AND the Hamming prefilter's packed-word projection —
-    reads cheap materialized rows instead of re-running the matmul."""
+    reads cheap materialized rows instead of re-running the matmul.
+    Callers that must resolve a size-gated regime BEFORE shaping the
+    candidate plan (simhash_neardup_pairs) build ``sig`` themselves
+    via ``_simhash_sig`` — its eager checkpoint makes the count free —
+    and pass it in."""
     from .dedup import _banded_candidates
 
-    udf = simhash_band_udf(dim, band_rows, num_bands, seed)
-    sig = embeddings.select(
-        F.col("vec_id").alias("doc_id"),
-        udf(F.col("embedding")).alias("_keys"),
-    ).localCheckpoint(eager=True)
+    if sig is None:
+        sig = _simhash_sig(embeddings, dim, band_rows, num_bands, seed)
     # payload_words ride ON the band rows (16 bytes for the sampled
     # prefilter's two words) so the caller's pair filter can run inside
     # the bucket-join stage — see _banded_candidates(payload=...)
@@ -151,6 +153,21 @@ def _self_join_candidates(
         .withColumnRenamed("doc_b", "id_b")
     )
     return cands, sig
+
+
+def _simhash_sig(
+    embeddings: DataFrame, dim: int, band_rows: int, num_bands: int,
+    seed: int,
+) -> DataFrame:
+    """(doc_id, _keys) — the per-vector band-key arrays, eagerly
+    localCheckpoint-ed so the one matmul pass is paid exactly once and
+    every later read (counts, band explodes, packed-word projections)
+    is a cached-rows read."""
+    udf = simhash_band_udf(dim, band_rows, num_bands, seed)
+    return embeddings.select(
+        F.col("vec_id").alias("doc_id"),
+        udf(F.col("embedding")).alias("_keys"),
+    ).localCheckpoint(eager=True)
 
 
 def _packed_sig_words(band_rows: int, num_bands: int) -> list["F.Column"]:
@@ -375,13 +392,23 @@ def simhash_neardup_pairs(
     (~37 longs per row), sort-spilled ~70 GB and died on ENOSPC; with
     it, only survivors (~true pairs + a ~0.1-0.3% sigma tail) shuffle.
     Both stages carry the same z=7 per-true-pair false-drop bound."""
-    # the sampled in-join stage (see _sampled_prefilter_plan) is priced
-    # purely from (threshold, r, b); it is used only when the full
-    # prefilter runs, and its two words ride the band rows so the raw
-    # collision stream is filtered INSIDE the bucket-join stage
+    # the size-gated regime is resolved BEFORE the candidate plan is
+    # shaped: sig's eager checkpoint makes the count a cached-rows
+    # read, and the sampled in-join stage's payload words should ride
+    # the band rows only when the prefilter will actually run (a
+    # small-corpus call must keep the exact pre-prefilter plan). A
+    # pinned True/False call still skips the count entirely.
+    sig = _simhash_sig(embeddings, dim, band_rows, num_bands, seed)
+    n_vecs = None
+    if hamming_prefilter is None:
+        n_vecs = sig.count()
+        hamming_prefilter = n_vecs >= _HAMMING_PREFILTER_MIN_VECTORS
+    # the sampled stage (see _sampled_prefilter_plan) is priced purely
+    # from (threshold, r, b); its two words ride the band rows so the
+    # raw collision stream is filtered INSIDE the bucket-join stage
     plan = (
         _sampled_prefilter_plan(threshold, band_rows, num_bands)
-        if hamming_prefilter is not False
+        if hamming_prefilter
         else None
     )
     cands, sig = _self_join_candidates(
@@ -389,15 +416,8 @@ def simhash_neardup_pairs(
         distinct=False,  # dedup AFTER the prefilter: the distinct's
         # exchange then moves surviving pairs, not every raw collision
         payload_words=plan[0] if plan else None,
+        sig=sig,
     )
-    # n_vecs prices the regime gate (hamming_prefilter=None) and the
-    # broadcast-cap decision (True); a pinned-False call never needs
-    # it, so it is computed lazily. sig is localCheckpoint-ed, so the
-    # count — when taken — is a cached-rows read, not a recompute.
-    n_vecs = None
-    if hamming_prefilter is None:
-        n_vecs = sig.count()
-        hamming_prefilter = n_vecs >= _HAMMING_PREFILTER_MIN_VECTORS
     if not hamming_prefilter:
         # small-corpus regime: the rescore volume the prefilter kills
         # is quadratically small here; its fixed cost dominates (see
