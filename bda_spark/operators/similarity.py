@@ -2160,3 +2160,85 @@ def semantic_fuzzy_join(
         .filter(F.col("cosine") >= float(threshold))
         .select("left_id", "right_id", "cosine")
     )
+
+
+# The measured crossover between the two self-join near-dup families
+# (SCALE_LADDER.json three_decades, r15): simhash banding's collision
+# count is b*2^-r*n^2/2 — quadratic at fixed r, ~n^(1+rho) (rho ~ 0.22
+# at cosine 0.9) with r scaled, and its 2M-vector rung measured 522 s
+# against semantic_dedup's linear learned-cell shape (two-decade
+# exponent 0.406). Below the crossover simhash wins on simplicity (no
+# training, deterministic under a fixed seed, no cell-boundary miss
+# class); above it the learned cells win on physics.
+_AUTO_NEARDUP_MAX_SIMHASH_VECTORS = 1_000_000
+
+# the documented SemDeDup cell policy: grow k with the corpus so the
+# expected cell stays ~constant-sized and total pair work stays linear
+_AUTO_NEARDUP_CELL_TARGET = 125
+
+
+def embedding_neardup_auto(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    method: str = "auto",
+    seed: int = 42,
+    n_vecs: int | None = None,
+    simhash_kwargs: dict | None = None,
+    semantic_kwargs: dict | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs with the family choice made by the
+    repo's own scale measurements — the front door the operators
+    README routes through, as engine behavior instead of prose.
+
+    ``method="auto"`` picks per corpus size (``n_vecs`` skips the
+    count when the caller already knows it):
+
+    - below ``_AUTO_NEARDUP_MAX_SIMHASH_VECTORS``:
+      ``simhash_neardup_pairs`` — data-oblivious random-hyperplane
+      banding; no training step, deterministic under ``seed``, no
+      cell-boundary miss class. Its collision count is
+      b*2^-r*n^2/2 (SCALE_LADDER.json three_decades: 1.95e9
+      collisions = ~500 of 522 s at the 2M-vector rung; LSH-theory
+      floor Theta(n^(1+rho))), which is why it is not the default
+      past the crossover.
+    - at or above it: ``semantic_neardup_pairs`` — SemDeDup learned
+      cells under the k ~ n/125 policy (expected cell stays
+      constant-sized, total pair work linear; measured two-decade
+      exponent 0.406), ``n_centroids`` derived here so callers get
+      the linear configuration without knowing the policy.
+
+    ``method="simhash"`` / ``method="semantic"`` pin a family (the
+    per-family kwargs dicts pass knobs through untouched). Both
+    families return the same contract: (id_a, id_b, cosine), id_a <
+    id_b, every emitted pair EXACT-cosine verified at or above
+    ``threshold`` — the approximation is candidate recall only
+    (banding's detection rate vs cells' boundary-straddle misses)."""
+    if method == "auto":
+        if n_vecs is None:
+            n_vecs = embeddings.count()
+        method = (
+            "simhash"
+            if n_vecs < _AUTO_NEARDUP_MAX_SIMHASH_VECTORS
+            else "semantic"
+        )
+    if method == "simhash":
+        return simhash_neardup_pairs(
+            embeddings, threshold=threshold, seed=seed,
+            **(simhash_kwargs or {}),
+        )
+    if method == "semantic":
+        kwargs = dict(semantic_kwargs or {})
+        if "n_centroids" not in kwargs:
+            if n_vecs is None:
+                n_vecs = embeddings.count()
+            kwargs["n_centroids"] = max(
+                1, round(n_vecs / _AUTO_NEARDUP_CELL_TARGET)
+            )
+            kwargs.setdefault("n_hint", n_vecs)
+        return semantic_neardup_pairs(
+            embeddings, threshold=threshold, seed=seed, **kwargs
+        )
+    raise ValueError(
+        f"embedding_neardup_auto: unknown method {method!r} "
+        "(expected 'auto', 'simhash', or 'semantic')"
+    )

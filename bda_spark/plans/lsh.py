@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import minhash_neardup_pairs, neardup_clusters
 from ..operators.pq import pq_adc_topk
 from ..operators.similarity import (
+    embedding_neardup_auto,
     ivf_topk,
     semantic_dedup,
     semantic_neardup_pairs,
@@ -124,6 +125,34 @@ def simhash_neardup_pairs_q(spark, sf_dir):
     collisions, then exact rerank."""
     e = t(spark, sf_dir, "embeddings")
     pairs = simhash_neardup_pairs(e, threshold=0.45)
+    return pairs.select(
+        "id_a", "id_b", r6(F.col("cosine")).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "embedding_neardup_auto",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS_SQL}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.45
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_neardup_auto_q(spark, sf_dir):
+    """The scale-routing front door (r15): embedding near-dup with the
+    family chosen by the repo's own ladder measurements —
+    data-oblivious SimHash banding below 1M vectors, SemDeDup learned
+    cells (k ~ n/125, linear total work) at or above it
+    (operators/similarity.py::embedding_neardup_auto; evidence
+    SCALE_LADDER.json three_decades). At every oracle SF the corpus
+    sits far below the crossover, so this row exercises the
+    auto->simhash route end-to-end against the exact all-pairs oracle;
+    the semantic route's correctness is anchored by the
+    semantic_dedup_pairs row and the router's pytest equivalences."""
+    e = t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_auto(e, threshold=0.45)
     return pairs.select(
         "id_a", "id_b", r6(F.col("cosine")).alias("cosine")
     ).orderBy("id_a", "id_b")

@@ -202,15 +202,20 @@ DRIVER_ROW_CAP = 50
 #     row survives a key-dedup group is tie-break/order-dependent.
 #     when/otherwise repair semantics stay oracle-verified in the
 #     tail and the cleaning family keeps events_expectations_metrics)
-#   csv_tick_ingest        -> simhash_neardup_pairs (last row r03.
-#     VERDICT r14 asked for a non-vacuous simhash re-check in place
-#     of simhash_neardup_strict's r11 0-row: strict's 0 rows at
-#     sf0.01 is the TRUE answer (no 0.9-cosine pairs exist in that
-#     data; DuckDB agrees every pytest run), so the weak-threshold
-#     twin — same signature/band/rescore path, 14 rows at sf0.01 —
-#     is the row that actually exercises values through the driver
-#     hash. Ingest family keeps generated_ticks_profile +
-#     scraped_articles in-window)
+#   csv_tick_ingest        -> embedding_neardup_auto (seat originally
+#     rotated to simhash_neardup_pairs, last row r03: VERDICT r14
+#     asked for a non-vacuous simhash re-check in place of
+#     simhash_neardup_strict's r11 0-row — strict's 0 rows at sf0.01
+#     is the TRUE answer (no 0.9-cosine pairs exist in that data;
+#     DuckDB agrees every pytest run), so the weak-threshold twin —
+#     same signature/band/rescore path, 14 rows at sf0.01 — is the
+#     row that actually exercises values through the driver hash.
+#     Later in r15 the scale-routing front door landed with the
+#     IDENTICAL oracle and route (auto->simhash at this SF), so the
+#     seat verifies the same 14 values through strictly more code:
+#     router + signature/band/rescore. simhash_neardup_pairs cedes to
+#     the tail, oracle-verified every pytest. Ingest family keeps
+#     generated_ticks_profile + scraped_articles in-window)
 DRIVER_WINDOW = [
     "doc_contamination_spans",
     "docs_stratified_sample",
@@ -241,7 +246,7 @@ DRIVER_WINDOW = [
     "null_count_vector",
     "exact_dedup_keyset",
     "orders_recent_window",
-    "simhash_neardup_pairs",
+    "embedding_neardup_auto",
     "report_corr_matrix",
     "doc_langid",
     "keyword_counts_sketch",
@@ -291,6 +296,7 @@ DEFERRED_TAIL = [
     "events_distinct_sketch_rollup",  # HLL sketch-table rollup (exact regime)
     "events_spearman_approx",   # binned-rank sketch twin of events_spearman (rows-only)
     "doc_compression_ratio",    # zlib quality signal (rows-only: no zlib in DuckDB)
+    "simhash_neardup_pairs",    # ceded its r15 seat to embedding_neardup_auto (identical oracle+route, strictly more code verified)
     # Ceded their driver rows in the ROUND-9 REFRESH (see DRIVER_WINDOW):
     "doc_rolling_fingerprints", # rolling-hash family: doc_fingerprints twin
     "features_json_roundtrip",  # JSON path twin of events_json_extract + pytest inverse

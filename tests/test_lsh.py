@@ -786,3 +786,62 @@ def test_simhash_staged_prefilter_equals_exact_on_planted_clusters(spark):
         # present (>= catches all 3 per cluster in the common case;
         # equality with `exact` above is the real invariant)
         assert len(staged) >= 20
+
+
+def test_embedding_neardup_auto_routes_and_matches(spark):
+    """r15 front-door router: the measured crossover as engine
+    behavior. On a small corpus auto must take the simhash route and
+    return exactly simhash_neardup_pairs' result; the pinned semantic
+    route under the derived k ~ n/125 policy (k=1 here: the exact
+    all-pairs regime) must return every exact pair; unknown methods
+    refuse loudly."""
+    import pytest as _pytest
+
+    from bda_spark.operators.similarity import embedding_neardup_auto
+
+    rng = np.random.default_rng(11)
+    rows = [
+        Row(vec_id=0, embedding=[1.0] + [0.0] * 63),
+        Row(vec_id=1, embedding=[0.999] + [0.04] + [0.0] * 62),
+    ]
+    for i in range(2, 40):
+        rows.append(
+            Row(
+                vec_id=i,
+                embedding=[float(x) for x in rng.standard_normal(64)],
+            )
+        )
+    emb = spark.createDataFrame(rows)
+
+    got_auto = {
+        (r.id_a, r.id_b): round(r.cosine, 9)
+        for r in embedding_neardup_auto(emb, threshold=0.9).collect()
+    }
+    got_simhash = {
+        (r.id_a, r.id_b): round(r.cosine, 9)
+        for r in simhash_neardup_pairs(emb, threshold=0.9).collect()
+    }
+    assert got_auto == got_simhash and (0, 1) in got_auto
+
+    # n_vecs hint skips the count and must not change the route
+    got_hint = {
+        (r.id_a, r.id_b): round(r.cosine, 9)
+        for r in embedding_neardup_auto(
+            emb, threshold=0.9, n_vecs=40
+        ).collect()
+    }
+    assert got_hint == got_auto
+
+    # pinned semantic route: 40 vectors -> derived k = round(40/125) -> 1
+    # cell = the exact all-pairs regime, so the planted pair must be
+    # found with the identical exact cosine
+    got_semantic = {
+        (r.id_a, r.id_b): round(r.cosine, 9)
+        for r in embedding_neardup_auto(
+            emb, threshold=0.9, method="semantic"
+        ).collect()
+    }
+    assert got_semantic == got_auto
+
+    with _pytest.raises(ValueError, match="unknown method"):
+        embedding_neardup_auto(emb, method="knn")

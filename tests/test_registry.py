@@ -78,7 +78,7 @@ MUST_BE_IN_WINDOW = [
     # (r03/r03/r11) rotate back through the gate (VERDICT r14 task 5)
     "null_count_vector",
     "exact_dedup_keyset",
-    "simhash_neardup_pairs",
+    "embedding_neardup_auto",
 ]
 
 
@@ -125,7 +125,7 @@ def test_driver_window_keys_are_frozen():
     assert set(got) - old == {
         "null_count_vector",
         "exact_dedup_keyset",
-        "simhash_neardup_pairs",
+        "embedding_neardup_auto",
     }
 
 
