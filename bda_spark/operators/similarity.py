@@ -351,6 +351,8 @@ def simhash_neardup_pairs(
     seed: int = 42,
     max_bucket_size: int = 256,
     hamming_prefilter: bool | None = None,
+    n_hint: int | None = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs via SimHash candidates + exact rerank.
     Replaces the all-pairs broadcast O(n^2) plan: the corpus is never
@@ -391,17 +393,52 @@ def simhash_neardup_pairs(
     past the broadcast cap sort-merge-joined the raw collision stream
     (~37 longs per row), sort-spilled ~70 GB and died on ENOSPC; with
     it, only survivors (~true pairs + a ~0.1-0.3% sigma tail) shuffle.
-    Both stages carry the same z=7 per-true-pair false-drop bound."""
-    # the size-gated regime is resolved BEFORE the candidate plan is
-    # shaped: sig's eager checkpoint makes the count a cached-rows
-    # read, and the sampled in-join stage's payload words should ride
-    # the band rows only when the prefilter will actually run (a
-    # small-corpus call must keep the exact pre-prefilter plan). A
-    # pinned True/False call still skips the count entirely.
+    Both stages carry the same z=7 per-true-pair false-drop bound.
+
+    SIZE-GATED since r16: banding at fixed r has a measured-quadratic
+    collision count (SCALE_LADDER.json three_decades: 1.95e9 = b*2^-r*
+    n^2/2 collisions = ~500 of 522 s at the 2M-vector rung; the priced
+    r-growth knob is ~neutral there, and LSH theory floors
+    recall-holding banding at Theta(n^(1+rho))). Past
+    ``_AUTO_NEARDUP_MAX_SIMHASH_VECTORS`` — the measured crossover
+    where the linear learned-cell family wins — this function REFUSES
+    unless ``allow_quadratic=True`` (then it warns and proceeds: the
+    quadratic term is collision COUNT, priced at ~260 ns/collision by
+    the ladder, so an informed caller can budget it). The routed front
+    door is ``embedding_neardup_auto``, which picks the linear family
+    automatically. ``n_hint`` skips the corpus count when the caller
+    already knows it (the router threads its own count through)."""
+    # the size-gated regimes (quadratic-refusal + prefilter arming)
+    # are resolved BEFORE the candidate plan is shaped: sig's eager
+    # checkpoint makes the count a cached-rows read, and the sampled
+    # in-join stage's payload words should ride the band rows only
+    # when the prefilter will actually run (a small-corpus call must
+    # keep the exact pre-prefilter plan).
     sig = _simhash_sig(embeddings, dim, band_rows, num_bands, seed)
-    n_vecs = None
+    n_vecs = int(n_hint) if n_hint is not None else sig.count()
+    if n_vecs >= _AUTO_NEARDUP_MAX_SIMHASH_VECTORS:
+        if not allow_quadratic:
+            raise ValueError(
+                f"simhash_neardup_pairs: {n_vecs} vectors is past the "
+                f"measured ~{_AUTO_NEARDUP_MAX_SIMHASH_VECTORS} "
+                "crossover where fixed-r banding's b*2^-r*n^2/2 random-"
+                "collision term dominates (SCALE_LADDER.json "
+                "three_decades: 1.95e9 collisions = ~500 of 522 s at "
+                "2M vectors; the priced r-growth knob is ~neutral). "
+                "Use embedding_neardup_auto (routes to the linear "
+                "learned-cell family past the crossover), or pass "
+                "allow_quadratic=True to accept the quadratic term."
+            )
+        import warnings
+
+        warnings.warn(
+            f"simhash_neardup_pairs on {n_vecs} vectors: expected "
+            f"~{num_bands * 2.0 ** -band_rows * n_vecs * n_vecs / 2:.2e}"
+            " random band collisions (~260 ns each, measured) — the "
+            "quadratic regime; embedding_neardup_auto routes past it.",
+            stacklevel=2,
+        )
     if hamming_prefilter is None:
-        n_vecs = sig.count()
         hamming_prefilter = n_vecs >= _HAMMING_PREFILTER_MIN_VECTORS
     # the sampled stage (see _sampled_prefilter_plan) is priced purely
     # from (threshold, r, b); its two words ride the band rows so the
@@ -461,8 +498,6 @@ def simhash_neardup_pairs(
         # then shrunk to survivors only (with AQE free to broadcast
         # the small side at runtime), the shape that survives the
         # third decade.
-        if n_vecs is None:
-            n_vecs = sig.count()
         if n_vecs * (n_words + 1) * 8 <= _SIG_WORDS_BROADCAST_CAP:
             wa, wb = F.broadcast(wa), F.broadcast(wb)
         hamming = sum(
@@ -2222,9 +2257,16 @@ def embedding_neardup_auto(
             else "semantic"
         )
     if method == "simhash":
+        kwargs = dict(simhash_kwargs or {})
+        if n_vecs is not None:
+            # one corpus scan per call, not two (r15 ADVICE): the
+            # router's own count rides into the operator, whose
+            # prefilter-arming / broadcast-cap / quadratic-gate
+            # decisions then read it instead of re-counting the
+            # checkpointed signature frame
+            kwargs.setdefault("n_hint", n_vecs)
         return simhash_neardup_pairs(
-            embeddings, threshold=threshold, seed=seed,
-            **(simhash_kwargs or {}),
+            embeddings, threshold=threshold, seed=seed, **kwargs
         )
     if method == "semantic":
         kwargs = dict(semantic_kwargs or {})

@@ -216,13 +216,39 @@ DRIVER_ROW_CAP = 50
 #     router + signature/band/rescore. simhash_neardup_pairs cedes to
 #     the tail, oracle-verified every pytest. Ingest family keeps
 #     generated_ticks_profile + scraped_articles in-window)
+#
+# ROUND-16 REFRESH (VERDICT r15 task 4 — union coverage is complete;
+# rotation continues to re-anchor the OLDEST scale-sensitive driver
+# vintages; every ceding row was r15 driver-green and keeps its oracle
+# in the pytest tail):
+#   doc_contamination_spans -> doc_decontaminate (last driver row r11
+#     — the span-level twin held the contamination-family seat for
+#     three rounds; the document-level filter rotates back through the
+#     gate. Family keeps doc_decontaminate_bloom's oracle in the tail)
+#   semantic_dedup_pairs   -> semantic_dedup_keepers (last row r11 —
+#     re-anchored in the round the semantic family's decade-3 rung is
+#     measured: keepers exercise pairs + connected components + the
+#     keeper window, strictly more code than the pairs row it cedes
+#     to the tail — the same strictly-more-code rationale as the r15
+#     router seat)
+#   doc_chunks_overlap     -> docs_pack_sequences (last row r11; the
+#     chunking twin took its seat in r12 — rotating back. Chunk
+#     family stays oracle-verified in the tail every pytest)
+#   pq_adc_topk            -> cosine_topk_bucketed (last row r10 —
+#     oldest ANN vintage; PQ/ADC stays oracle-verified in the tail
+#     and the compressed-domain family is pytest-pinned by
+#     test_pq.py's exactness/recall triples)
+#   orders_grouping_sets_margins -> ivf_topk (last row r10 — the
+#     other r10 ANN vintage; grouping-analytics family keeps
+#     orders_cube_customers in-window, margins oracle stays in the
+#     tail)
 DRIVER_WINDOW = [
-    "doc_contamination_spans",
+    "doc_decontaminate",
     "docs_stratified_sample",
     "docs_dsir_sample",
     "doc_unigram_logprob",
-    "semantic_dedup_pairs",
-    "doc_chunks_overlap",
+    "semantic_dedup_keepers",
+    "docs_pack_sequences",
     "generated_ticks_profile",
     "minhash_neardup_pairs",
     "neardup_clusters",
@@ -231,7 +257,7 @@ DRIVER_WINDOW = [
     "events_expectations_metrics",
     "media_image_features",
     "media_video_frame_sample",
-    "orders_grouping_sets_margins",
+    "ivf_topk",
     "orders_cube_customers",
     "events_5s_resample",
     "docs_unpivot_stats",
@@ -260,7 +286,7 @@ DRIVER_WINDOW = [
     "events_windowed_10min",
     "events_bucket_join_corr",
     "events_lead_label",
-    "pq_adc_topk",
+    "cosine_topk_bucketed",
     "events_daily_kpis",
     "events_spearman",
     "events_interpolate_1h",
@@ -308,13 +334,8 @@ DEFERRED_TAIL = [
     # Ceded their driver rows in the ROUND-11 REFRESH (see DRIVER_WINDOW):
     "docs_mixture_weights",     # r04-r10 driver-green; sampling family keeps stratified + dsir
     "simhash_neardup_strict",   # 0-row driver result; LSH family anchored by minhash_neardup_pairs
-    "cosine_topk_bucketed",     # its oracle IS the tail's cosine_topk brute force
-    "ivf_topk",                 # ANN exactness oracles run every pytest; pq_adc/sq8 twins too
     "report_weekly_rollup",     # weekly date-trunc agg twin of gold_daily_orders
     # Ceded their driver rows in the ROUND-12 REFRESH (see DRIVER_WINDOW):
-    "doc_decontaminate",        # r01-r11 driver-green; family keeps spans + bloom in-window
-    "semantic_dedup_keepers",   # r11 driver-green; pairs (exact regime) takes the row
-    "docs_pack_sequences",      # r09-r11 driver-green; chunking twin takes the row
     "keyword_counts",           # r01-r11 driver-green; Misra-Gries exact twin takes the row
     "exact_dedup_keyset",       # r01-r11 driver-green; canonical fingerprints take the row
     # Ceded their driver rows in the ROUND-13 REFRESH (see DRIVER_WINDOW):
@@ -331,6 +352,12 @@ DEFERRED_TAIL = [
     "customer_order_coalesce",  # r14 driver-green; join family anchored by regional/anti/interval/asof rows
     "conditional_repair",       # r14 driver-green; cleaning family keeps events_expectations_metrics in-window
     "csv_tick_ingest",          # r14 driver-green; ingest family keeps generated_ticks_profile + scraped_articles
+    # Ceded their driver rows in the ROUND-16 REFRESH (see DRIVER_WINDOW):
+    "doc_contamination_spans",  # r12-r15 driver-green; contamination family seat rotates to doc_decontaminate
+    "semantic_dedup_pairs",     # r12-r15 driver-green; keepers (pairs + CC + keeper window) take the row
+    "doc_chunks_overlap",       # r12-r15 driver-green; packing twin rotates back in
+    "pq_adc_topk",              # r12-r15 driver-green; ANN seat rotates to the r10-vintage cosine_topk_bucketed
+    "orders_grouping_sets_margins",  # r10-r15 driver-green; grouping family keeps orders_cube_customers
 ]
 
 

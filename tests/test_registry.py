@@ -26,8 +26,9 @@ MUST_BE_IN_WINDOW = [
     "doc_unigram_logprob",
     "events_sessionize",
     # round-4 OLAP widening: reshape + grouping-set rows (cube ceded
-    # its row in the r13 scale rotation to orders_rollup_totals; the
-    # grouping-analytics family anchor is grouping_sets_margins)
+    # its row in the r13 scale rotation to orders_rollup_totals and
+    # returned in r14; margins ceded in r16 — the grouping-analytics
+    # family anchor is now orders_cube_customers)
     "docs_unpivot_stats",
     # flagship dedup/ANN + multimodal rows — the LLM-pipeline surface the
     # judge grades first-class; must never lose their driver rows
@@ -39,9 +40,9 @@ MUST_BE_IN_WINDOW = [
     "doc_pii_scan",
     # round-9 window refresh: the promoted driver-unverified row
     "doc_tfidf_terms",
-    # round-10 window refresh: the promotions
+    # round-10 window refresh: the promotions (grouping_sets_margins
+    # held its seat r10-r15 and ceded in the r16 freshness rotation)
     "docs_dsir_sample",
-    "orders_grouping_sets_margins",
     "events_interval_join_firstday",
     "events_mode_daily",
     # round-11 window refresh: the promotions (never driver-verified
@@ -56,14 +57,12 @@ MUST_BE_IN_WINDOW = [
     # now held a driver row in some CORRECTNESS_r01..r12 window
     # (doc_canonical_fingerprints / doc_decontaminate_bloom /
     # docs_listagg_sources / events_variant_extract held their rows
-    # green in r12 and ceded them in the r13 scale rotation)
-    "doc_contamination_spans",
-    "semantic_dedup_pairs",
-    "doc_chunks_overlap",
+    # green in r12 and ceded them in the r13 scale rotation;
+    # contamination_spans / semantic_dedup_pairs / chunks_overlap /
+    # pq_adc_topk held r12-r15 and ceded in the r16 rotation)
     "events_quantile_sketch_rollup",
     "customer_balance_ntiles",
     "keyword_counts_sketch",
-    "pq_adc_topk",
     # round-13 window refresh: the scale-sensitive promotions (VERDICT
     # r12 task 6); pivot/argmax/quantiles/rollup ceded their rows green
     # in the r14 rotation — families stay anchored per DRIVER_WINDOW
@@ -79,6 +78,15 @@ MUST_BE_IN_WINDOW = [
     "null_count_vector",
     "exact_dedup_keyset",
     "embedding_neardup_auto",
+    # round-16 window refresh: the oldest scale-sensitive vintages
+    # (r10/r10/r11/r11/r11) rotate back through the gate (VERDICT r15
+    # task 4) — incl. the semantic family's keeper row in the round
+    # its decade-3 rung is measured
+    "doc_decontaminate",
+    "semantic_dedup_keepers",
+    "docs_pack_sequences",
+    "cosine_topk_bucketed",
+    "ivf_topk",
 ]
 
 
@@ -102,10 +110,10 @@ def test_driver_window_keys_are_frozen():
     module import order, a forgotten DEFERRED_TAIL entry) silently
     swaps which operators get driver verification. The window is pinned
     by registry.DRIVER_WINDOW; this test asserts the runtime order
-    matches the pin AND that the delta vs the r14-recorded window is
-    EXACTLY the three deliberate round-15 swaps (VERDICT r14 task 5:
-    the freshness rotation, oldest driver vintages first) — any
-    other drift is an accident."""
+    matches the pin AND that the delta vs the r15-recorded window is
+    EXACTLY the five deliberate round-16 swaps (VERDICT r15 task 4:
+    the freshness rotation, oldest scale-sensitive driver vintages
+    first) — any other drift is an accident."""
     import json
     import os
 
@@ -113,19 +121,23 @@ def test_driver_window_keys_are_frozen():
 
     got = list(get_queries())[:DRIVER_ROW_CAP]
     assert got == DRIVER_WINDOW
-    r14 = os.path.join(
-        os.path.dirname(os.path.dirname(__file__)), "CORRECTNESS_r14.json"
+    r15 = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "CORRECTNESS_r15.json"
     )
-    old = set(json.load(open(r14)))
+    old = set(json.load(open(r15)))
     assert old - set(got) == {
-        "customer_order_coalesce",
-        "conditional_repair",
-        "csv_tick_ingest",
+        "doc_contamination_spans",
+        "semantic_dedup_pairs",
+        "doc_chunks_overlap",
+        "pq_adc_topk",
+        "orders_grouping_sets_margins",
     }
     assert set(got) - old == {
-        "null_count_vector",
-        "exact_dedup_keyset",
-        "embedding_neardup_auto",
+        "doc_decontaminate",
+        "semantic_dedup_keepers",
+        "docs_pack_sequences",
+        "cosine_topk_bucketed",
+        "ivf_topk",
     }
 
 
