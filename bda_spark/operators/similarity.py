@@ -633,6 +633,13 @@ def _kmeans_fit(
     near-flat's (each sub-fit is a full kmeans++ Lloyd on its cell;
     the only constraint is the top-level partition), pinned by the
     inertia-ratio test in tests/test_semdedup.py."""
+    from ..functions.blas import limit_blas_threads
+
+    # r16: the fit's matrices are bounded-sample-sized by construction,
+    # where OpenBLAS's default all-cores pool costs 25x the math in
+    # thread fan-out/sync (see functions/blas.py; measured 2.5 s -> 0.10 s
+    # per k=64 fit on the 32-core bench host)
+    limit_blas_threads()
     n = len(X)
     k = max(1, min(int(k), n))
     if k > _HIER_K_THRESHOLD:

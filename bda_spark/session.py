@@ -68,12 +68,23 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
     when no cluster master is configured, which matches the test harness.
     """
+    from .functions.blas import blas_env, limit_blas_threads
+
+    # r16: cap BLAS pools (see functions/blas.py). Three surfaces, all
+    # needed: the DRIVER process (ctypes, works however late), the
+    # LOCAL-mode JVM's python workers (inherit this process env — set
+    # before the JVM launches), and CLUSTER executors (executorEnv).
+    limit_blas_threads()
+    for k, v in blas_env().items():
+        os.environ.setdefault(k, v)
     builder = SparkSession.builder.appName(app_name)
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     builder = builder.master(master)
     confs = dict(_DEFAULT_CONFS)
+    for k, v in blas_env().items():
+        confs.setdefault(f"spark.executorEnv.{k}", v)
     if extra_confs:
         confs.update(extra_confs)
     for k, v in confs.items():
