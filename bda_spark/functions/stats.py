@@ -52,7 +52,8 @@ def pearson(df: DataFrame, x: str, y: str, by: list[str] | None = None) -> DataF
 
 def avg_ranks(
     df: DataFrame, col: str, out: str = "avg_rank", num_ranges: int = 32,
-    bounds: list[float] | None = None,
+    bounds: list[float] | None = None, materialize: bool = True,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Average (tie-adjusted) rank per distinct value of ``col``.
 
@@ -82,20 +83,54 @@ def avg_ranks(
     unranked); without the filter they'd land in the first bucket's
     cumsum and shift every offset while the null value itself dropped
     out of the join back.
+
+    Three r16 pass-count cuts (guide §2.4 "remove shuffles outright" /
+    §1.2 step 1 "don't compute things twice"), together taking the
+    exact Spearman from six corpus passes to two:
+
+    - The histogram is MATERIALIZED once: ``counts`` feeds two
+      consumers — the local cumsum window and the per-partition totals
+      — and without a materialization boundary Catalyst re-derives the
+      whole scan → groupBy(col) → Exchange subtree for each (runtime
+      exchange reuse does not fire across these separately-scheduled
+      AQE jobs; profiled r16: four corpus aggregation stages per
+      spearman call where two suffice). The checkpoint holds one
+      (value, cnt) row per DISTINCT value — at most the bytes the
+      histogram exchange already shuffles — and cuts a full corpus
+      scan + corpus-wide shuffle per ranked column.
+      ``materialize=False`` keeps the plan lazy end to end (plan-audit
+      twin of the same knob on spearman_approx).
+    - Bucket BOUNDS come from the materialized histogram, not from an
+      approxQuantile pass over the corpus: the ordered windows below
+      sort DISTINCT VALUES, so balancing them wants quantiles of the
+      distinct-value set — which the histogram IS. One cheap action
+      over checkpointed rows replaces a full corpus scan, and it
+      balances better on skewed data (a hot value no longer drags
+      row-weighted boundaries). avg_rank values are unchanged by ANY
+      bucketing: offset + local_before + (cnt+1)/2 is exact integer
+      arithmetic whose result is bucket-independent.
+    - ``counts`` lets a caller hand in a precomputed (col, cnt)
+      histogram so several rank tables can share one corpus pass
+      (``spearman`` builds both of its histograms with one
+      grouping-sets aggregation).
     """
-    df = df.where(F.col(col).isNotNull())
+    if counts is None:
+        df = df.where(F.col(col).isNotNull())
+        counts = df.groupBy(col).agg(F.count("*").alias("cnt"))
+        if materialize:
+            counts = counts.localCheckpoint(eager=True)
     if bounds is None:
         probs = [i / num_ranges for i in range(1, num_ranges)]
-        bounds = df.stat.approxQuantile(col, probs, 0.001)
+        if materialize:
+            # distinct-value quantiles off the checkpointed histogram
+            bounds = counts.stat.approxQuantile(col, probs, 0.001)
+        else:
+            bounds = df.stat.approxQuantile(col, probs, 0.001)
     bounds = sorted(set(bounds))
     bucket = F.lit(0)
     for b in bounds:
         bucket = bucket + (F.col(col) > F.lit(b)).cast("int")
-    counts = (
-        df.groupBy(col)
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("_pid", bucket)
-    )
+    counts = counts.withColumn("_pid", bucket)
     w_local = (
         Window.partitionBy("_pid")
         .orderBy(col)
@@ -128,9 +163,17 @@ def spearman(df: DataFrame, x: str, y: str) -> DataFrame:
     (reference: app_2 NEW with joined.py:450-462), average-rank tie
     convention. Ranks come from per-column distinct-value histograms
     (see ``avg_ranks``) joined back on the value — no full-table global
-    sort anywhere in the plan. Both columns' bucket boundaries come
-    from ONE approxQuantile pass (a single driver action scanning the
-    table once instead of twice).
+    sort anywhere in the plan.
+
+    Corpus passes: TWO (r16; was six). Both columns' histograms come
+    out of ONE grouping-sets aggregation — the Expand emits an
+    (x,)-keyed and a (y,)-keyed tuple per row, partial aggregation
+    collapses both map-side, and the single result frame checkpoints
+    (distinct-values-sized) before splitting into the two rank tables
+    — and the only other corpus touch is the final join-back. Bucket
+    bounds derive from the checkpointed histograms (see avg_ranks), so
+    no approxQuantile pass over the corpus remains. Rank values are
+    exact integer arithmetic, identical to the per-column plan's.
     """
     # pairwise-complete semantics (what pandas corr(method='spearman')
     # computes): rank AFTER dropping rows where either side is null/NaN
@@ -143,10 +186,18 @@ def spearman(df: DataFrame, x: str, y: str) -> DataFrame:
         & ~F.isnan(F.col(x).cast("double"))
         & ~F.isnan(F.col(y).cast("double"))
     )
-    probs = [i / 32 for i in range(1, 32)]
-    bx, by = df.stat.approxQuantile([x, y], probs, 0.001)
-    rx = avg_ranks(df, x, "rx", bounds=bx)
-    ry = avg_ranks(df, y, "ry", bounds=by)
+    # one corpus pass for BOTH histograms; the pairwise-complete filter
+    # above guarantees x/y carry no real NULLs, so a row of the joint
+    # frame belongs to the (x) grouping set exactly when x is non-null
+    joint = (
+        df.groupingSets([[x], [y]], x, y)
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    hx = joint.filter(F.col(x).isNotNull()).select(x, "cnt")
+    hy = joint.filter(F.col(y).isNotNull()).select(y, "cnt")
+    rx = avg_ranks(df, x, "rx", counts=hx)
+    ry = avg_ranks(df, y, "ry", counts=hy)
     ranked = df.select(x, y).join(rx, x).join(ry, y)
     return ranked.agg(F.corr("rx", "ry").alias("spearman"))
 

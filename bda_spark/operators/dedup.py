@@ -198,9 +198,13 @@ def _cc_local(spark, edges: DataFrame) -> DataFrame:
             StructField("cluster_id", id_type),
         ]
     )
-    return spark.createDataFrame(
-        [(v, find(v)) for v in parent], schema
-    )
+    from ..functions.localrows import rows_frame
+
+    # rows_frame, not bare createDataFrame: the result is usually a few
+    # hundred rows, and default slicing would launch one Python worker
+    # per core just to unpickle them (r16 measured: 1.9 s vs 0.27 s on
+    # a 500-row frame at local[32]) — see functions/localrows.py
+    return rows_frame(spark, [(v, find(v)) for v in parent], schema)
 
 
 MERSENNE_P = (1 << 31) - 1

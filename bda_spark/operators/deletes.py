@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localrows import rows_frame
+
 from ..sources.sinks import (
     _hadoop_path,
     delete_keys_parquet,
@@ -54,15 +56,15 @@ def _ids_frame(spark: SparkSession, ids, id_col: str) -> DataFrame:
         return ids.select(F.col(src).alias(id_col)).distinct()
     ids = list(ids)
     if not ids:
-        return spark.createDataFrame([], f"{id_col} long")
+        return rows_frame(spark, [], f"{id_col} long")
     if isinstance(ids[0], str):
         if not all(isinstance(i, str) for i in ids):
             raise TypeError("delete ids mix str and non-str keys")
-        return spark.createDataFrame(
-            [(i,) for i in ids], f"{id_col} string"
+        return rows_frame(
+            spark, [(i,) for i in ids], f"{id_col} string"
         ).distinct()
-    return spark.createDataFrame(
-        [(int(i),) for i in ids], f"{id_col} long"
+    return rows_frame(
+        spark, [(int(i),) for i in ids], f"{id_col} long"
     ).distinct()
 
 

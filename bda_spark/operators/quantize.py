@@ -300,7 +300,10 @@ def ivf_sq8_index_build(
         "centroid_id"
     ).parquet(f"{path.rstrip('/')}/codes")
     spark = embeddings.sparkSession
-    meta = spark.createDataFrame(
+    from ..functions.localrows import rows_frame
+
+    meta = rows_frame(
+        spark,
         [(centroids, lo, hi)],
         "centroids array<array<double>>, lo array<double>, hi array<double>",
     )

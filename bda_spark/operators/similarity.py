@@ -1757,7 +1757,10 @@ def semantic_index_build(
             "overwrite"
         ).partitionBy("centroid_id").parquet(f"{base}/cells")
         sub.write.mode("overwrite").parquet(f"{base}/centroids")
-        spark.createDataFrame(
+        from ..functions.localrows import rows_frame
+
+        rows_frame(
+            spark,
             [(top, "two_level")],
             "centroids array<array<double>>, layout string",
         ).write.mode("overwrite").parquet(f"{base}/meta")
@@ -1777,8 +1780,10 @@ def semantic_index_build(
     cells.repartition("centroid_id").write.mode("overwrite").partitionBy(
         "centroid_id"
     ).parquet(f"{base}/cells")
-    spark.createDataFrame(
-        [(centroids,)], "centroids array<array<double>>"
+    from ..functions.localrows import rows_frame
+
+    rows_frame(
+        spark, [(centroids,)], "centroids array<array<double>>"
     ).write.mode("overwrite").parquet(f"{base}/meta")
 
 
@@ -1845,8 +1850,10 @@ def semantic_match_new(
         r[0] for r in probes.select("centroid_id").distinct().collect()
     ]
     if not touched:
-        return spark.createDataFrame(
-            [], "new_id long, corpus_id long, cosine double"
+        from ..functions.localrows import rows_frame
+
+        return rows_frame(
+            spark, [], "new_id long, corpus_id long, cosine double"
         )
     corpus = spark.read.parquet(f"{base}/cells").filter(
         F.col("centroid_id").isin(touched)

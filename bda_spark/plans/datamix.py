@@ -452,7 +452,18 @@ def contamination_hits_bloom(
     from ..operators.sketch import blocked_bloom_bitmap, blocked_bloom_probe
 
     g = shingles(docs, n=n)
-    bg = shingles(benchmark, n=n).select("shingle").distinct()
+    # materialize the benchmark's distinct-gram set once (r16): it
+    # feeds BOTH the bitmap aggregation and the exact verify join, and
+    # without the boundary the benchmark is shingled twice per run.
+    # The frame is benchmark-sized (tiny vs the corpus by contract —
+    # that asymmetry is this operator's whole premise), so the
+    # checkpoint is strictly cheaper than one redundant shingling.
+    bg = (
+        shingles(benchmark, n=n)
+        .select("shingle")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     bitmap = blocked_bloom_bitmap(bg, "shingle", m_words, k)
     candidates = blocked_bloom_probe(g, "shingle", bitmap, m_words, k)
     return (

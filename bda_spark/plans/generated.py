@@ -147,6 +147,8 @@ def csv_tick_ingest(spark, sf_dir):
             F.max("price").alias("max_price"),
         )
         rows = profile.collect()
-        return spark.createDataFrame(rows, profile.schema)
+        from ..functions.localrows import rows_frame
+
+        return rows_frame(spark, rows, profile.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -302,7 +302,9 @@ def read_versioned(
     manifest, plain = generation_manifest(spark, root, gen)
     if not manifest and not plain and schema is not None:
         # committed but data-less (empty-stream absorb): typed empty
-        return spark.createDataFrame([], schema)
+        from ..functions.localrows import rows_frame
+
+        return rows_frame(spark, [], schema)
     if all(holder == gen for holder in manifest.values()):
         # self-contained (unpartitioned, hive-with-no-refs): one read
         # of the generation dir is complete and keeps the single scan

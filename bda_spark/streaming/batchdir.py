@@ -398,7 +398,9 @@ def read_batch_table(
             )
         )
     if not parts:
-        return spark.createDataFrame([], schema)
+        from ..functions.localrows import rows_frame
+
+        return rows_frame(spark, [], schema)
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)

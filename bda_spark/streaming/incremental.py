@@ -326,7 +326,9 @@ def stream_corpus_ingest(
             )
         else:
             fresh, fresh_sigs = batch, sigs
-            dup_ids = spark.createDataFrame([], "doc_id long")
+            from ..functions.localrows import rows_frame
+
+            dup_ids = rows_frame(spark, [], "doc_id long")
         survivors = fresh.join(dup_ids, "doc_id", "left_anti")
         toks = F.filter(F.split("text", " "), lambda x: x != "")
         score = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
