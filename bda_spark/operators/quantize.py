@@ -41,7 +41,13 @@ def sq8_bounds(embeddings: DataFrame, col: str = "embedding") -> tuple[list, lis
 
 
 def _lit_array(vals: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vals])
+    # ONE array literal, not F.array over per-element F.lit columns
+    # (r16): a 64-dim grid as CreateArray is a 64-child expression tree
+    # that every later DataFrame transformation re-analyzes — plan
+    # CONSTRUCTION, not execution, was ~1.5 s of the warm ivf_sq8 wall.
+    # A Literal leaf carries the same values in one node (measured
+    # ~1.6x cheaper analysis on a 20-step chain).
+    return F.lit([float(v) for v in vals])
 
 
 def sq8_quantize(

@@ -1182,9 +1182,9 @@ def probe_cells(
     """(query_id, centroid_id) for each query's ``n_probe`` nearest IVF
     cells by L2 (the quantizer's own metric). Tiny frame — queries x
     n_centroids rows, centroid list rides as a plan literal."""
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    # one nested-array literal (r16): k x dim per-element lits build a
+    # ~1000-node tree re-analyzed by every downstream transformation
+    cent_lit = F.lit([[float(x) for x in c] for c in centroids])
     v = F.col("embedding").cast("array<double>")
     qcent = queries.select(
         F.col("vec_id").alias("query_id"), v.alias("qv")
@@ -1685,9 +1685,7 @@ def semantic_dedup(
             "vec_id",
         )
     else:
-        cent_lit = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-        )
+        cent_lit = F.lit([[float(x) for x in c] for c in centroids])
         own = F.element_at(cent_lit, nearest_centroid_col(centroids) + 1)
         sim = cosine_similarity_col(
             F.col("embedding").cast("array<double>"), own

@@ -318,7 +318,7 @@ def histogram_sketch_table(
     corpus to (keys x bins) rows, the second assembles each group's
     ordered bin array. Nothing ever sorts the corpus."""
     bnd = sorted(set(bounds))
-    arr = F.array(*[F.lit(float(v)) for v in bnd])
+    arr = F.lit([float(v) for v in bnd])  # one literal node, not len(bnd) lits (r16)
     bin_id = F.aggregate(
         arr,
         F.lit(0),
@@ -372,7 +372,7 @@ def quantile_estimate(
         "_bins", F.lit(0).cast("long"), lambda acc, c: acc + c
     )
     # boundary list with +inf sentinel so the last bin has an upper edge
-    edge = F.array(*[F.lit(float(v)) for v in bnd], F.lit(float("inf")))
+    edge = F.lit([float(v) for v in bnd] + [float("inf")])
     cols = []
     for p in probs:
         # index of the first bin whose cumulative count reaches p*total:

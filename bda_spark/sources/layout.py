@@ -153,7 +153,7 @@ def zorder_key(
     z = F.lit(0).cast("long")
     for c_idx, c in enumerate(cols):
         bnd = sorted(boundaries[c])
-        arr = F.array(*[F.lit(float(b)) for b in bnd])
+        arr = F.lit([float(b) for b in bnd])
         bucket = F.aggregate(
             arr,
             F.lit(0),
