@@ -13,6 +13,10 @@ import os
 import duckdb
 import pytest
 
+pytestmark = pytest.mark.deep  # r17 two-tier suite: sf0.1 re-sweep is
+# deep-tier evidence (the sf0.001 all-queries sweep stays in the
+# driver tier — see conftest.pytest_collection_modifyitems)
+
 from bda_spark.plans import get_oracles, get_queries
 from bda_spark.schemas import TESTDATA_TABLES
 from tools.verify_oracle import normalize

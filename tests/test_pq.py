@@ -109,6 +109,8 @@ def test_lossless_alphabet_makes_adc_scores_exact(spark):
     assert got == want
 
 
+@pytest.mark.deep  # r17 tier split (VERDICT r16 #1): minute-class evidence run;
+# behavior stays driver-covered — fast siblings: test_lossless_alphabet_makes_adc_scores_exact + planted-recall tests
 def test_lossy_regime_recalls_planted_neighbor_and_bounds_recall(
     spark, emb
 ):

@@ -368,6 +368,8 @@ docs_strategy = st.lists(
 
 @settings(**SETTINGS)
 @given(left_texts=docs_strategy, right_texts=docs_strategy)
+@pytest.mark.deep  # r17 tier split (VERDICT r16 #1): minute-class evidence run;
+# behavior stays driver-covered — fast siblings: test_semantic_fuzzy_join_* in test_semdedup
 def test_fuzzy_join_matches_bruteforce_cross_pairs(
     spark, left_texts, right_texts
 ):

@@ -20,6 +20,11 @@ import os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import pytest
+
+pytestmark = pytest.mark.deep  # r17 two-tier suite: builds and times
+# 4x data rungs — minutes-class evidence, not a driver-budget test
+
 FACTOR = 4
 SRC = "/root/testdata/sf0.1"
 
