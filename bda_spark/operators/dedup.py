@@ -46,6 +46,8 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.spread import GRAM_BYTES_PER_TASK, spread_scan
+
 
 def neardup_clusters(
     pairs: DataFrame,
@@ -221,9 +223,19 @@ def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              n: int = 3) -> DataFrame:
     """(id, shingle) pairs: distinct n-token shingles per document,
-    whitespace-tokenized, all JVM-side (split/transform/explode)."""
-    toks = F.filter(F.split(text_col, " "), lambda x: x != "")
-    docs = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    whitespace-tokenized, all JVM-side (split/transform/explode).
+
+    The tokenize+gram+hash work downstream is the most expensive
+    per-row stage in the MinHash family, so an underparallelized input
+    (one row group = one task) is spread first — cost-gated, see
+    functions.spread: only (doc_id, text) crosses the exchange, and at
+    real corpus widths the gate short-circuits to a no-op."""
+    docs = spread_scan(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_sh_text")),
+        GRAM_BYTES_PER_TASK,
+    )
+    toks = F.filter(F.split("_sh_text", " "), lambda x: x != "")
+    docs = docs.select("doc_id", toks.alias("toks"))
     size = F.size("toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(size - n, F.lit(-1))),
@@ -931,9 +943,17 @@ def positional_grams(
     argument is ever NULL (positions stop at sz-n). Hash values are
     internal-only (both consumers hash both of their sides through
     this one function; the oracles recompute spans from gram STRINGS),
-    so the function change is invisible to output."""
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    so the function change is invisible to output.
+
+    Input is spread first (functions.spread, r17): this gram pipeline
+    is the module's single most expensive per-row stage, and a one-
+    row-group input would otherwise run it all on one core."""
+    base = spread_scan(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_pg_text")),
+        GRAM_BYTES_PER_TASK,
+    )
+    toks = F.filter(F.split(F.col("_pg_text"), " "), lambda x: x != "")
+    base = base.select("doc_id", toks.alias("t"))
     sz = F.size("t")
     grams = F.transform(
         F.sequence(F.lit(0), sz - n),

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.spread import AGG_BYTES_PER_TASK, spread_scan
 from .registry import query, r6, t, xsum
 
 
@@ -35,10 +36,25 @@ from .registry import query, r6, t, xsum
 def pricing_summary(spark, sf_dir):
     """Flagship: TPC-H Q1-shaped pricing summary — the gold-layer daily
     aggregate pattern (ref load_to_gold_layer.py:54-64) generalized.
-    Filter pushes to the parquet scan; partial aggregation map-side."""
+    Filter pushes to the parquet scan; partial aggregation map-side.
+
+    The exact-decimal xsum buffer (DECIMAL(38,0), see registry.xsum)
+    costs ~0.15 s/MB per core, so an underparallelized scan is spread
+    first (functions.spread, cost-gated): only the six aggregated
+    columns cross the exchange, and the partial aggregation above it
+    collapses each task to a handful of rows. Decimal addition is
+    exact, so the result is identical under any row placement."""
     li = t(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp"))
+        spread_scan(
+            li.filter(
+                F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp")
+            ).select(
+                "l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax",
+            ),
+            AGG_BYTES_PER_TASK,
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             xsum(F.col("l_quantity")).alias("sum_qty"),
