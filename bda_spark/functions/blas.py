@@ -63,9 +63,20 @@ _capped_pid: int | None = None
 
 def blas_thread_cap() -> int:
     """The configured cap: BDA_BLAS_THREADS if set (<=0 disables),
-    else 1."""
+    else an already-exported OPENBLAS/OMP thread count (a deployment
+    that tuned its pool via the standard env vars keeps it — the env
+    half of this module always honored pre-set values via setdefault,
+    and r17 makes the ctypes runtime setter follow the same
+    precedence instead of silently clobbering them), else 1."""
     raw = os.environ.get("BDA_BLAS_THREADS", "").strip()
     if not raw:
+        for k in _BLAS_ENV[:2]:  # OPENBLAS_NUM_THREADS, OMP_NUM_THREADS
+            pre = os.environ.get(k, "").strip()
+            if pre:
+                try:
+                    return max(1, int(pre))
+                except ValueError:
+                    continue
         return 1
     try:
         return int(raw)

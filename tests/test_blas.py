@@ -30,10 +30,28 @@ def _live_openblas_threads() -> int | None:
 
 def test_default_cap_is_one(monkeypatch):
     monkeypatch.delenv("BDA_BLAS_THREADS", raising=False)
+    for k in blas._BLAS_ENV:
+        monkeypatch.delenv(k, raising=False)
     assert blas.blas_thread_cap() == 1
     env = blas.blas_env()
     assert set(env) == set(blas._BLAS_ENV)
     assert all(v == "1" for v in env.values())
+
+
+def test_preexported_pool_env_wins_over_default(monkeypatch):
+    """r17 (ADVICE r16): a deployment that exported
+    OPENBLAS_NUM_THREADS/OMP_NUM_THREADS gets that cap from the ctypes
+    runtime setter too, instead of being clobbered down to 1;
+    BDA_BLAS_THREADS still overrides everything."""
+    monkeypatch.delenv("BDA_BLAS_THREADS", raising=False)
+    for k in blas._BLAS_ENV:
+        monkeypatch.delenv(k, raising=False)
+    monkeypatch.setenv("OMP_NUM_THREADS", "6")
+    assert blas.blas_thread_cap() == 6
+    monkeypatch.setenv("OPENBLAS_NUM_THREADS", "3")
+    assert blas.blas_thread_cap() == 3  # OpenBLAS-specific beats OMP
+    monkeypatch.setenv("BDA_BLAS_THREADS", "2")
+    assert blas.blas_thread_cap() == 2
 
 
 def test_env_override_and_disable(monkeypatch):

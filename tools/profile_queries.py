@@ -39,13 +39,13 @@ def _bench_only() -> dict:
         "corpus_build_pipeline": bench.corpus_build_bench,
     }
 
-UI_PORT = 4059
+UI_PORT = 4059  # requested; the BOUND port is read back from the session
+
+_UI_BASE: str | None = None
 
 
 def _api(path: str):
-    with urllib.request.urlopen(
-        f"http://localhost:{UI_PORT}/api/v1/{path}", timeout=10
-    ) as r:
+    with urllib.request.urlopen(f"{_UI_BASE}/api/v1/{path}", timeout=10) as r:
         return json.load(r)
 
 
@@ -62,6 +62,11 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # ADVICE r16: read the BOUND UI url (the requested port may be
+    # taken and Spark walks forward) and select THIS app by id instead
+    # of applications[0]
+    global _UI_BASE
+    _UI_BASE = spark.sparkContext.uiWebUrl
     qs = dict(get_queries())
     qs.update(_bench_only())
     # warmup
@@ -80,7 +85,7 @@ def main() -> None:
             walls.setdefault(n, []).append(time.time() - t0)
             spark.sparkContext.setJobDescription(None)
 
-    app = _api("applications")[0]["id"]
+    app = spark.sparkContext.applicationId
     jobs = _api(f"applications/{app}/jobs?status=succeeded")
     stages = {
         s["stageId"]: s
