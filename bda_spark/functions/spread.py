@@ -32,10 +32,11 @@ Scale behavior of the knobs:
 - ``defaultParallelism`` caps the spread at cluster width (local[32]
   -> 32; a 1000-core cluster -> 1000) — scale-adaptive, not a local
   constant (round rules: no local[32]-only tuning).
-- the "already parallel" estimate derives from
-  ``spark.sql.files.maxPartitionBytes``, the same knob the planner
-  splits files with, so the gate and the planner agree about when an
-  input is wide.
+- the "already parallel" check reads the planner's REAL scan width
+  (physical partition count), so multi-file inputs — which plan wide
+  on their own — are never re-exchanged (measured: widening a 10-task
+  scan to 32 was 15% slower; widening a 1-task scan 1.06-1.30x
+  faster).
 - ``BDA_SPREAD_SCANS=0`` disables every spread (deployment kill
   switch, and the A/B lever the r17 measurements used).
 
@@ -73,24 +74,23 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
-def _max_partition_bytes(spark) -> int:
-    try:
-        v = spark.conf.get("spark.sql.files.maxPartitionBytes")
-        return int(
-            spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
-        )
-    except Exception:
-        return 128 * 1024 * 1024
-
-
 def spread_scan(df: DataFrame, bytes_per_task: int) -> DataFrame:
     """Round-robin repartition ``df`` for a downstream high-per-row-cost
-    stage — ONLY when the planner would underparallelize it (module
-    doc). Returns ``df`` unchanged whenever the exchange buys nothing:
-    tiny input (< one task's worth), input already split at least as
-    wide as the target, or the kill switch. Callers should project to
-    the columns the heavy stage needs BEFORE spreading (guide §2.3:
-    never exchange bytes the stage won't read)."""
+    stage — ONLY when the planner leaves it NEAR-SERIAL (module doc).
+    Returns ``df`` unchanged whenever the exchange buys nothing: tiny
+    input (< one task's worth), input already multi-task, or the kill
+    switch. Callers should project to the columns the heavy stage
+    needs BEFORE spreading (guide §2.3: never exchange bytes the
+    stage won't read).
+
+    Gate detail (r17, measured): ``have`` is the planner's REAL scan
+    width (``df.rdd.getNumPartitions()`` — one cheap physical-planning
+    pass, no job), not a bytes estimate: a 10-file rung summing 2.5 MB
+    estimated 1 task but actually scanned 10-wide, and spreading it
+    32-wide measured 15% SLOWER (the exchange bought ~nothing). The
+    spread therefore arms only below ``max(2, cores/8)`` planned tasks
+    — the one-row-group / one-gzip pathology it exists for — and
+    widening an already-parallel scan is left to the planner."""
     if os.environ.get("BDA_SPREAD_SCANS", "1").lower() in ("0", "false", "off"):
         return df
     size = _plan_size_bytes(df)
@@ -102,8 +102,12 @@ def spread_scan(df: DataFrame, bytes_per_task: int) -> DataFrame:
     except Exception:
         return df
     want = min(int(par), math.ceil(size / bytes_per_task))
-    # planner-side width: how many tasks the scan gets without help
-    have = max(1, size // _max_partition_bytes(spark))
-    if want <= 1 or have >= want:
+    if want <= 1:
+        return df
+    try:
+        have = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if have >= max(2, int(par) // 8) or have >= want:
         return df
     return df.repartition(want)

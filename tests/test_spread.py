@@ -41,17 +41,13 @@ def test_kill_switch_disables(spark, monkeypatch):
     assert spread_scan(df, 64 * 1024) is df
 
 
-def test_wide_enough_input_is_untouched(spark):
-    """want <= have short-circuits: when the planner's own file split
-    already meets the cost target, no exchange is added (the 100 TB
-    shape — a corpus scan plans thousands of tasks on its own)."""
-    df = spark.range(1000)  # stats: 8 KB
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "256")  # have ~31
-    try:
-        out = spread_scan(df, 1024)  # want = 8 <= have
-    finally:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-    assert out is df
+def test_already_parallel_input_is_untouched(spark):
+    """The gate reads the planner's REAL width: an input that already
+    plans multi-task (here: defaultParallelism range partitions, like
+    a multi-file table) is never re-exchanged — the 100 TB shape,
+    and the measured 10-file-rung regression the r17 gate fixed."""
+    df = spark.range(80_000)  # 640 KB over defaultParallelism partitions
+    assert spread_scan(df, 64 * 1024) is df
 
 
 def test_shingles_identical_with_and_without_spread(spark, monkeypatch):
